@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * One parquet file per table; at cluster scale these would be partitioned
+  * directories — `spark.read.parquet` handles both shapes identically, so the
+  * engine code never assumes a single file.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-normalization and analysis column functions.
+  *
+  * All pure compositions of built-in (codegen'd) expressions — no UDFs in the
+  * hot path, so whole-stage codegen and parquet pushdown stay intact.
+  */
+object text {
+
+  /** The reference's normalization P1+P2 (mapreduce.c:50-61): lowercase, then
+    * keep the longest *leading* `[a-z0-9]+` run; everything else (CR,
+    * punctuation, BOM-led lines) truncates away, possibly to the empty string.
+    * Verified in SURVEY.md to reproduce the reference's 21,322-posting multiset.
+    */
+  def normalizeWord(line: Column): Column =
+    regexp_extract(lower(line), "^[a-z0-9]+", 0)
+
+  /** Generalized tokenizer (SURVEY §2.9 Q19 — P2 generalized to explode):
+    * lowercase, split on non-alphanumeric runs. May contain empty tokens at
+    * the array edges; callers filter (`t =!= ""`), keeping raw positions
+    * meaningful (mirrors the reference keeping line numbers of dropped lines).
+    */
+  def tokens(text: Column): Column =
+    split(lower(text), "[^a-z0-9]+")
+
+  /** Non-empty token list. */
+  def cleanTokens(text: Column): Column =
+    filter(tokens(text), t => t =!= lit(""))
+
+  /** Token count (non-empty tokens), as long. */
+  def tokenCount(text: Column): Column =
+    size(cleanTokens(text)).cast("long")
+
+  /** Word-level n-grams over the non-empty token list, joined with spaces. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = cleanTokens(text)
+    val idx = sequence(lit(0), size(toks) - n)
+    filter(
+      transform(idx, i => concat_ws(" ", slice(toks, i + 1, n))),
+      g => g =!= lit(""))
+  }
+
+  /** Per-language stopword marker sets for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pas", "pour", "dans"))
+
+  /** Fraction of tokens that belong to `set`, rounded to 4 dp ([0,1], 0 for
+    * empty docs). Building block for quality scoring and language ID.
+    */
+  def tokenSetRatio(text: Column, set: Seq[String]): Column = {
+    val toks = cleanTokens(text)
+    val hits = size(filter(toks, t => t.isin(set.map(lit): _*)))
+    round(hits.cast("double") / greatest(size(toks), lit(1)), 4)
+  }
+
+  /** N-gram-heuristic language ID: argmax of stopword-marker ratio across the
+    * candidate languages; ties and all-zero scores fall back to "und"
+    * (undetermined). Deterministic (ties broken by language code order).
+    */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(tokenSetRatio(text, stopwords(l)).as("score"), lit(l).as("lang")))
+    // array_max on struct = lexicographic (score, lang); lang DESC would need
+    // inversion — ascending lang on equal score is the documented tie-break.
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality signals for a document (LLM-pipeline text analysis):
+    * character count, token count, mean token length, alpha-char ratio,
+    * stopword ratio — all deterministic, rounded.
+    */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val toks = cleanTokens(text)
+    val nTok = greatest(size(toks), lit(1))
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_tokens" -> tokenCount(text),
+      "mean_token_len" -> round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok, 4),
+      "alpha_ratio" -> round(length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / greatest(length(text), lit(1)), 4),
+      "stopword_ratio" -> tokenSetRatio(text, stopwords("en")))
+  }
+}

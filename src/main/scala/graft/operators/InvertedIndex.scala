@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.functions.text
+import graft.sources.LineNumberedText
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's one true query (mapreduce.c:1-346): an inverted index
+  * `word -> list of (source, position)`, here in two forms:
+  *
+  *  - Tier A (reference-literal): over line-numbered text files, with the
+  *    exact normalization semantics of mapreduce.c:50-61 and the canonical
+  *    order contract of SURVEY §1.4 (postings by (file number, linenum),
+  *    words lexicographic).
+  *  - Tier B (oracle-checked): the same operator generalized to the
+  *    `documents` parquet table — token position plays linenum, doc_id plays
+  *    filename — so DuckDB can hash-check it.
+  *
+  * Scale notes: the groupBy(word) is a single hash shuffle with map-side
+  * partial `collect_list` merge; posting lists for mega-keys (stopwords) are
+  * the documented skew risk — `ObjectHashAggregate` spills, and the
+  * formatted-string sink streams per row. No driver-side collection.
+  */
+object InvertedIndex {
+
+  /** Map phase P1+P2+P3+P4: normalize each line to a word, keep provenance,
+    * drop empties (mapreduce.c:110-121). Input: (filename, linenum, line).
+    */
+  def postings(lines: DataFrame): DataFrame =
+    lines
+      .select(
+        text.normalizeWord(col("line")).as("word"),
+        col("filename"),
+        col("linenum"))
+      .filter(col("word") =!= "")
+
+  /** Reduce phase A1: group by word, collect postings, canonically ordered by
+    * (numeric file index when present, filename, linenum) per SURVEY §1.4.
+    * Output formatted as the reference's sink S3: `word: (file: line), ...`.
+    */
+  def index(postings: DataFrame): DataFrame = {
+    val fileNo = coalesce(
+      regexp_extract(col("filename"), "(\\d+)", 1).cast("int"), lit(0))
+    val keyed = postings.select(
+      col("word"),
+      struct(fileNo.as("fileno"), col("filename"), col("linenum")).as("p"))
+    keyed
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(
+        col("word"),
+        size(col("ps")).cast("long").as("n_postings"),
+        concat_ws(", ",
+          transform(col("ps"), p =>
+            format_string("(%s: %d)", p.getField("filename"), p.getField("linenum"))))
+          .as("postings"))
+      .orderBy(col("word"))
+  }
+
+  /** Tier-A end-to-end: read the reference corpus, build the canonical index.
+    * Filenames are reduced to basenames to match the golden output.txt.
+    */
+  def referenceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val files = LineNumberedText.listTextFiles(dir)
+    val lines = LineNumberedText.read(spark, files).toDF()
+    index(postings(lines.withColumn("filename",
+      element_at(split(col("filename"), "/"), -1))))
+  }
+
+  /** Tier-B: token-position postings over `documents` — posexplode keeps raw
+    * array positions (1-based) so dropped empty tokens leave gaps, exactly as
+    * the reference keeps line numbers of dropped lines.
+    */
+  def documentPostings(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(text.tokens(col("text"))).as(Seq("pos0", "token")))
+      .filter(col("token") =!= "")
+      .select(col("token"), col("doc_id"), (col("pos0") + 1).cast("int").as("pos"))
+
+  def documentsIndex(spark: SparkSession, dir: String): DataFrame =
+    documentPostings(spark, dir)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ps"))
+      .select(
+        col("token"),
+        size(col("ps")).cast("long").as("n_postings"),
+        concat_ws(", ",
+          transform(col("ps"), p =>
+            format_string("(%d: %d)", p.getField("doc_id"), p.getField("pos"))))
+          .as("postings"))
+      .orderBy(col("token"))
+
+  /** Q2: the canonical MapReduce word count (SURVEY §2.4 A2). */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    documentPostings(spark, dir)
+      .groupBy(col("token").as("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  private val tokensCte =
+    """WITH raw AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS toks
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+      |  FROM raw
+      |)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_inverted_index", documentsIndex,
+      Some(s"""$tokensCte
+        |SELECT token, count(*) AS n_postings,
+        |       string_agg('(' || doc_id || ': ' || pos || ')', ', ' ORDER BY doc_id, pos) AS postings
+        |FROM t WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin)),
+    QueryDef("q02_word_count", wordCount,
+      Some(s"""$tokensCte
+        |SELECT token AS word, count(*) AS n
+        |FROM t WHERE token <> '' GROUP BY word ORDER BY word""".stripMargin)),
+    // Reference-literal corpus index: no SQL oracle (text-file source);
+    // golden-checked against output.txt in InvertedIndexSpec instead.
+    QueryDef("q00_reference_index",
+      (s, _) => referenceIndex(s, "/root/reference/testfiles"),
+      None))
+}
