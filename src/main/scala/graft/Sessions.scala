@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One SparkSession recipe for every engine entry point (Verify, Bench,
+  * specs), so semantics never drift between the correctness gate and tests.
+  *
+  * - ANSI off: the oracle contract (SURVEY §2.9) relies on permissive casts
+  *   (`''::int -> NULL`) and null-on-divide-by-zero; Spark 4 defaults ANSI on.
+  * - UTC: hash-checked timestamps must not depend on host zone.
+  * - shuffle.partitions = cores (32 on the driver box, not 200): at local
+  *   scale each extra partition is pure scheduling overhead; on a real
+  *   cluster this knob is sized to executor count × cores with AQE coalescing
+  *   partitions that come up small.
+  * - AQE on: runtime coalescing + skew-join splitting is part of the 100 TB
+  *   design (SURVEY §4.2).
+  */
+object Sessions {
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -34,13 +34,16 @@ object text {
   def tokenCount(text: Column): Column =
     size(cleanTokens(text)).cast("long")
 
-  /** Word-level n-grams over the non-empty token list, joined with spaces. */
+  /** Word-level n-grams over the non-empty token list, joined with spaces.
+    * Docs shorter than n yield an empty array (the sequence() bound would
+    * otherwise descend into negative slice starts and throw).
+    */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = cleanTokens(text)
-    val idx = sequence(lit(0), size(toks) - n)
-    filter(
-      transform(idx, i => concat_ws(" ", slice(toks, i + 1, n))),
-      g => g =!= lit(""))
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n, grams).otherwise(typedLit(Array.empty[String]))
   }
 
   /** Per-language stopword marker sets for the language-ID heuristic. */
@@ -66,8 +69,9 @@ object text {
   def langId(text: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
     val scored = langs.map(l => struct(tokenSetRatio(text, stopwords(l)).as("score"), lit(l).as("lang")))
-    // array_max on struct = lexicographic (score, lang); lang DESC would need
-    // inversion — ascending lang on equal score is the documented tie-break.
+    // array_max on struct = lexicographic (score, lang), so equal scores
+    // resolve to the lexicographically GREATEST language code — the
+    // documented tie-break.
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }

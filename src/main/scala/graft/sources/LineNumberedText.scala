@@ -5,7 +5,9 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
 
 /** A line of input with file + 1-based line-number provenance — the
   * reference's S1 scan (mapreduce.c:97-109: fgets loop with a per-file
@@ -34,13 +36,21 @@ object LineNumberedText {
     */
   def read(spark: SparkSession, files: Seq[String]): Dataset[RawLine] = {
     import spark.implicits._
+    // Ship the session's Hadoop config to executors (a bare `new
+    // Configuration()` there would drop any non-default filesystem setup).
+    val conf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { file =>
         val path = new Path(file)
-        val fs = path.getFileSystem(new Configuration())
+        val fs = path.getFileSystem(conf.value.value)
         val br = new BufferedReader(
           new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
+        // Close on task completion too — a limit() or failure leaves the
+        // iterator unexhausted, which would otherwise leak the handle.
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => br.close()))
         var n = 0
         Iterator
           .continually(br.readLine())
