@@ -6,7 +6,8 @@ package graft
   */
 object Registry {
   def all: Seq[QueryDef] =
-    operators.InvertedIndex.defs
+    operators.InvertedIndex.defs ++
+      operators.Relational.defs
 
   def byName(name: String): QueryDef =
     all.find(_.name == name).getOrElse(

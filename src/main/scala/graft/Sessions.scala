@@ -24,6 +24,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+      // rejects; read it as raw nanos (Tables.events converts to a
+      // microsecond timestamp column).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

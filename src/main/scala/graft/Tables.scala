@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -23,7 +24,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "events")
+  /** `ts` arrives as raw nanos (see Sessions: nanosAsLong); expose it as a
+    * microsecond TIMESTAMP (`ts`) plus the exact nano count (`ts_ns`). The
+    * source data is microsecond-resolution, so the truncation is lossless.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
