@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.InvertedIndex
+import graft.sources.LineNumberedText
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tier-A golden fidelity: the reference corpus run must reproduce the
+  * canonicalized multiset of /root/reference/output.txt (SURVEY §5.2 item 1;
+  * 21,322 postings over 4,135 words), and the canonical-order contract
+  * (§1.4: per-file ascending line numbers, words sorted).
+  */
+class InvertedIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val corpus = "/root/reference/testfiles"
+  private val goldenPath = "/root/reference/output.txt"
+
+  private lazy val enginePostings: Seq[(String, String, Int)] = {
+    val lines = LineNumberedText
+      .read(spark, LineNumberedText.listTextFiles(corpus)).toDF()
+      .withColumn("filename", element_at(split(col("filename"), "/"), -1))
+    InvertedIndex.postings(lines)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSeq
+  }
+
+  test("golden: posting multiset matches canonicalized output.txt") {
+    val golden = GoldenOutput.postings(goldenPath)
+    assert(golden.size === 21322)
+    assert(enginePostings.size === golden.size)
+    val ours = enginePostings.groupMapReduce(identity)(_ => 1)(_ + _)
+    val theirs = golden.groupMapReduce(identity)(_ => 1)(_ + _)
+    assert(ours === theirs)
+  }
+
+  test("golden: 4,135 distinct words") {
+    assert(enginePostings.map(_._1).distinct.size === 4135)
+  }
+
+  test("canonical index: rows sorted by word, postings by (file#, linenum)") {
+    val idx = InvertedIndex.referenceIndex(spark, corpus).collect()
+    val words = idx.map(_.getString(0)).toSeq
+    assert(words === words.sorted)
+    // Postings string per word: file numbers then linenums non-decreasing
+    val p = """\(file(\d+)\.txt: (\d+)\)""".r
+    idx.foreach { row =>
+      val ps = p.findAllMatchIn(row.getString(2))
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(ps === ps.sorted, s"word ${row.getString(0)} out of order")
+    }
+  }
+}
