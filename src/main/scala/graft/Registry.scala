@@ -7,7 +7,12 @@ package graft
 object Registry {
   def all: Seq[QueryDef] =
     operators.InvertedIndex.defs ++
-      operators.Relational.defs
+      operators.Relational.defs ++
+      operators.Scalars.defs ++
+      operators.TimeWindows.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs
 
   def byName(name: String): QueryDef =
     all.find(_.name == name).getOrElse(

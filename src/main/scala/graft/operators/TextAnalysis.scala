@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.text
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY §2.9 Q19 + the
+  * LLM-pipeline text battery): token/ngram frequency, quality scoring,
+  * language ID. Tokenization is the reference's P2 normalization generalized
+  * to explode (lower + split on non-alnum) — all built-in expressions, no
+  * UDFs, so the projections stay inside whole-stage codegen and the only
+  * shuffle is the frequency group-by.
+  */
+object TextAnalysis {
+
+  /** Q19: token frequency top-100 by (count DESC, token). Low-cardinality
+    * token space aggregates map-side; the explode itself never shuffles.
+    */
+  def q19Tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(text.cleanTokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  /** Q19b: word-trigram frequency top-100 — same shape over wordNgrams. */
+  def q19Ngrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(text.wordNgrams(col("text"), 3)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(100)
+
+  /** Quality scoring: per-doc heuristic signals (char/token counts, mean
+    * token length, alpha ratio, stopword ratio) — pure per-row expressions.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = text.qualitySignals(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID: n-gram/stopword-marker heuristic (text.langId), checked
+    * against a Scala model in TextAnalysisSpec; rows-only for the driver
+    * (the argmax is awkward to mirror exactly in SQL).
+    */
+  def langIdScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        text.langId(col("text")).as("lang_pred"),
+        col("lang").as("lang_label"))
+      .orderBy(col("doc_id"))
+
+  private val toksCte =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q19_token_top100", q19Tokens,
+      Some(s"""$toksCte
+        |SELECT token, COUNT(*) AS n FROM (SELECT unnest(toks) AS token FROM d)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+    QueryDef("q19_ngram_top100", q19Ngrams,
+      Some(s"""$toksCte
+        |SELECT gram, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        |  FROM d WHERE len(toks) >= 3)
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 100""".stripMargin)),
+    QueryDef("q26_text_quality", qualityScores,
+      Some(s"""$toksCte
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+        |          AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_token_len,
+        |  round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |          AS DOUBLE) / greatest(length(text), 1), 4) AS alpha_ratio,
+        |  round(CAST(len(list_filter(toks, t -> list_contains(
+        |      ['the','a','of','and','to','in','is','that','it','for'], t)))
+        |          AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio
+        |FROM d ORDER BY doc_id""".stripMargin)),
+    QueryDef("q27_lang_id", langIdScores, None))
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.num._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators, batch forms (SURVEY §2.9 Q14/Q15). The streaming
+  * twins live in graft.streaming and are asserted batch-equivalent in
+  * StreamingSpec — the oracle here checks the shared semantics.
+  */
+object TimeWindows {
+
+  /** Q14: tumbling 1-hour window × event_type. Uses the real window()
+    * tumbling operator (not date_trunc) so the batch plan matches the
+    * streaming one; emitted as epoch millis for a timezone-proof hash.
+    */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+
+  /** Q15: sessionization — gap > 30 min starts a new session per user
+    * (lag + cumulative-flag idiom). All work is windowed per user_id: one
+    * shuffle, per-key state only, no driver involvement.
+    */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        // integer division — `/` on LONG would go through double and lose
+        // precision at 1e18-scale nano values
+        expr("ts_ns DIV 1000").as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byTime) > gapUs ||
+          lag(col("us"), 1).over(byTime).isNull, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q14_tumbling_window", q14,
+      Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin)),
+    QueryDef("q15_sessionization", q15,
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+        |                   OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sess AS (
+        |  SELECT *, CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  MAX(us) - MIN(us) AS dur_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)))
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall/consistency properties for the ANN tier (q24/q25) against the
+  * exact Q20 baseline on the sf0.001 fixture. Hyperplanes are derived from
+  * Murmur3 so every assertion is deterministic.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("ANN (q25) recall@10 vs exact (q20) is >= 0.5") {
+    val exact = pairs(Similarity.q20(spark, dir))
+    val ann = pairs(Similarity.q25(spark, dir))
+    assert(exact.size === 50)
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall below bound")
+  }
+
+  test("ANN scores agree with exact scores on overlapping pairs") {
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = scored(Similarity.q20(spark, dir))
+    val ann = scored(Similarity.q25(spark, dir))
+    for ((k, s) <- ann if exact.contains(k))
+      assert(s === exact(k), s"score mismatch on $k")
+  }
+
+  test("embedding near-dup (q24) returns only pairs above threshold") {
+    val rows = Similarity.q24(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= Similarity.NearDupCosine)
+      assert(r.getLong(0) < r.getLong(1), "pairs must be (a < b), no dupes")
+    }
+    // symmetric-pair uniqueness
+    val ids = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length === ids.length)
+  }
+}
