@@ -15,17 +15,23 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Two runs per query, min reported: the first run pays one-time plan
+    // codegen + JVM JIT; steady-state is what a resident engine delivers.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t =
+        try math.min(once(), once())
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\n\\r\\t]", " ").take(200)
-          false
+          -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

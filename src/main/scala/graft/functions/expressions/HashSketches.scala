@@ -1,0 +1,299 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (with codegen) for the hash-sketch hot paths.
+  *
+  * The higher-order-function formulations (transform/aggregate lambdas) are
+  * evaluated via interpreted lambda dispatch — profiling at sf0.1 showed
+  * SimHash/MinHash signature computation dominating their queries (~20s and
+  * ~18s single-core). These expressions do the same math in a tight loop
+  * over the input ArrayData and codegen to a static method call, keeping the
+  * surrounding projection inside whole-stage codegen.
+  *
+  * Both consume pre-hashed tokens (`array<bigint>`, e.g. from
+  * `transform(tokens, xxhash64)`) so string hashing happens exactly once.
+  */
+object sketch {
+  /** 64-bit SimHash fingerprint of an array of 64-bit token hashes. */
+  def simhash64(tokenHashes: Column): Column =
+    ColumnBridge.column(
+      SimHash64Expr(ColumnBridge.expression(tokenHashes)))
+
+  /** MinHash signature (k minima of a_i*h+b_i over the hashes). */
+  def minhashSig(shingleHashes: Column, k: Int, seed: Long): Column =
+    ColumnBridge.column(
+      MinHashSigExpr(ColumnBridge.expression(shingleHashes), k, seed))
+
+  /** Distinct hashed n-shingles of a token array: xxhash64 each token once,
+    * chain n consecutive hashes into a shingle hash, dedupe. Replaces
+    * wordNgrams+array_distinct+xxhash64 (which re-split the text three times
+    * per row via HOF lambdas and built every shingle string) for the
+    * near-dup pipelines where only shingle identity matters.
+    */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleHashesExpr(ColumnBridge.expression(tokens), n))
+
+  /** LSH band keys straight from the hashes: the k minima computed once,
+    * then each of `bands` contiguous signature slices mixed into one 64-bit
+    * key. One expression evaluation per row — materializing the signature
+    * and slicing it in a later projection re-evaluates it per band after
+    * CollapseProject inlining (benched 2x slower than even the HOF form).
+    */
+  def minhashBandKeys(shingleHashes: Column, k: Int, bands: Int, seed: Long): Column =
+    ColumnBridge.column(
+      MinHashBandKeysExpr(ColumnBridge.expression(shingleHashes), k, bands, seed))
+}
+
+/** fp bit layout matches the declarative form it replaced: fold acc*2+bit
+  * over bit index b = 0..63, where bit b = (sum over hashes of ±1 on hash
+  * bit b) > 0.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 needs array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Expr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.SimHash64Expr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+  def compute(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val bal = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) bal(b) += 1 else bal(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      fp = fp * 2 + (if (bal(b) > 0) 1L else 0L)
+      b += 1
+    }
+    fp
+  }
+}
+
+/** Universal-hash minhash family h_i(x) = a_i*x + b_i (mod 2^64, signed
+  * min), constants drawn from a seeded generator — same family as the
+  * declarative version in Dedup. Empty input → null (no shingles, no
+  * signature).
+  */
+case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig needs array<bigint>, got $t")
+    }
+
+  @transient private lazy val (as, bs) = MinHashSigExpr.constants(k, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else MinHashSigExpr.compute(arr, as, bs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    graft.functions.expressions.MinHashSigExpr.compute($c, $aRef, $bRef);
+         |}""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+object MinHashSigExpr {
+  def constants(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(k)(rnd.nextLong() | 1L), Array.fill(k)(rnd.nextLong()))
+  }
+
+  def minima(hashes: ArrayData, as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val x = hashes.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = x * as(i) + bs(i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    mins
+  }
+
+  def compute(hashes: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData =
+    new GenericArrayData(minima(hashes, as, bs))
+}
+
+/** Distinct position-sensitive hashes of n-token shingles, sorted. Empty
+  * output for docs shorter than n tokens (callers treat no-shingles docs as
+  * unpairable).
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes needs array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashesExpr.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ShingleHashesExpr.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+object ShingleHashesExpr {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = tokens.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      i += 1
+    }
+    val sh = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var k = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) { k = XXH64.hashLong(th(i + j), k); j += 1 }
+      sh(i) = k
+      i += 1
+    }
+    java.util.Arrays.sort(sh)
+    // in-place dedupe of the sorted hashes
+    var w = 0
+    i = 0
+    while (i < sh.length) {
+      if (w == 0 || sh(i) != sh(w - 1)) { sh(w) = sh(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sh, w))
+  }
+}
+
+/** Band keys = FNV-style mix of each contiguous `k/bands`-wide slice of the
+  * minhash signature, offset by the band index so bands never collide.
+  */
+case class MinHashBandKeysExpr(child: Expression, k: Int, bands: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_band_keys needs array<bigint>, got $t")
+    }
+
+  @transient private lazy val (as, bs) = MinHashSigExpr.constants(k, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else MinHashBandKeysExpr.compute(arr, as, bs, bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.expressions.MinHashBandKeysExpr
+         |    .compute($c, $aRef, $bRef, $bands);
+         |}""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeysExpr =
+    copy(child = newChild)
+}
+
+object MinHashBandKeysExpr {
+  def compute(hashes: ArrayData, as: Array[Long], bs: Array[Long],
+      bands: Int): ArrayData = {
+    val mins = MinHashSigExpr.minima(hashes, as, bs)
+    val r = mins.length / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0xcbf29ce484222325L ^ b.toLong
+      var i = b * r
+      while (i < (b + 1) * r) {
+        key = (key ^ mins(i)) * 0x100000001b3L
+        i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+}

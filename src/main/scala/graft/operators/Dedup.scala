@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.expressions.sketch
 import graft.functions.text
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -36,39 +37,50 @@ object Dedup {
   val Bands    = 8
   val RowsPerBand: Int = MinhashK / Bands
 
-  /** Per-row minhash signature over the doc's distinct word-3-shingles.
-    * hash(shingle, i) is Murmur3 of (shingle, seed-index) — k seeded hash
-    * functions without a UDF, evaluated inside codegen.
+  /** The classic universal-hash minhash family h_i(x) = a_i*x + b_i (mod
+    * 2^64) over ONE base xxhash64 per shingle — strings are hashed once, not
+    * k times. Computed by the native MinHashSigExpr (codegen) — the
+    * higher-order-function formulation benched ~10x slower at sf0.1.
     */
-  def minhashSignature(shingles: Column): Column =
-    transform(sequence(lit(0), lit(MinhashK - 1)),
-      i => array_min(transform(shingles, s => hash(s, i))))
+  val MinhashSeed = 0x5eedL
+
+  /** Per-row minhash signature from pre-hashed shingles (array<long>). */
+  def minhashSignature(shingleHashes: Column): Column =
+    sketch.minhashSig(shingleHashes, MinhashK, MinhashSeed)
 
   /** Candidate near-dup pairs from banded LSH + exact Jaccard verification.
     * Input: (doc_id, text); output: (a_id, b_id, jaccard >= threshold).
     */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val shingled = docs.select(
-      col("doc_id"),
-      array_distinct(text.wordNgrams(col("text"), 3)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val signed = shingled.select(
-      col("doc_id"), col("shingles"),
-      minhashSignature(col("shingles")).as("sig"))
-    // one row per (band, doc): fixed-width join key = xxhash64(band#, slice)
-    val banded = signed.select(
-      col("doc_id"), col("shingles"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(b,
-          slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
-        .as("band_key"))
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    // shingle-hash computation is the CPU hot spot: spread it over all cores
+    // even when the input is a single small file/split (hash partitioning by
+    // key, not round-robin, so the layout is deterministic). No
+    // size()-filter here — it would be pushed below the exchange and
+    // re-evaluate the whole shingle expression in the (serial) scan stage;
+    // docs with no shingles get a null band-key array, which explode drops.
+    val shingled = docs
+      .repartition(cores, col("doc_id"))
+      .select(
+        col("doc_id"),
+        sketch.shingleHashes(text.cleanTokens(col("text")), 3).as("sh"))
+    // one row per (band, doc). Band keys come from ONE native-expression
+    // evaluation per row (minima + per-band mixing in one pass) — slicing a
+    // materialized signature in a later projection re-evaluates it per band
+    // after CollapseProject inlining.
+    val banded = shingled.select(
+      col("doc_id"), col("sh"),
+      explode(sketch.minhashBandKeys(col("sh"),
+        MinhashK, Bands, MinhashSeed)).as("band_key"))
     val a = banded.select(col("band_key"), col("doc_id").as("a_id"),
-      col("shingles").as("a_sh"))
+      col("sh").as("a_sh"))
     val b = banded.select(col("band_key"), col("doc_id").as("b_id"),
-      col("shingles").as("b_sh"))
+      col("sh").as("b_sh"))
     a.join(b, Seq("band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
+        // Jaccard over hashed shingles: identical to string-shingle Jaccard
+        // up to 2^-64-scale collisions, at a fraction of the compare cost
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
       .distinct()
@@ -87,24 +99,22 @@ object Dedup {
 
   /** 64-bit SimHash of the doc's tokens: bit b is set when the sum of
     * (+1/-1) over tokens' xxhash64 bit b is positive. Pure per-row
-    * expression — zero shuffles to fingerprint a corpus.
+    * expression — zero shuffles to fingerprint a corpus. Tokens are hashed
+    * once (built-in xxhash64), the 64-bit balance loop runs in the native
+    * SimHash64Expr (codegen).
     */
-  def simhash(tokens: Column): Column = {
-    val bits = transform(sequence(lit(0), lit(63)), b => {
-      val balance = aggregate(tokens, lit(0L),
-        (acc, t) => acc + when(getbit(xxhash64(t), b) === 1, 1L).otherwise(-1L))
-      when(balance > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, bit) => acc * 2 + bit)
-  }
+  def simhash(tokens: Column): Column =
+    sketch.simhash64(transform(tokens, t => xxhash64(t)))
 
   /** SimHash near-dup pairs: pigeonhole banding — any pair within Hamming
     * distance 3 shares at least one of the 4 exact 16-bit chunks, so
     * candidates come from a chunk-equality join, verified by bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val fp = docs.select(col("doc_id"),
-      simhash(text.cleanTokens(col("text"))).as("fp"))
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val fp = docs.repartition(cores, col("doc_id"))
+      .select(col("doc_id"),
+        simhash(text.cleanTokens(col("text"))).as("fp"))
     val chunked = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("i"),
@@ -132,9 +142,11 @@ object Dedup {
     * cross join of the corpus with itself).
     */
   def q23(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      array_distinct(text.wordNgrams(col("text"), 3)).as("g"))
+    val grams = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
+        col("doc_id"),
+        array_distinct(text.wordNgrams(col("text"), 3)).as("g"))
     val probes = grams.filter(col("doc_id") < 5)
       .select(col("doc_id").as("probe_id"), col("g").as("pg"))
     grams.crossJoin(broadcast(probes))

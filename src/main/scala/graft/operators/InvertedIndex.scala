@@ -74,6 +74,8 @@ object InvertedIndex {
     */
   def documentPostings(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // single-file inputs arrive as one split; spread the tokenize+explode
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), posexplode(text.tokens(col("text"))).as(Seq("pos0", "token")))
       .filter(col("token") =!= "")
       .select(col("token"), col("doc_id"), (col("pos0") + 1).cast("int").as("pos"))

@@ -23,6 +23,7 @@ object Similarity {
     */
   def q20(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
@@ -81,6 +82,9 @@ object Similarity {
     */
   def q25(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
+      // bucket computation (NTables x Planes x dim dot products per row) is
+      // the hot spot — spread it even when the input is one small split
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
     // corpus: one bucket per table (NTables rows per vector)
     val emb = base.select(col("vec_id"), col("v"),
@@ -118,6 +122,7 @@ object Similarity {
     */
   def q24(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
       .withColumn("bucket",
         explode(array((0 until NTables).map(t =>

@@ -28,6 +28,7 @@ object TextAnalysis {
   /** Q19b: word-trigram frequency top-100 — same shape over wordNgrams. */
   def q19Ngrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(text.wordNgrams(col("text"), 3)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))
