@@ -12,7 +12,8 @@ object Registry {
       operators.TimeWindows.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
-      operators.Similarity.defs
+      operators.Similarity.defs ++
+      operators.Multimodal.defs
 
   def byName(name: String): QueryDef =
     all.find(_.name == name).getOrElse(

@@ -68,6 +68,39 @@ object InvertedIndex {
       element_at(split(col("filename"), "/"), -1))))
   }
 
+  /** S3 sink: the reference's formatted text output (`word: (file: line),
+    * ...`) written as text files — one file per partition, the distributed
+    * analogue of the per-reducer stdout blocks (mapreduce.c:216-222).
+    */
+  def writeTextIndex(index: DataFrame, path: String): Unit =
+    index
+      .select(format_string("%s: %s", col("word"), col("postings")))
+      .write.mode("overwrite").text(path)
+
+  /** Tier-A twin on the RDD API (BASELINE.json names the RDD approach): the
+    * same map → hash-shuffle → reduce pipeline as the DataFrame form, with
+    * the reference's djb2 routing (plans.Djb2Partitioner) standing in for
+    * the C binary's partitioner. Must produce the identical canonical
+    * output — asserted in InvertedIndexSpec.
+    */
+  def rddReferenceIndex(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val files = LineNumberedText.listTextFiles(dir)
+    val fileNo = "(\\d+)".r
+    LineNumberedText.read(spark, files)
+      .rdd
+      .map(r => (r.filename.split("/").last, r.linenum,
+        r.line.toLowerCase.takeWhile(c =>
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))))
+      .filter(_._3.nonEmpty)
+      .map { case (f, n, w) => (w, (fileNo.findFirstIn(f).fold(0)(_.toInt), f, n)) }
+      .partitionBy(graft.plans.Djb2Partitioner(10))
+      .groupByKey()
+      .mapValues(ps => ps.toSeq.sorted
+        .map { case (_, f, n) => s"($f: $n)" }.mkString(", "))
+      .sortByKey()
+      .collect().toSeq
+  }
+
   /** Tier-B: token-position postings over `documents` — posexplode keeps raw
     * array positions (1-based) so dropped empty tokens leave gaps, exactly as
     * the reference keeps line numbers of dropped lines.

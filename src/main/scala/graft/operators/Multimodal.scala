@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media asset: opaque bytes + typed metadata — the engine-side shape of
+  * an image/audio/video column at 100 TB (content stays binary; all typed
+  * operations go through metadata or extracted features).
+  */
+case class MediaRow(media_id: Long, media: Array[Byte],
+    width: Int, height: Int, format: String)
+
+/** Extracted features for one asset. */
+case class MediaFeatures(media_id: Long, width: Int, height: Int,
+    n_bytes: Int, features: Array[Float])
+
+/** Multimodal columns (LLM-pipeline tier): binary media columns with typed
+  * metadata, plus decode / feature-extract / resize / frame-sample
+  * plumbing.
+  *
+  * No image/audio codecs exist in this environment, so `decodeStub` is a
+  * clearly-marked deterministic FAKE (byte histogram as "pixels") — swap it
+  * for a real codec (JNI/javacv) without touching the Spark plumbing, which
+  * is the part under test: binary-safe schema, mapPartitions batch shape
+  * (decoder init once per partition, not per row), partitioned feature
+  * extraction, and metadata queries that never deserialize the payload.
+  *
+  * The fixture derives a binary column from documents deterministically —
+  * at scale this is a real bytes column read from parquet/data lake.
+  */
+object Multimodal {
+
+  /** Fixture: documents.text as bytes + synthesized metadata. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("media"),
+        (pmod(col("doc_id"), lit(4)) * 32 + 64).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(3)) * 32 + 64).cast("int").as("height"),
+        element_at(array(lit("png"), lit("jpeg"), lit("webp")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder — deterministic byte histogram standing in for real pixel
+    * decoding. Real implementation: decode `media` with an image library
+    * and emit normalized channel statistics. The signature and batch shape
+    * are the real contract.
+    */
+  private[operators] def decodeStub(media: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < media.length) {
+      hist((media(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    val n = math.max(media.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Feature extraction: mapPartitions so a real decoder would be
+    * initialized once per partition and fed a stream of rows (the Spark-side
+    * batch shape of a Pandas-UDF/Arrow pipeline), never per row.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codecs acquire native resources here, once per partition
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.width, r.height, r.media.length,
+          decodeStub(r.media))
+      }
+    }
+  }
+
+  /** Resize stub: stride-sample the payload to a fixed byte budget —
+    * placeholder for pixel resampling; the plumbing point is that output
+    * stays binary and bounded.
+    */
+  def resize(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.media.length <= maxBytes) r
+      else {
+        val stride = math.ceil(r.media.length.toDouble / maxBytes).toInt
+        val out = r.media.indices.by(stride).map(r.media).toArray
+        r.copy(media = out)
+      }
+    }
+  }
+
+  /** Frame-sample stub: fixed-size windows at regular offsets — the video
+    * analogue (decode N frames per clip). Emits (media_id, frame_no, frame).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
+      nFrames: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val usable = math.max(r.media.length - frameBytes, 0)
+      (0 until nFrames).iterator.map { f =>
+        val off = if (nFrames == 1) 0 else usable * f / (nFrames - 1)
+        (r.media_id, f,
+          java.util.Arrays.copyOfRange(r.media, off,
+            math.min(off + frameBytes, r.media.length)))
+      }
+    }.toDF("media_id", "frame_no", "frame")
+  }
+
+  /** Metadata/bytes query over the binary column — md5/length/prefix are
+    * computed without any decode, oracle-checked against DuckDB blob
+    * functions.
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(
+        col("media_id"),
+        length(col("media")).as("n_bytes"),
+        md5(col("media")).as("media_md5"),
+        lower(hex(substring(col("media"), 1, 8))).as("head_hex"),
+        col("width"), col("height"), col("format"))
+      .orderBy(col("media_id"))
+
+  /** Feature pipeline smoke query (stub decode → 16-dim features). */
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+        round(element_at(col("features"), 16).cast("double"), 4).as("f15"))
+      .orderBy(col("media_id"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q28_multimodal_meta", q28,
+      Some("""SELECT doc_id AS media_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  md5(text) AS media_md5,
+        |  lower(hex(substring(text, 1, 8))) AS head_hex,
+        |  CAST((doc_id % 4) * 32 + 64 AS INT) AS width,
+        |  CAST((doc_id % 3) * 32 + 64 AS INT) AS height,
+        |  ['png','jpeg','webp'][CAST(doc_id % 3 AS INT) + 1] AS format
+        |FROM documents ORDER BY media_id""".stripMargin)),
+    QueryDef("q29_media_features", q29, None))
+}

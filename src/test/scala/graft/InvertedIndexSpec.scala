@@ -38,6 +38,28 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(enginePostings.map(_._1).distinct.size === 4135)
   }
 
+  test("RDD-API twin produces the identical canonical index") {
+    val df = InvertedIndex.referenceIndex(spark, corpus)
+      .select("word", "postings")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val rdd = InvertedIndex.rddReferenceIndex(spark, corpus)
+    assert(rdd === df)
+  }
+
+  test("S3 text sink writes the reference's formatted lines") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    try {
+      InvertedIndex.writeTextIndex(
+        InvertedIndex.referenceIndex(spark, corpus).limit(100), out)
+      val lines = spark.read.text(out).collect().map(_.getString(0))
+      assert(lines.length === 100)
+      assert(lines.forall(_.matches("""[a-z0-9]+: \(file\d+\.txt: \d+\)(, \(file\d+\.txt: \d+\))*""")))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("canonical index: rows sorted by word, postings by (file#, linenum)") {
     val idx = InvertedIndex.referenceIndex(spark, corpus).collect()
     val words = idx.map(_.getString(0)).toSeq

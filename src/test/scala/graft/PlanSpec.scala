@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts: the physical properties the 100 TB design depends on must
+  * survive refactors — filter/column pushdown into the parquet scan,
+  * broadcast (not shuffle) joins for dimensions, TakeOrderedAndProject (not
+  * global sort) for top-k. A correctness-preserving change that loses one of
+  * these is a scale regression, so it fails here.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q03: predicates and projection reach the parquet scan") {
+    val p = plan(Relational.q03(spark, dir))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(p.contains("GreaterThan(l_discount"), "discount filter not pushed")
+    // column pruning: the scan must not read the unused money columns
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "scan reads pruned column")
+  }
+
+  test("q06: all three dimension joins broadcast; fact side never shuffles for them") {
+    val p = plan(Relational.q06(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(500))
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("q08: top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q08(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q04: aggregate is two-phase (map-side partial before exchange)") {
+    val p = plan(Relational.q04(spark, dir))
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "no partial aggregation phase")
+  }
+
+  test("q20: probe side is broadcast (no corpus self-shuffle)") {
+    val p = plan(Similarity.q20(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(500))
+  }
+}

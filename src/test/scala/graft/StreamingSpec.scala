@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-equivalence for the streaming tier (SURVEY M6): each EventStreams
+  * transform applied to a replayed MemoryStream of the sf0.001 events must
+  * produce exactly the rows the same transform produces on the static table.
+  */
+case class Ev(ts: Timestamp, event_id: Long, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def staticEvents: DataFrame =
+    Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+
+  /** Run a streaming transform over the full event replay and return the
+    * complete result (complete/append mode drained to memory sink).
+    */
+  private def runStream(name: String, mode: String,
+      f: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = staticEvents.as[Ev].collect().toSeq
+    val stream = MemoryStream[Ev]
+    // two batches so the query sees multiple micro-batches + a final drain
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    stream.addData(b1)
+    val q = f(stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toVector).toVector
+      .sortBy(_.mkString("|"))
+
+  test("streaming tumbling window equals batch on full replay") {
+    val streamed = runStream("tumbling_complete", "complete",
+      EventStreams.tumblingCounts)
+    val batch = EventStreams.tumblingCounts(staticEvents)
+    assert(canon(streamed) === canon(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("streaming sessionization equals batch on full replay") {
+    val streamed = runStream("sessions_complete", "complete",
+      EventStreams.sessionize)
+    val batch = EventStreams.sessionize(staticEvents)
+    assert(canon(streamed) === canon(batch))
+  }
+
+  test("streaming session windows match the batch lag-idiom sessions (q15)") {
+    val streamed = runStream("sessions_q15", "complete", EventStreams.sessionize)
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+    val q15 = operators.TimeWindows.q15(spark, dir)
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+    assert(canon(streamed) === canon(q15))
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = staticEvents.as[Ev].collect().toSeq
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    stream.addData(rows.take(100)) // replayed duplicates
+    val q = EventStreams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_append")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_append")
+    assert(got.count() === rows.size)
+    assert(got.select("event_id").distinct().count() === rows.size)
+  }
+}
