@@ -24,6 +24,7 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
       // rejects; read it as raw nanos (Tables.events converts to a
       // microsecond timestamp column).

@@ -1,0 +1,131 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native vector math over `array<double>` embeddings. The zip_with +
+  * aggregate formulation is algebraically identical but pays interpreted
+  * lambda dispatch per element — these run the fold as a tight primitive
+  * loop (same sequential order, so results are bit-identical to the HOF
+  * form and the DuckDB oracle).
+  */
+object vecexprs {
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All `tables * planes` sign-buckets of a vector in one evaluation:
+    * bucket t = tableId-prefixed bits of sign(v · r_{t,j}), r components
+    * ±1 from Murmur3-style mixing of (dim, plane) — identical semantics to
+    * Similarity.hyperplaneBucket, one pass, no re-evaluation per table.
+    */
+  def hyperplaneBuckets(v: Column, planes: Int, tables: Int): Column =
+    ColumnBridge.column(
+      HyperplaneBucketsExpr(ColumnBridge.expression(v), planes, tables))
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"cosine_sim needs array<double>, got $l, $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.CosineSimExpr.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+  /** Same fold order as dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) with
+    * sequential left-to-right sums — bit-compatible with the HOF version.
+    */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+case class HyperplaneBucketsExpr(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_buckets needs array<double>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBucketsExpr.compute(input.asInstanceOf[ArrayData], planes, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.HyperplaneBucketsExpr
+         |  .compute($c, $planes, $tables);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
+    copy(child = newChild)
+}
+
+object HyperplaneBucketsExpr {
+  import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType => IT}
+
+  /** ±1 component for (dim d, plane p): parity of Murmur3(d, p) — must stay
+    * identical to `pmod(hash(d, p), 2) === 0` in the declarative form.
+    */
+  private def sign(d: Int, p: Int): Double = {
+    // hash(d, p) folds children left-to-right from seed 42
+    val h = Murmur3HashFunction.hash(p, IT,
+      Murmur3HashFunction.hash(d, IT, 42L))
+    val m = (h % 2 + 2) % 2
+    if (m == 0) 1.0 else -1.0
+  }
+
+  def compute(v: ArrayData, planes: Int, tables: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var acc = t.toLong << planes
+      var j = 0
+      while (j < planes) {
+        val plane = t * planes + j
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += v.getDouble(d) * sign(d, plane); d += 1 }
+        acc = acc * 2 + (if (dot >= 0) 1L else 0L)
+        j += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}

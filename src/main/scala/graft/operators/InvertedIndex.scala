@@ -113,18 +113,37 @@ object InvertedIndex {
       .filter(col("token") =!= "")
       .select(col("token"), col("doc_id"), (col("pos0") + 1).cast("int").as("pos"))
 
-  def documentsIndex(spark: SparkSession, dir: String): DataFrame =
-    documentPostings(spark, dir)
-      .groupBy(col("token"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ps"))
-      .select(
-        col("token"),
-        size(col("ps")).cast("long").as("n_postings"),
-        concat_ws(", ",
-          transform(col("ps"), p =>
-            format_string("(%d: %d)", p.getField("doc_id"), p.getField("pos"))))
-          .as("postings"))
+  private def formatDocIndex(grouped: DataFrame): DataFrame =
+    grouped.select(
+      col("token"),
+      size(col("ps")).cast("long").as("n_postings"),
+      concat_ws(", ",
+        transform(col("ps"), p =>
+          format_string("(%d: %d)", p.getField("doc_id"), p.getField("pos"))))
+        .as("postings"))
       .orderBy(col("token"))
+
+  def documentsIndex(spark: SparkSession, dir: String): DataFrame =
+    formatDocIndex(
+      documentPostings(spark, dir)
+        .groupBy(col("token"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ps")))
+
+  /** Salted two-phase collect — the A1 mega-key strategy (SURVEY §7.3): a
+    * stopword like "the" (3.7% of the corpus) would funnel its entire
+    * posting list through one reducer. Phase 1 collects per (token, salt) so
+    * the hot key's postings build on `salts` tasks in parallel; phase 2
+    * flattens the partial lists. Output is identical to documentsIndex —
+    * same oracle SQL, plus an equality spec.
+    */
+  def documentsIndexSalted(spark: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    formatDocIndex(
+      documentPostings(spark, dir)
+        .withColumn("salt", pmod(hash(col("doc_id"), col("pos")), lit(salts)))
+        .groupBy(col("token"), col("salt"))
+        .agg(collect_list(struct(col("doc_id"), col("pos"))).as("partial"))
+        .groupBy(col("token"))
+        .agg(sort_array(flatten(collect_list(col("partial")))).as("ps")))
 
   /** Q2: the canonical MapReduce word count (SURVEY §2.4 A2). */
   def wordCount(spark: SparkSession, dir: String): DataFrame =
@@ -144,6 +163,11 @@ object InvertedIndex {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_inverted_index", documentsIndex,
+      Some(s"""$tokensCte
+        |SELECT token, count(*) AS n_postings,
+        |       string_agg('(' || doc_id || ': ' || pos || ')', ', ' ORDER BY doc_id, pos) AS postings
+        |FROM t WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin)),
+    QueryDef("q01b_salted_index", (s, d) => documentsIndexSalted(s, d),
       Some(s"""$tokensCte
         |SELECT token, count(*) AS n_postings,
         |       string_agg('(' || doc_id || ': ' || pos || ')', ', ' ORDER BY doc_id, pos) AS postings

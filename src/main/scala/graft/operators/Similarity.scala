@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.expressions.vecexprs
 import graft.functions.vectors
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -30,7 +31,7 @@ object Similarity {
     val ranked = emb.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        vectors.cosine(col("pv"), col("v")).as("c"))
+        vecexprs.cosineSim(col("pv"), col("v")).as("c"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("c").desc, col("neighbor_id"))))
@@ -88,22 +89,23 @@ object Similarity {
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
     // corpus: one bucket per table (NTables rows per vector)
     val emb = base.select(col("vec_id"), col("v"),
-      explode(array((0 until NTables).map(t =>
-        hyperplaneBucket(col("v"), t)): _*)).as("bucket"))
+      explode(vecexprs.hyperplaneBuckets(col("v"), Planes, NTables)).as("bucket"))
     // probes: per table, own bucket + all 1-bit flips (multi-probe)
     val probes = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        explode(array((for {
-          t <- 0 until NTables
-          k <- -1 until Planes
-        } yield {
-          val bkt = hyperplaneBucket(col("v"), t)
-          if (k < 0) bkt else bkt.bitwiseXOR(lit(1L << k))
-        }): _*)).as("bucket"))
+        // all NTables buckets from ONE native evaluation, then each bucket
+        // plus its 1-bit flips (bucket bits are the low `Planes` bits, so
+        // flips stay inside the table's keyspace)
+        explode(flatten(transform(
+          vecexprs.hyperplaneBuckets(col("v"), Planes, NTables),
+          b => concat(array(b), transform(
+            typedLit((0 until Planes).map(i => 1L << i).toArray),
+            m => b.bitwiseXOR(m))))))
+          .as("bucket"))
     emb.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        vectors.cosine(col("pv"), col("v")).as("c"))
+        vecexprs.cosineSim(col("pv"), col("v")).as("c"))
       // the same pair surfaces from several tables/probings — dedupe before
       // ranking or row_number would count it twice
       .distinct()
@@ -125,14 +127,13 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
       .withColumn("bucket",
-        explode(array((0 until NTables).map(t =>
-          hyperplaneBucket(col("v"), t)): _*)))
+        explode(vecexprs.hyperplaneBuckets(col("v"), Planes, NTables)))
     val a = emb.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
     val b = emb.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(vectors.cosine(col("av"), col("bv")), 6).as("cosine"))
+        round(vecexprs.cosineSim(col("av"), col("bv")), 6).as("cosine"))
       .distinct()
       .filter(col("cosine") >= NearDupCosine)
       .orderBy(col("a_id"), col("b_id"))

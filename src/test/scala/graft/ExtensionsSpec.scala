@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL function surface registered by GraftExtensions must agree with
+  * the Column API (same expressions underneath).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("SQL simhash64/shingle_hashes/cosine_sim agree with the Column API") {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark native analytics engine"))
+      .toDF("id", "text").createOrReplaceTempView("ext_docs")
+
+    val sql = spark.sql(
+      """SELECT id,
+        |  simhash64(transform(split(lower(text), '[^a-z0-9]+'), t -> xxhash64(t))) AS fp,
+        |  shingle_hashes(split(lower(text), '[^a-z0-9]+'), 3) AS sh,
+        |  cosine_sim(array(1.0d, 2.0d, 3.0d), array(3.0d, 2.0d, 1.0d)) AS c
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+
+    val api = spark.table("ext_docs")
+      .select(col("id"),
+        Dedup.simhash(split(lower(col("text")), "[^a-z0-9]+")).as("fp"),
+        graft.functions.expressions.sketch
+          .shingleHashes(split(lower(col("text")), "[^a-z0-9]+"), 3).as("sh"))
+      .orderBy("id").collect()
+
+    sql.zip(api).foreach { case (s, a) =>
+      assert(s.getLong(1) === a.getLong(1), "simhash mismatch")
+      assert(s.getSeq[Long](2) === a.getSeq[Long](2), "shingle mismatch")
+    }
+    // cosine of (1,2,3)x(3,2,1) = 10/14
+    assert(math.abs(sql.head.getDouble(3) - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("SQL minhash_band_keys agrees with the operator pipeline constants") {
+    val keys = spark.sql(
+      s"""SELECT minhash_band_keys(array(xxhash64('a'), xxhash64('b')),
+         |  ${Dedup.MinhashK}, ${Dedup.Bands}, ${Dedup.MinhashSeed}) AS k"""
+        .stripMargin).collect().head.getSeq[Long](0)
+    assert(keys.length === Dedup.Bands)
+    assert(keys.distinct.length === keys.length)
+  }
+}
