@@ -8,6 +8,7 @@ object Registry {
   def all: Seq[QueryDef] =
     operators.InvertedIndex.defs ++
       operators.Relational.defs ++
+      operators.Advanced.defs ++
       operators.Scalars.defs ++
       operators.TimeWindows.defs ++
       operators.TextAnalysis.defs ++

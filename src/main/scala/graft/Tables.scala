@@ -26,7 +26,10 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   /** `ts` arrives as raw nanos (see Sessions: nanosAsLong); expose it as a
     * microsecond TIMESTAMP (`ts`) plus the exact nano count (`ts_ns`). The
-    * source data is microsecond-resolution, so the truncation is lossless.
+    * stored values carry nanosecond resolution; the derived `ts` truncates
+    * to microseconds, matching what DuckDB's reader exposes — oracle-checked
+    * queries must work in the microsecond (or coarser) domain, `ts_ns` keeps
+    * the exact value.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "events")

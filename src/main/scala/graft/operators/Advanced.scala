@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.num._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced relational surface beyond the reference's model: as-of join,
+  * exact percentiles, pivot, and per-group comparison (the scalar-subquery
+  * shape). All built-in Catalyst; each hash-checked against DuckDB.
+  */
+object Advanced {
+
+  /** q30: as-of join — each click matched to the user's most recent
+    * purchase at or before it. Implemented the scale-safe way: one window
+    * over the unioned event stream (last purchase carried forward), not a
+    * per-row range probe. Both engines express the identical window, so no
+    * ASOF-specific tie-break ambiguity enters the hash.
+    */
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        // microsecond domain: DuckDB truncates TIMESTAMP_NS to us on read,
+        // so the shared determinism domain is us, as in q15
+        expr("ts_ns DIV 1000").as("ns"))
+      .withColumn("last_purchase_id",
+        last(when(col("event_type") === "purchase", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("last_purchase_ns",
+        last(when(col("event_type") === "purchase", col("ns")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        col("last_purchase_id"),
+        (col("ns") - col("last_purchase_ns")).as("ns_since_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q31: exact percentiles per group. Interpolation runs on integral
+    * quantities at dyadic fractions, so the arithmetic is exact in both
+    * engines.
+    */
+  def q31(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        min(col("l_quantity")).as("q_min"),
+        max(col("l_quantity")).as("q_max"))
+      .orderBy(col("l_returnflag"))
+
+  /** q32: pivot — order counts per priority × status as columns. */
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q33: orders above their customer's average (the correlated-subquery
+    * shape, planned as a window — one pass, no re-scan per row). The
+    * average uses the fixed-point helpers so it is order-independent.
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .withColumn("cust_avg",
+        sum(fixed4(col("o_totalprice"))).over(byCust).cast("double") / lit(10000)
+          / count(lit(1)).over(byCust))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("cust_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_asof_join", q30,
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ns FROM events
+        |), w AS (
+        |  SELECT user_id, event_id, event_type, ns,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |               IGNORE NULLS) OVER win AS last_purchase_id,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN ns END
+        |               IGNORE NULLS) OVER win AS last_purchase_ns
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, last_purchase_id,
+        |  ns - last_purchase_ns AS ns_since_purchase
+        |FROM w WHERE event_type = 'click'
+        |ORDER BY user_id, event_id""".stripMargin)),
+    QueryDef("q31_percentiles", q31,
+      Some("""SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  min(l_quantity) AS q_min,
+        |  max(l_quantity) AS q_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q32_pivot", q32,
+      Some("""SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    QueryDef("q33_above_cust_avg", q33,
+      Some("""WITH w AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    (CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT))
+        |       OVER (PARTITION BY o_custkey) AS DOUBLE) / 10000)
+        |      / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+        |FROM w WHERE o_totalprice > cust_avg
+        |ORDER BY o_orderkey""".stripMargin)))
+}
