@@ -33,6 +33,7 @@ object vecexprs {
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -41,12 +42,21 @@ case class CosineSimExpr(left: Expression, right: Expression)
         TypeCheckResult.TypeCheckFailure(s"cosine_sim needs array<double>, got $l, $r")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // length mismatch -> null, mirroring the HOF form (zip_with pads with
+  // null, which poisons the fold) so ReplaceCosineHof is semantics-preserving
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[ArrayData]; val r = b.asInstanceOf[ArrayData]
+    if (l.numElements() != r.numElements()) null
+    else CosineSimExpr.compute(l, r)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.expressions.CosineSimExpr.compute($a, $b);")
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.expressions.CosineSimExpr.compute($a, $b);
+         |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =

@@ -38,6 +38,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(sql.head.getDouble(3) - 10.0 / 14.0) < 1e-12)
   }
 
+  test("optimizer rule rewrites the HOF cosine fold to CosineSimExpr") {
+    import graft.functions.vectors
+    // arrays derived from a column so constant folding can't collapse the plan
+    val df = spark.range(1).select(
+      transform(sequence(lit(1), lit(3)),
+        i => (col("id") + i).cast("double")).as("a"),
+      transform(sequence(lit(1), lit(3)),
+        i => (col("id") + lit(4) - i).cast("double")).as("b"))
+      .select(vectors.cosine(col("a"), col("b")).as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosinesimexpr") ||
+      optimized.contains("CosineSimExpr"), optimized)
+    assert(math.abs(df.collect().head.getDouble(0) - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("HOF cosine and native agree on null/mismatched-length inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)), // length mismatch -> null
+      (Array(1.0, 2.0), Array(2.0, 4.0)))
+      .toDF("a", "b")
+      .select(graft.functions.expressions.vecexprs
+        .cosineSim(col("a"), col("b")).as("c"))
+      .collect()
+    assert(df(0).isNullAt(0))
+    assert(math.abs(df(1).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("SQL minhash_band_keys agrees with the operator pipeline constants") {
     val keys = spark.sql(
       s"""SELECT minhash_band_keys(array(xxhash64('a'), xxhash64('b')),
