@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(args(2), "minhash_band_keys"),
         longArg(args(3), "minhash_band_keys"))))
 
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - winnowing document fingerprints"),
+      (args: Seq[Expression]) => WinnowFingerprintsExpr(args.head,
+        intArg(args(1), "winnow_fingerprints"),
+        intArg(args(2), "winnow_fingerprints"))))
+
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of double arrays"),
       (args: Seq[Expression]) => CosineSimExpr(args.head, args(1))))

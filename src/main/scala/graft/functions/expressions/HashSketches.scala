@@ -40,6 +40,15 @@ object sketch {
     ColumnBridge.column(
       ShingleHashesExpr(ColumnBridge.expression(tokens), n))
 
+  /** Winnowing document fingerprints (Schleimer et al., MOSS): rolling-hash
+    * every k-char-gram, slide a w-wide window, keep each window's minimum
+    * hash, dedupe. Guarantees a match of length >= k+w-1 shares a
+    * fingerprint, with ~2/(w+1) selection density.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprintsExpr(ColumnBridge.expression(text), k, w))
+
   /** LSH band keys straight from the hashes: the k minima computed once,
     * then each of `bands` contiguous signature slices mixed into one 64-bit
     * key. One expression evaluation per row — materializing the signature
@@ -233,6 +242,77 @@ object ShingleHashesExpr {
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(sh, w))
+  }
+}
+
+/** Sorted distinct winnowing fingerprints of a string (see
+  * sketch.winnowFingerprints). Docs shorter than k chars → empty array.
+  */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fingerprints needs string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprintsExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.WinnowFingerprintsExpr.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+}
+
+object WinnowFingerprintsExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private final val B = 0x100000001b3L // FNV-ish polynomial base
+
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    // rolling polynomial hash of every k-gram
+    val m = n - k + 1
+    val gh = new Array[Long](m)
+    var h = 0L
+    var bk = 1L // B^k
+    var i = 0
+    while (i < k) { h = h * B + s.charAt(i); bk *= B; i += 1 }
+    gh(0) = h
+    i = 1
+    while (i < m) {
+      h = h * B - s.charAt(i - 1) * bk + s.charAt(i + k - 1)
+      gh(i) = h
+      i += 1
+    }
+    // winnow: minimum of each w-wide window over the k-gram hashes
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    val last = math.max(m - w, 0)
+    var start = 0
+    while (start <= last) {
+      var mn = gh(start)
+      var j = start + 1
+      val end = math.min(start + w, m)
+      while (j < end) { if (gh(j) < mn) mn = gh(j); j += 1 }
+      picked.add(mn)
+      start += 1
+    }
+    val out = new Array[Long](picked.size())
+    val it = picked.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
   }
 }
 

@@ -46,6 +46,24 @@ object text {
     when(size(toks) >= n, grams).otherwise(typedLit(Array.empty[String]))
   }
 
+  /** BPE-style pre-tokenization pattern (contractions, letter runs, digit
+    * runs, punctuation runs, each with optional leading space) — the
+    * GPT-2-ish regex family, restricted to constructs RE2 (DuckDB) and Java
+    * regex both support so the oracle can mirror it exactly.
+    */
+  val bpeishPattern: String =
+    "(?:'(?:s|t|ll|ve|re|d|m))| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+  /** BPE-ish sub-word-ish tokens of the lowercased text. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpeishPattern), lit(0))
+
+  /** BPE-ish token count — the cheap proxy for "how many LLM tokens is this
+    * document" used for pipeline budgeting.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(bpeishTokens(text)).cast("long")
+
   /** Per-language stopword marker sets for the language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),

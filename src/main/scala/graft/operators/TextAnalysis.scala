@@ -57,6 +57,34 @@ object TextAnalysis {
         col("lang").as("lang_label"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish token counting (LLM-pipeline budgeting): whitespace tokens vs
+    * BPE-style pre-tokens per doc, oracle-checked (the regex is restricted
+    * to the RE2 ∩ Java-regex dialect).
+    */
+  def q35TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        text.tokenCount(col("text")).as("n_ws_tokens"),
+        text.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing fingerprints (rolling-hash k-grams, window minima): the
+    * document-fingerprint face of near-dup detection — a shared fingerprint
+    * pins a shared substring of length >= k+w-1. Rows-only; model-checked
+    * in TextAnalysisSpec.
+    */
+  def q34Fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
+        col("doc_id"),
+        graft.functions.expressions.sketch
+          .winnowFingerprints(col("text"), 8, 4).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        element_at(col("fps"), 1).as("min_fp"))
+      .orderBy(col("doc_id"))
+
   private val toksCte =
     """WITH d AS (
       |  SELECT doc_id, text,
@@ -89,5 +117,18 @@ object TextAnalysis {
         |      ['the','a','of','and','to','in','is','that','it','for'], t)))
         |          AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio
         |FROM d ORDER BY doc_id""".stripMargin)),
-    QueryDef("q27_lang_id", langIdScores, None))
+    QueryDef("q27_lang_id", langIdScores, None),
+    QueryDef("q34_fingerprints", q34Fingerprints, None),
+    QueryDef("q35_token_counts", q35TokenCounts,
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '${text.bpeishPattern.replace("'", "''")}')) AS BIGINT)
+        |    AS n_bpeish_tokens
+        |FROM d ORDER BY doc_id""".stripMargin)))
 }

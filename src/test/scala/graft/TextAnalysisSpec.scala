@@ -43,6 +43,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing fingerprints match the Scala model and detect shared substrings") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.expressions.sketch
+    val k = 8; val w = 4
+    def model(s: String): Seq[Long] = {
+      if (s.length < k) return Seq.empty
+      val B = 0x100000001b3L
+      val gh = s.sliding(k).map(_.foldLeft(0L)((h, c) => h * B + c)).toArray
+      (0 to math.max(gh.length - w, 0)).map { i =>
+        gh.slice(i, math.min(i + w, gh.length)).min
+      }.distinct.sorted
+    }
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a totally different document body here",
+      "xx the quick brown fox jumps over the lazy dog yy", // shares a long run
+      "short")
+    val got = docs.toDF("text")
+      .select(sketch.winnowFingerprints(col("text"), k, w))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    docs.zip(got).foreach { case (d, fps) => assert(fps === model(d), d) }
+    // guarantee: a shared substring of length >= k+w-1 shares a fingerprint
+    assert(got(0).toSet.intersect(got(2).toSet).nonEmpty)
+    assert(got(0).toSet.intersect(got(1).toSet).isEmpty)
+  }
+
+  test("BPE-ish tokens cover the text and count at least whitespace tokens") {
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.documents(spark, dir)
+      .select(col("text"), text.bpeishTokens(col("text")).as("t"),
+        text.tokenCount(col("text")).as("ws"))
+      .collect()
+    rows.foreach { r =>
+      val joined = r.getSeq[String](1).mkString
+      assert(joined === r.getString(0).toLowerCase, "tokens must tile the text")
+      assert(r.getSeq[String](1).size >= r.getLong(2))
+    }
+  }
+
   test("q27 output is one row per doc with a non-null prediction") {
     val df = TextAnalysis.langIdScores(spark, dir).collect()
     assert(df.length === 500)
