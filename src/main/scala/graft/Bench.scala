@@ -28,7 +28,7 @@ object Bench {
         try math.min(once(), once())
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\n\\r\\t]", " ").take(200)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
           -1.0
         }
       name -> t

@@ -62,10 +62,12 @@ object sketch {
 
 /** fp bit layout matches the declarative form it replaced: fold acc*2+bit
   * over bit index b = 0..63, where bit b = (sum over hashes of ±1 on hash
-  * bit b) > 0.
+  * bit b) > 0. Empty input → null: a token-less doc would otherwise
+  * fingerprint as 0L and pair with every other token-less doc at Hamming 0.
   */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -76,12 +78,18 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
           s"simhash64 needs array<bigint>, got $t")
     }
 
-  override def nullSafeEval(input: Any): Any =
-    SimHash64Expr.compute(input.asInstanceOf[ArrayData])
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else SimHash64Expr.compute(arr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.expressions.SimHash64Expr.compute($c);")
+      s"""if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.expressions.SimHash64Expr.compute($c);
+         |}""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
@@ -321,6 +329,10 @@ object WinnowFingerprintsExpr {
   */
 case class MinHashBandKeysExpr(child: Expression, k: Int, bands: Int, seed: Long)
     extends UnaryExpression {
+  require(bands >= 1 && k >= bands && k % bands == 0,
+    s"minhash_band_keys: k ($k) must be a positive multiple of bands ($bands) — " +
+      "bands > k would make every key constant (degenerate O(n^2) join), " +
+      "k % bands != 0 would silently drop signature rows")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def checkInputDataTypes()

@@ -80,9 +80,10 @@ object text {
     round(hits.cast("double") / greatest(size(toks), lit(1)), 4)
   }
 
-  /** N-gram-heuristic language ID: argmax of stopword-marker ratio across the
-    * candidate languages; ties and all-zero scores fall back to "und"
-    * (undetermined). Deterministic (ties broken by language code order).
+  /** N-gram-heuristic language ID: argmax of stopword-marker ratio across
+    * the candidate languages. All-zero scores fall back to "und"
+    * (undetermined); nonzero ties resolve to the lexicographically greatest
+    * language code (deterministic).
     */
   def langId(text: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted

@@ -67,23 +67,30 @@ object Dedup {
     // one row per (band, doc). Band keys come from ONE native-expression
     // evaluation per row (minima + per-band mixing in one pass) — slicing a
     // materialized signature in a later projection re-evaluates it per band
-    // after CollapseProject inlining.
+    // after CollapseProject inlining. Only ids travel through the band join;
+    // a true near-dup collides in most of its 8 bands, so deduping pairs
+    // BEFORE fetching shingles and scoring avoids recomputing the Jaccard
+    // (and shipping the arrays) once per shared band.
     val banded = shingled.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(sketch.minhashBandKeys(col("sh"),
         MinhashK, Bands, MinhashSeed)).as("band_key"))
-    val a = banded.select(col("band_key"), col("doc_id").as("a_id"),
-      col("sh").as("a_sh"))
-    val b = banded.select(col("band_key"), col("doc_id").as("b_id"),
-      col("sh").as("b_sh"))
-    a.join(b, Seq("band_key"))
+    val pairs = banded.select(col("band_key"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band_key"), col("doc_id").as("b_id")),
+        Seq("band_key"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    pairs
+      .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        Seq("a_id"))
+      .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         // Jaccard over hashed shingles: identical to string-shingle Jaccard
         // up to 2^-64-scale collisions, at a fraction of the compare cost
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -115,18 +122,27 @@ object Dedup {
     val fp = docs.repartition(cores, col("doc_id"))
       .select(col("doc_id"),
         simhash(text.cleanTokens(col("text"))).as("fp"))
+    // chunk key = (chunk#, 16 fp bits) packed into one long. A plain long
+    // (not a struct) so a null fingerprint (token-less doc) propagates to a
+    // null key and drops out of the equi-join — struct keys would treat
+    // null fields as equal and pair all token-less docs at "hamming 0".
     val chunked = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
-        struct(lit(i).as("i"),
-          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("c"))): _*))
+        lit(i.toLong << 16).bitwiseOR(
+          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL)))): _*))
         .as("chunk"))
-    val a = chunked.select(col("chunk"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
-    val b = chunked.select(col("chunk"), col("doc_id").as("b_id"), col("fp").as("b_fp"))
-    a.join(b, Seq("chunk"))
+    // ids only through the chunk join; dedupe pairs before scoring (a close
+    // pair shares several chunks)
+    val pairs = chunked.select(col("chunk"), col("doc_id").as("a_id"))
+      .join(chunked.select(col("chunk"), col("doc_id").as("b_id")), Seq("chunk"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    pairs
+      .join(fp.select(col("doc_id").as("a_id"), col("fp").as("a_fp")), Seq("a_id"))
+      .join(fp.select(col("doc_id").as("b_id"), col("fp").as("b_fp")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -89,7 +89,9 @@ object InvertedIndex {
     LineNumberedText.read(spark, files)
       .rdd
       .map(r => (r.filename.split("/").last, r.linenum,
-        r.line.toLowerCase.takeWhile(c =>
+        // Locale.ROOT: default-locale lowercasing diverges from Spark's
+        // locale-independent lower() (e.g. dotless-i under tr-TR)
+        r.line.toLowerCase(java.util.Locale.ROOT).takeWhile(c =>
           (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))))
       .filter(_._3.nonEmpty)
       .map { case (f, n, w) => (w, (fileNo.findFirstIn(f).fold(0)(_.toInt), f, n)) }

@@ -87,28 +87,32 @@ object Similarity {
       // the hot spot — spread it even when the input is one small split
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
-    // corpus: one bucket per table (NTables rows per vector)
-    val emb = base.select(col("vec_id"), col("v"),
+    // corpus: one bucket per table (NTables rows per vector), ids only
+    val emb = base.select(col("vec_id"),
       explode(vecexprs.hyperplaneBuckets(col("v"), Planes, NTables)).as("bucket"))
-    // probes: per table, own bucket + all 1-bit flips (multi-probe)
-    val probes = base.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        // all NTables buckets from ONE native evaluation, then each bucket
-        // plus its 1-bit flips (bucket bits are the low `Planes` bits, so
-        // flips stay inside the table's keyspace)
+    // probes: per table, own bucket + all 1-bit flips (multi-probe) — all
+    // NTables buckets from ONE native evaluation (bucket bits are the low
+    // `Planes` bits, so flips stay inside the table's keyspace)
+    val probeBuckets = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"),
         explode(flatten(transform(
           vecexprs.hyperplaneBuckets(col("v"), Planes, NTables),
           b => concat(array(b), transform(
             typedLit((0 until Planes).map(i => 1L << i).toArray),
             m => b.bitwiseXOR(m))))))
           .as("bucket"))
-    emb.join(broadcast(probes), Seq("bucket"))
+    // a pair surfaces from several tables/probings: dedupe ids BEFORE
+    // fetching vectors and scoring, so each candidate is scored exactly once
+    val pairs = emb.join(broadcast(probeBuckets), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        vecexprs.cosineSim(col("pv"), col("v")).as("c"))
-      // the same pair surfaces from several tables/probings — dedupe before
-      // ranking or row_number would count it twice
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    pairs
+      .join(broadcast(base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))), Seq("probe_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        vecexprs.cosineSim(col("pv"), col("v")).as("c"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("c").desc, col("neighbor_id"))))
@@ -123,18 +127,22 @@ object Similarity {
     * property-checked in SimilaritySpec.
     */
   def q24(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val base = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
-      .withColumn("bucket",
-        explode(vecexprs.hyperplaneBuckets(col("v"), Planes, NTables)))
-    val a = emb.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
-    val b = emb.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
-    a.join(b, Seq("bucket"))
+    val bucketed = base.select(col("vec_id"),
+      explode(vecexprs.hyperplaneBuckets(col("v"), Planes, NTables)).as("bucket"))
+    // ids through the bucket join, dedupe, then fetch vectors + score once
+    val pairs = bucketed.select(col("bucket"), col("vec_id").as("a_id"))
+      .join(bucketed.select(col("bucket"), col("vec_id").as("b_id")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    pairs
+      .join(base.select(col("vec_id").as("a_id"), col("v").as("av")), Seq("a_id"))
+      .join(base.select(col("vec_id").as("b_id"), col("v").as("bv")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(vecexprs.cosineSim(col("av"), col("bv")), 6).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= NearDupCosine)
       .orderBy(col("a_id"), col("b_id"))
   }

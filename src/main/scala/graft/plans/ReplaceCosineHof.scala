@@ -23,14 +23,31 @@ import org.apache.spark.sql.types.DoubleType
   */
 object ReplaceCosineHof extends Rule[LogicalPlan] {
 
-  /** Matches a sequential dot-product fold over two arrays. */
+  /** Matches a sequential dot-product fold over two arrays — strictly: the
+    * zip lambda must be exactly `(x, y) -> x * y` over its own bound
+    * variables, the merge lambda exactly `(acc, v) -> acc + v`, and the
+    * finish lambda the identity. Wildcarding any of these would rewrite
+    * superficially similar folds (e.g. `(x, y) -> x * x`, or a non-identity
+    * finisher) into a cosine and silently change results.
+    */
   private object DotFold {
+    private def isVar(e: Expression, v: NamedLambdaVariable): Boolean =
+      e match {
+        case x: NamedLambdaVariable => x.exprId == v.exprId
+        case _ => false
+      }
+
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-          ZipWith(a, b, LambdaFunction(Multiply(_, _, _), _, _)),
+          ZipWith(a, b,
+            LambdaFunction(Multiply(ml, mr, _),
+              Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
           Literal(0.0, DoubleType),
-          LambdaFunction(Add(_, _, _), _, _),
-          LambdaFunction(_, _, _)) =>
+          LambdaFunction(Add(al, ar, _),
+            Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
+          if isVar(ml, x) && isVar(mr, y) &&
+            isVar(al, acc) && isVar(ar, v) && isVar(fin, fv) =>
         Some((a, b))
       case _ => None
     }

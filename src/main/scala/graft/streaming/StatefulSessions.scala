@@ -39,7 +39,11 @@ object StatefulSessions {
     sorted.foreach { us =>
       open match {
         case Some(s) if us - s.end_us <= GapUs =>
-          open = Some(OpenSession(s.start_us, math.max(s.end_us, us), s.n + 1))
+          // min() matters for late arrivals inside the watermark: an event
+          // older than the open session's start must extend it backwards,
+          // as the batch sort-based form would
+          open = Some(OpenSession(math.min(s.start_us, us),
+            math.max(s.end_us, us), s.n + 1))
         case Some(s) =>
           out ::= SessionOut(userId, s.n, s.start_us, s.end_us)
           open = Some(OpenSession(us, us, 1))

@@ -33,6 +33,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(s === exact(k), s"score mismatch on $k")
   }
 
+  test("native hyperplane buckets equal the declarative HOF form (all tables)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{expressions => fe, vectors}
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+    val both = emb.select(
+      col("vec_id"),
+      fe.vecexprs.hyperplaneBuckets(col("v"),
+        Similarity.Planes, Similarity.NTables).as("native"),
+      array((0 until Similarity.NTables).map(t =>
+        Similarity.hyperplaneBucket(col("v"), t)): _*).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"bucket drift for vec ${r.getLong(0)}")
+    }
+  }
+
   test("embedding near-dup (q24) returns only pairs above threshold") {
     val rows = Similarity.q24(spark, dir).collect()
     assert(rows.nonEmpty)

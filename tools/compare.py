@@ -35,17 +35,28 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = 0
-    for name in sorted(os.listdir(out_dir)):
+    # a query that crashed in Verify has no output dir — that is a failure,
+    # not something to silently skip
+    expected = set(oracle) | {
+        n for n in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(expected):
+        if only and name not in only:
+            continue
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir) or (only and name not in only):
+        if not os.path.isdir(qdir):
+            print(f"{name}: FAIL (no output dir — query crashed in Verify)")
+            n_fail += 1
             continue
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         eng = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchall()
         eng_cols = [d[0] for d in con.description]
         if name not in oracle:
+            ok = len(eng) > 0
+            n_pass, n_fail = n_pass + (1 if ok else 0), n_fail + (0 if ok else 1)
             print(f"{name}: rows-only check: rows={len(eng)} "
-                  + ("PASS" if len(eng) > 0 else "FAIL (0 rows)"))
+                  + ("PASS" if ok else "FAIL (0 rows)"))
             continue
         ora = con.execute(oracle[name]).fetchall()
         ora_cols = [d[0] for d in con.description]
