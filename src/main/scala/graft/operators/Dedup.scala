@@ -131,18 +131,17 @@ object Dedup {
         lit(i.toLong << 16).bitwiseOR(
           shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL)))): _*))
         .as("chunk"))
-    // ids only through the chunk join; dedupe pairs before scoring (a close
-    // pair shares several chunks)
-    val pairs = chunked.select(col("chunk"), col("doc_id").as("a_id"))
-      .join(chunked.select(col("chunk"), col("doc_id").as("b_id")), Seq("chunk"))
+    // Unlike the jaccard/cosine pipelines, the verification here
+    // (bit_count over two longs) is cheaper than a dedupe-then-refetch
+    // round trip, so the 8-byte fingerprint rides along the chunk join and
+    // duplicate pairs are dropped after scoring.
+    val a = chunked.select(col("chunk"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
+    val b = chunked.select(col("chunk"), col("doc_id").as("b_id"), col("fp").as("b_fp"))
+    a.join(b, Seq("chunk"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-    pairs
-      .join(fp.select(col("doc_id").as("a_id"), col("fp").as("a_fp")), Seq("a_id"))
-      .join(fp.select(col("doc_id").as("b_id"), col("fp").as("b_fp")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.reflect.io.Directory
+
+/** Source/sink round-trips beyond parquet+text: CSV and JSON with explicit
+  * schemas (values and types must survive), and the streaming parquet file
+  * sink with checkpointing (exactly-once file output on replay).
+  */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withTemp(f: String => Unit): Unit = {
+    val d = Files.createTempDirectory("graft-src").toString
+    try f(d)
+    finally new Directory(new java.io.File(d)).deleteRecursively()
+  }
+
+  test("CSV round-trip preserves values under an explicit schema") {
+    withTemp { tmp =>
+      val src = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber").limit(500)
+      src.write.option("header", "true").mode("overwrite").csv(s"$tmp/csv")
+      val back = spark.read
+        .schema(src.schema)
+        .option("header", "true")
+        .csv(s"$tmp/csv")
+        .orderBy("l_orderkey", "l_linenumber")
+      assert(back.schema === src.schema)
+      assert(back.collect().toSeq === src.collect().toSeq)
+    }
+  }
+
+  test("JSON round-trip preserves values and nested structure") {
+    withTemp { tmp =>
+      val src = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          struct(col("event_type"), col("value")).as("payload"))
+        .orderBy("event_id").limit(500)
+      src.write.mode("overwrite").json(s"$tmp/json")
+      val back = spark.read.schema(src.schema).json(s"$tmp/json")
+        .orderBy("event_id")
+      assert(back.collect().toSeq === src.collect().toSeq)
+    }
+  }
+
+  test("streaming parquet sink with checkpoint writes each row exactly once") {
+    withTemp { tmp =>
+      import spark.implicits._
+      implicit val sc = spark.sqlContext
+      val rows = (1L to 300L).map(i => (i, s"v$i"))
+      val stream = MemoryStream[(Long, String)]
+      val q = stream.toDF().toDF("id", "payload")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try {
+        stream.addData(rows.take(150))
+        q.processAllAvailable()
+        stream.addData(rows.drop(150))
+        q.processAllAvailable()
+      } finally q.stop()
+      val back = spark.read.parquet(s"$tmp/out")
+      assert(back.count() === 300)
+      assert(back.select("id").distinct().count() === 300)
+    }
+  }
+}
