@@ -83,7 +83,110 @@ object Advanced {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q36: range join — clicks within the hour before each purchase, by the
+    * same user. The scalable plan is a BINNED range join: bucket the time
+    * axis into interval-sized bins, equi-join on (user, bin) with the probe
+    * side expanded to its two candidate bins, then apply the exact range
+    * predicate. That keeps the join an equi-shuffle (no
+    * BroadcastNestedLoopJoin / cartesian), with each pair produced exactly
+    * once since an event lives in exactly one bin.
+    */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("c_us"),
+        (col("us") / hourUs).cast("long").as("bin"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us").as("p_us"),
+        explode(array((col("us") / hourUs).cast("long") - 1,
+          (col("us") / hourUs).cast("long"))).as("bin"))
+    val matched = purchases.join(clicks, Seq("user_id", "bin"))
+      .filter(col("c_us") >= col("p_us") - hourUs && col("c_us") <= col("p_us"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_clicks_1h"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q37: TPC-H Q3 shape — segment-filtered customer ⋈ orders ⋈ lineitem,
+    * revenue per order, top 10. Customer filter is broadcast; only lineitem
+    * shuffles (once, for the aggregate).
+    */
+  def q37(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .join(broadcast(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+          .join(broadcast(Tables.customer(spark, dir)
+            .filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+        col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** q38: TPC-H Q5 shape — region-filtered six-way join with revenue per
+    * nation. Dimensions broadcast; the fact table is read once.
+    */
+  def q38(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name").isin("ASIA", "EUROPE"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q36_range_join", q36,
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT p.event_id, p.user_id,
+        |  (SELECT COUNT(*) FROM e c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND c.us >= p.us - 3600000000 AND c.us <= p.us) AS n_clicks_1h
+        |FROM e p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin)),
+    QueryDef("q37_tpch_q3", q37,
+      Some(s"""SELECT l_orderkey, epoch_ms(o_orderdate) AS odate_ms,
+        |  o_orderpriority,
+        |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, odate_ms, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+    QueryDef("q38_tpch_q5", q38,
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_items,
+        |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, revenue DESC, n_name""".stripMargin)),
     QueryDef("q30_asof_join", q30,
       Some("""WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ns FROM events
