@@ -152,6 +152,66 @@ object Similarity {
     */
   val NearDupCosine = 0.35
 
+  // ---- ANN: IVF (KMeans coarse quantizer) --------------------------------
+
+  /** IVF cells and probe fan-out. Cells ~ sqrt(corpus) at real scale; the
+    * fixture gets 16 cells / 4 probes (a quarter of the corpus scanned).
+    */
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** q39: IVF ANN — a KMeans coarse quantizer assigns each vector to a cell;
+    * probes scan only their `IvfProbes` nearest cells. The centroid table is
+    * model state (IvfCells x dim — KB-scale), NOT data, so ranking the
+    * probe-side cells on the driver stays within the no-driver-data rule.
+    * Rows-only; recall vs exact q20 property-checked in SimilaritySpec.
+    */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans()
+      .setK(IvfCells).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base)
+    val assigned = model.transform(base).select(col("vec_id"), col("v"), col("cell"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    // probe side: 5 fixed probes x their IvfProbes nearest centroids
+    val probeRows = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val probeCells = probeRows.select(col("probe_id"), col("pv"),
+      explode(nearestCellsUdf(centroids)(col("pv"))).as("cell"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        vecexprs.cosineSim(col("pv"), col("v")).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        round(col("c"), 6).as("score"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Euclidean-nearest `IvfProbes` centroid ids for a vector (UDF over the
+    * broadcast centroid array — fine off the hot path: it runs on 5 probes).
+    */
+  private def nearestCellsUdf(centroids: Array[Array[Double]]) =
+    udf { (v: Seq[Double]) =>
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length && j < v.length) {
+          val x = c(j) - v(j); d += x * x; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(IvfProbes).map(_._2)
+    }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20,
       Some("""WITH e AS (
@@ -167,5 +227,6 @@ object Similarity {
         |SELECT probe_id, rnk, neighbor_id, round(c, 6) AS score
         |FROM r WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
     QueryDef("q24_embedding_neardup", q24, None),
-    QueryDef("q25_ann_lsh", q25, None))
+    QueryDef("q25_ann_lsh", q25, None),
+    QueryDef("q39_ann_ivf", q39, None))
 }

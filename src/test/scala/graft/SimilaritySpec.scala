@@ -23,6 +23,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall below bound")
   }
 
+  test("IVF ANN (q39) recall@10 vs exact (q20) is >= 0.5") {
+    val exact = pairs(Similarity.q20(spark, dir))
+    val ivf = pairs(Similarity.q39(spark, dir))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below bound")
+  }
+
   test("ANN scores agree with exact scores on overlapping pairs") {
     def scored(df: org.apache.spark.sql.DataFrame) =
       df.select("probe_id", "neighbor_id", "score").collect()
