@@ -53,7 +53,34 @@ object TimeWindows {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q40: sliding window (1 hour wide, 30-minute slide) × event_type — each
+    * event lands in exactly 2 windows; Spark's window() expands them
+    * directly, the oracle unnests the 2 candidate starts.
+    */
+  def q40(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_sliding_window", q40,
+      Some(s"""WITH e AS (
+        |  SELECT event_type, value,
+        |    epoch_ms(date_trunc('hour', ts)) +
+        |      CASE WHEN minute(ts) >= 30 THEN 1800000 ELSE 0 END AS slot_ms
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, value,
+        |    unnest([slot_ms - 1800000, slot_ms]) AS bucket_ms
+        |  FROM e)
+        |SELECT bucket_ms, event_type, COUNT(*) AS n,
+        |  ${sqlDsum("value")} AS sum_value
+        |FROM w GROUP BY bucket_ms, event_type
+        |ORDER BY bucket_ms, event_type""".stripMargin)),
     QueryDef("q14_tumbling_window", q14,
       Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value

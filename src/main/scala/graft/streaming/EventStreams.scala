@@ -52,4 +52,26 @@ object EventStreams {
     events
       .withWatermark("ts", Lateness)
       .dropDuplicates("event_id")
+
+  /** Stream-stream range join — the streaming twin of the batch binned
+    * range join (Advanced.q36): clicks matched to purchases by the same
+    * user within the hour before the purchase. Both sides watermarked; the
+    * time-range condition bounds the join state (clicks are droppable once
+    * the purchase watermark passes ts + 1h).
+    */
+  def clicksBeforePurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", Lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", Lateness)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
 }

@@ -58,6 +58,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("streaming sliding window equals the oracle-checked batch q40") {
+    val streamed = runStream("sliding_complete", "complete",
+      df => df.withWatermark("ts", EventStreams.Lateness)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.num.dsum(col("value")).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("bucket_ms"),
+          col("event_type"), col("n"), col("sum_value")))
+    val batch = operators.TimeWindows.q40(spark, dir)
+    assert(canon(streamed) === canon(batch))
+  }
+
   test("streaming sessionization equals batch on full replay") {
     val streamed = runStream("sessions_complete", "complete",
       EventStreams.sessionize)
@@ -71,6 +83,39 @@ class StreamingSpec extends AnyFunSuite {
     val q15 = operators.TimeWindows.q15(spark, dir)
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
     assert(canon(streamed) === canon(q15))
+  }
+
+  test("stream-stream range join matches the batch binned range join pairs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = staticEvents.as[Ev].collect().sortBy(_.ts.getTime).toSeq
+    val stream = MemoryStream[Ev]
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    stream.addData(b1)
+    val q = EventStreams.clicksBeforePurchase(stream.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ss_join")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference: same join computed statically
+    val batch = EventStreams.clicksBeforePurchase(staticEvents)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // and pair counts agree with the oracle-checked q36 per-purchase counts
+    val q36 = operators.Advanced.q36(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val counts = streamed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    q36.foreach { case (pid, n) =>
+      assert(counts.getOrElse(pid, 0L) === n, s"purchase $pid")
+    }
   }
 
   test("streaming dedup keeps one row per event_id") {
