@@ -173,6 +173,17 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
+    // KMeans cannot train on an empty corpus — short-circuit with an empty,
+    // schema-correct result (the one isEmpty probe is fine for an operator
+    // that is inherently multi-job)
+    if (base.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("probe_id", LongType), StructField("rnk", IntegerType),
+          StructField("neighbor_id", LongType), StructField("score", DoubleType))))
+    }
     val model = new KMeans()
       .setK(IvfCells).setSeed(42).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")

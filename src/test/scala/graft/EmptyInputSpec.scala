@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.reflect.io.Directory
+
+/** Robustness: every registered query must run (and return an empty,
+  * schema-correct result) against empty tables — operators that blow up on
+  * empty partitions, empty aggregates, or empty model-training input are
+  * the kind of 2 a.m. page a 100 TB pipeline cannot afford.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emptyDir: String = {
+    val d = Files.createTempDirectory("graft-empty").toString
+    Tables.names.foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .limit(0)
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    d
+  }
+
+  test("every registered query runs on empty tables and returns 0 rows") {
+    // q00 reads the fixed reference corpus, not the sf dir
+    val failures = Registry.all.filterNot(_.name == "q00_reference_index").flatMap { q =>
+      try {
+        val n = q.build(spark, emptyDir).count()
+        if (n == 0) None else Some(s"${q.name}: $n rows from empty input")
+      } catch {
+        case e: Throwable =>
+          Some(s"${q.name}: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(100)}")
+      }
+    }
+    // cleanup regardless of outcome
+    new Directory(new java.io.File(emptyDir)).deleteRecursively()
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
