@@ -172,7 +172,55 @@ object Relational {
         col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** q41: CUBE — all four grouping-set combinations in one pass. */
+  def q41(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"))
+      .orderBy(
+        col("g_pri"), col("g_status"),
+        col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** q42: INTERSECT ALL / EXCEPT ALL — multiset semantics (duplicates
+    * preserved up to min/differences of multiplicities).
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def keys(status: String) =
+      orders.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey"))
+    val both = keys("F").intersectAll(keys("O"))
+      .select(lit("f_and_o_all").as("kind"), col("o_custkey"))
+    val fOnly = keys("F").exceptAll(keys("O"))
+      .select(lit("f_only_all").as("kind"), col("o_custkey"))
+    both.unionAll(fOnly).orderBy(col("kind"), col("o_custkey"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q41_cube", q41,
+      Some(s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |  ${sqlDsum("o_totalprice")} AS total,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY g_pri, g_status,
+        |  o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+    QueryDef("q42_set_ops_all", q42,
+      Some("""SELECT 'f_and_o_all' AS kind, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'f_only_all' AS kind, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY kind, o_custkey""".stripMargin)),
     QueryDef("q03_filter_project", q03,
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
