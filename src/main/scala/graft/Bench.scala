@@ -42,11 +42,15 @@ object Bench {
     // corpus index + doc index + word count); "total" spans the FULL
     // 40+-query inventory, which the reference cannot run at all.
     val headlineNames = Set("q00_reference_index", "q01_inverted_index", "q02_word_count")
-    val headline = results.collect {
-      case (k, v) if headlineNames(k) && v >= 0 => v
-    }.sum
+    // -1 when ANY headline query errored — a partial sum would look faster
+    val headlineTimes = results.collect { case (k, v) if headlineNames(k) => v }
+    val headline =
+      if (headlineTimes.exists(_ < 0)) -1.0 else headlineTimes.sum
     val ok = results.collect { case (_, v) if v >= 0 => v }.toSeq.sorted
-    val median = if (ok.isEmpty) 0.0 else ok(ok.size / 2)
+    val median =
+      if (ok.isEmpty) 0.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","headline_index_pipeline":$headline,"per_query_median":$median,"queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()

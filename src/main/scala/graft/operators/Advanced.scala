@@ -96,13 +96,14 @@ object Advanced {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts_ns DIV 1000").as("us"))
+    // integer DIV, not double division: exact at any timestamp magnitude
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("us").as("c_us"),
-        (col("us") / hourUs).cast("long").as("bin"))
+        expr(s"us DIV $hourUs").as("bin"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("us").as("p_us"),
-        explode(array((col("us") / hourUs).cast("long") - 1,
-          (col("us") / hourUs).cast("long"))).as("bin"))
+        explode(array(expr(s"us DIV $hourUs") - 1,
+          expr(s"us DIV $hourUs"))).as("bin"))
     val matched = purchases.join(clicks, Seq("user_id", "bin"))
       .filter(col("c_us") >= col("p_us") - hourUs && col("c_us") <= col("p_us"))
       .groupBy(col("event_id"))
@@ -116,19 +117,21 @@ object Advanced {
   }
 
   /** q37: TPC-H Q3 shape — segment-filtered customer ⋈ orders ⋈ lineitem,
-    * revenue per order, top 10. Customer filter is broadcast; only lineitem
-    * shuffles (once, for the aggregate).
+    * revenue per order, top 10. Only the truly bounded side (the filtered
+    * customer dimension) is broadcast-hinted; the filtered orders set is a
+    * fact-table fraction that grows with scale, so lineitem ⋈ orders stays
+    * a shuffle join (AQE may still auto-broadcast it when it fits).
     */
   def q37(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
-      .join(broadcast(
+      .join(
         Tables.orders(spark, dir)
           .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
           .join(broadcast(Tables.customer(spark, dir)
             .filter(col("c_mktsegment") === "BUILDING")),
             col("o_custkey") === col("c_custkey"))
-          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))),
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
@@ -137,12 +140,14 @@ object Advanced {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
-  /** q38: TPC-H Q5 shape — region-filtered six-way join with revenue per
-    * nation. Dimensions broadcast; the fact table is read once.
+  /** q38: TPC-H Q5 shape — region-filtered multiway join with revenue per
+    * nation. Only the bounded dimensions (nation/region) carry broadcast
+    * hints; supplier scales with the corpus, so its join is left to AQE
+    * (auto-broadcast when it fits, shuffle join at real scale).
     */
   def q38(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))

@@ -53,6 +53,11 @@ object Scalars {
           .as("days_since_95"),
         substring(col("o_orderpriority"), 1, 1).as("pri_code"),
         lower(col("o_orderpriority")).as("pri_lower"),
+        upper(col("o_orderstatus")).as("status_upper"),
+        // round to WHOLE units only: .5 boundaries at 0 dp are dyadic
+        // (exactly representable), so Spark's HALF_UP and DuckDB's
+        // half-away-from-zero agree; fractional round digits would not
+        round(col("o_totalprice"), 0).as("price_round"),
         concat_ws(":", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
         col("o_orderpriority").like("%URGENT%").as("is_urgent"),
         (col("o_orderkey") % 97).as("key_mod"),
@@ -104,6 +109,8 @@ object Scalars {
         |    AS days_since_95,
         |  substr(o_orderpriority, 1, 1) AS pri_code,
         |  lower(o_orderpriority) AS pri_lower,
+        |  upper(o_orderstatus) AS status_upper,
+        |  round(o_totalprice, 0) AS price_round,
         |  concat_ws(':', o_orderstatus, o_orderpriority) AS status_pri,
         |  (o_orderpriority LIKE '%URGENT%') AS is_urgent,
         |  o_orderkey % 97 AS key_mod,

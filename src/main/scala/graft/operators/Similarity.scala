@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Shared ranking tail for the exact and ANN variants: rank candidates
+    * per probe by (cosine DESC, neighbor_id), keep top `TopK`, round to
+    * `ScoreDp`. One definition so the ANN tiers can never drift from the
+    * exact baseline they are recall-checked against.
+    */
+  val TopK = 10
+  val ScoreDp = 6
+  private def rankTopK(candidates: DataFrame): DataFrame =
+    candidates
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        round(col("c"), ScoreDp).as("score"))
+      .orderBy(col("probe_id"), col("rnk"))
+
   /** Q20: brute-force cosine top-10 for 5 fixed probes. Probes broadcast;
     * ranking is a per-probe window (5 partitions of corpus size, top-10
     * kept). Scores rounded to 6 dp per the oracle contract.
@@ -28,18 +45,10 @@ object Similarity {
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-    val ranked = emb.crossJoin(broadcast(probes))
+    rankTopK(emb.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        vecexprs.cosineSim(col("pv"), col("v")).as("c"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("c").desc, col("neighbor_id"))))
-      .filter(col("rnk") <= 10)
-    ranked
-      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
-        round(col("c"), 6).as("score"))
-      .orderBy(col("probe_id"), col("rnk"))
+        vecexprs.cosineSim(col("pv"), col("v")).as("c")))
   }
 
   // ---- ANN: random-hyperplane LSH ----------------------------------------
@@ -113,13 +122,7 @@ object Similarity {
       .join(base.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         vecexprs.cosineSim(col("pv"), col("v")).as("c"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("c").desc, col("neighbor_id"))))
-      .filter(col("rnk") <= 10)
-      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
-        round(col("c"), 6).as("score"))
-      .orderBy(col("probe_id"), col("rnk"))
+      .transform(rankTopK)
   }
 
   /** Embedding-cosine near-dup: bucketed candidate pairs with cosine above
@@ -199,13 +202,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         vecexprs.cosineSim(col("pv"), col("v")).as("c"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("c").desc, col("neighbor_id"))))
-      .filter(col("rnk") <= 10)
-      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
-        round(col("c"), 6).as("score"))
-      .orderBy(col("probe_id"), col("rnk"))
+      .transform(rankTopK)
   }
 
   /** Euclidean-nearest `IvfProbes` centroid ids for a vector (UDF over the

@@ -55,15 +55,11 @@ object TimeWindows {
 
   /** q40: sliding window (1 hour wide, 30-minute slide) × event_type — each
     * event lands in exactly 2 windows; Spark's window() expands them
-    * directly, the oracle unnests the 2 candidate starts.
+    * directly, the oracle unnests the 2 candidate starts. Shares the exact
+    * transform with the streaming twin (watermark is a no-op on batch).
     */
   def q40(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-      .select(
-        unix_millis(col("window.start")).as("bucket_ms"),
-        col("event_type"), col("n"), col("sum_value"))
+    graft.streaming.EventStreams.slidingCounts(Tables.events(spark, dir))
       .orderBy(col("bucket_ms"), col("event_type"))
 
   val defs: Seq[QueryDef] = Seq(

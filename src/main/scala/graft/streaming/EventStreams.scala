@@ -30,6 +30,19 @@ object EventStreams {
         unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** q40 twin: watermarked sliding 1-hour/30-minute count+sum per
+    * event_type. The batch q40 (TimeWindows) delegates here so the streaming
+    * and batch forms cannot drift.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", Lateness)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Q15 twin: built-in session_window with a 30-minute gap. Note the gap
     * boundary: session_window merges an event only if it lands strictly
     * inside the previous event's [ts, ts+gap) extension, while the batch

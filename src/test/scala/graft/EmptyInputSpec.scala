@@ -24,6 +24,13 @@ class EmptyInputSpec extends AnyFunSuite {
     d
   }
 
+  /** Known oracle divergence on empty input (never hit by the gate, which
+    * always runs on populated sf dirs): ANSI GROUP BY ROLLUP/CUBE emits the
+    * grand-total grouping-set row even for an empty table (DuckDB does),
+    * while Spark's rollup()/cube() return 0 rows. This spec asserts the
+    * Spark behavior for q12/q41 like everything else, and records the
+    * divergence here.
+    */
   test("every registered query runs on empty tables and returns 0 rows") {
     // q00 reads the fixed reference corpus, not the sf dir
     val failures = Registry.all.filterNot(_.name == "q00_reference_index").flatMap { q =>

@@ -51,23 +51,29 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming parquet sink with checkpoint writes each row exactly once") {
+  test("streaming parquet sink restarts from checkpoint exactly once") {
     withTemp { tmp =>
       import spark.implicits._
       implicit val sc = spark.sqlContext
       val rows = (1L to 300L).map(i => (i, s"v$i"))
       val stream = MemoryStream[(Long, String)]
-      val q = stream.toDF().toDF("id", "payload")
+      def start() = stream.toDF().toDF("id", "payload")
         .writeStream.format("parquet")
         .option("path", s"$tmp/out")
         .option("checkpointLocation", s"$tmp/ckpt")
         .outputMode("append").start()
+      // run 1: first half, then STOP — the exactly-once risk is the
+      // restart-from-checkpoint path, so actually exercise it
+      val q1 = start()
       try {
         stream.addData(rows.take(150))
-        q.processAllAvailable()
-        stream.addData(rows.drop(150))
-        q.processAllAvailable()
-      } finally q.stop()
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // run 2: new query, same checkpoint; re-offer an overlapping batch
+      // (already-committed offsets must not be re-written)
+      stream.addData(rows.drop(150))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
       val back = spark.read.parquet(s"$tmp/out")
       assert(back.count() === 300)
       assert(back.select("id").distinct().count() === 300)

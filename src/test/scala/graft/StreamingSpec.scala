@@ -60,12 +60,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming sliding window equals the oracle-checked batch q40") {
     val streamed = runStream("sliding_complete", "complete",
-      df => df.withWatermark("ts", EventStreams.Lateness)
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          graft.functions.num.dsum(col("value")).as("sum_value"))
-        .select(unix_millis(col("window.start")).as("bucket_ms"),
-          col("event_type"), col("n"), col("sum_value")))
+      EventStreams.slidingCounts)
     val batch = operators.TimeWindows.q40(spark, dir)
     assert(canon(streamed) === canon(batch))
   }
