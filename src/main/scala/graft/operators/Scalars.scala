@@ -94,7 +94,30 @@ object Scalars {
       .orderBy(col("doc_id"))
   }
 
+  /** q43: MAP-typed scalars — props parsed to map<string,int>, then key
+    * extraction / cardinality / sorted-key formatting (map key order is
+    * undefined, so anything emitted is sorted first).
+    */
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.IntegerType))
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        element_at(m, "k").as("k_val"),
+        size(map_keys(m)).as("n_keys"),
+        concat_ws(",", array_sort(map_keys(m))).as("keys_csv"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q43_map_scalars", q43,
+      Some("""SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
+        |FROM events ORDER BY event_id""".stripMargin)),
     QueryDef("q13_count_distinct", q13,
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS n_events
