@@ -14,7 +14,8 @@ object Registry {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.Pipeline.defs
 
   def byName(name: String): QueryDef =
     all.find(_.name == name).getOrElse(
