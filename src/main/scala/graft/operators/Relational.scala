@@ -204,7 +204,35 @@ object Relational {
     both.unionAll(fOnly).orderBy(col("kind"), col("o_custkey"))
   }
 
+  /** q46: analytic-window battery — dense_rank / percent_rank / ntile /
+    * lag / lead over one per-customer ordering, single window state pass.
+    */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q46_window_battery", q46,
+      Some("""SELECT o_custkey, o_orderkey,
+        |  CAST(dense_rank() OVER w AS INT) AS drank,
+        |  percent_rank() OVER w AS prank,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
     QueryDef("q41_cube", q41,
       Some(s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
         |  ${sqlDsum("o_totalprice")} AS total,

@@ -118,6 +118,16 @@ object TextAnalysis {
         |          AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio
         |FROM d ORDER BY doc_id""".stripMargin)),
     QueryDef("q27_lang_id", langIdScores, None),
+    QueryDef("q47_edit_distance",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 20),
+            lit("the quick brown fox")).as("edit_dist"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  CAST(levenshtein(substr(text, 1, 20), 'the quick brown fox') AS INT)
+        |    AS edit_dist
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("q34_fingerprints", q34Fingerprints, None),
     QueryDef("q35_token_counts", q35TokenCounts,
       Some(s"""WITH d AS (
