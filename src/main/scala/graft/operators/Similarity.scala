@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * ANN tier).
   *
   * Q20 is the exact baseline: a fixed probe set is broadcast against the
-  * corpus (the corpus itself never shuffles or self-joins). The ANN variant
-  * (q25) is the 100 TB path: random-hyperplane LSH buckets the corpus once;
-  * probes only score their own bucket — recall vs the exact top-k is
-  * property-checked in SimilaritySpec.
+  * corpus (the corpus itself never shuffles or self-joins). Two ANN tiers
+  * are the 100 TB paths — q25 (random-hyperplane LSH, multi-table +
+  * multi-probe) and q39 (IVF with a KMeans coarse quantizer); both prune
+  * candidates to bucket/cell-local sets and are recall-checked against the
+  * exact top-k in SimilaritySpec. q24 is the cosine near-dup face of the
+  * same bucketing.
   */
 object Similarity {
 
