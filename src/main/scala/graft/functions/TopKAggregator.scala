@@ -17,26 +17,42 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long, Int), List[(Double, Long, Int)], Seq[(Double, Long, Int)]] {
 
+  /** Ordering that matches Spark's sort semantics exactly, so the UDAF can
+    * never diverge from the declarative plan it mirrors: NaN sorts as the
+    * GREATEST double (first under price DESC) and -0.0 equals 0.0 —
+    * Ordering.Double.TotalOrdering gets both wrong for this purpose.
+    */
+  private def norm(d: Double): Double = if (d == 0.0) 0.0 else d
   private val ord: Ordering[(Double, Long, Int)] =
-    Ordering.by[(Double, Long, Int), (Double, Long, Int)] {
-      case (price, okey, line) => (-price, okey, line)
-    }(Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Long, Ordering.Int))
+    new Ordering[(Double, Long, Int)] {
+      override def compare(x: (Double, Long, Int), y: (Double, Long, Int)): Int = {
+        val c = java.lang.Double.compare(norm(y._1), norm(x._1)) // price DESC
+        if (c != 0) c
+        else {
+          val c2 = java.lang.Long.compare(x._2, y._2)
+          if (c2 != 0) c2 else Integer.compare(x._3, y._3)
+        }
+      }
+    }
 
   override def zero: List[(Double, Long, Int)] = Nil
 
+  // zero/reduce/merge maintain the buffer sorted in `ord` order
   private def trim(xs: List[(Double, Long, Int)]): List[(Double, Long, Int)] =
     xs.sorted(ord).take(k)
 
   override def reduce(buf: List[(Double, Long, Int)],
       row: (Double, Long, Int)): List[(Double, Long, Int)] =
-    trim(row :: buf)
+    // common case O(1): a full buffer rejects rows no better than its worst
+    if (buf.lengthCompare(k) >= 0 && ord.compare(row, buf.last) >= 0) buf
+    else trim(row :: buf)
 
   override def merge(a: List[(Double, Long, Int)],
       b: List[(Double, Long, Int)]): List[(Double, Long, Int)] =
     trim(a ++ b)
 
   override def finish(buf: List[(Double, Long, Int)]): Seq[(Double, Long, Int)] =
-    buf.sorted(ord)
+    buf // already sorted by construction
 
   override def bufferEncoder: Encoder[List[(Double, Long, Int)]] =
     ExpressionEncoder[List[(Double, Long, Int)]]()

@@ -95,6 +95,11 @@ object text {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Fraction of characters that are a-z after lowercasing (unrounded). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") /
+      greatest(length(text), lit(1))
+
   /** Heuristic quality signals for a document (LLM-pipeline text analysis):
     * character count, token count, mean token length, alpha-char ratio,
     * stopword ratio — all deterministic, rounded.
@@ -106,7 +111,7 @@ object text {
       "n_chars" -> length(text).cast("long"),
       "n_tokens" -> tokenCount(text),
       "mean_token_len" -> round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok, 4),
-      "alpha_ratio" -> round(length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / greatest(length(text), lit(1)), 4),
+      "alpha_ratio" -> round(alphaRatio(text), 4),
       "stopword_ratio" -> tokenSetRatio(text, stopwords("en")))
   }
 }

@@ -16,33 +16,41 @@ object Pipeline {
     * per-row expressions plus one hash shuffle for the dedup window: the
     * canonical pre-training filter chain, all declarative.
     */
-  def q44(spark: SparkSession, dir: String): DataFrame = {
-    val toks = text.cleanTokens(col("text"))
-    val quality = Tables.documents(spark, dir)
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("alpha_ratio",
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
-          greatest(length(col("text")), lit(1)))
+  def q44(spark: SparkSession, dir: String): DataFrame =
+    corpusFilter(Tables.documents(spark, dir))
+
+  /** The filter chain on any documents-shaped frame (doc_id, text, lang) —
+    * factored out so PipelineSpec can exercise the dedup branch on a
+    * planted-duplicate corpus (the fixture has no duplicate texts).
+    * Signals are computed ONCE in a single projection and filtered as
+    * columns — predicates on fresh expressions would re-tokenize per
+    * predicate in the separate Filter operator.
+    */
+  def corpusFilter(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(text.cleanTokens(col("text"))).cast("long").as("n_tokens"),
+        text.alphaRatio(col("text")).as("alpha_ratio"),
+        text.tokenSetRatio(col("text"), text.stopwords("en")).as("sw_ratio"))
       .filter(col("n_tokens") >= 20 &&
-        col("alpha_ratio") >= 0.5 &&
-        text.tokenSetRatio(col("text"), text.stopwords("en")) <= 0.5)
-    quality
+        col("alpha_ratio") >= 0.5 && col("sw_ratio") <= 0.5)
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text").cast("binary")))
           .orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy(col("doc_id"))
-  }
 
-  /** q45: deterministic hash split — stable train/held-out sampling keyed
-    * on content identity (first md5 nibble), reproducible across runs,
-    * engines, and cluster sizes; no RNG state to ship.
+  /** q45: deterministic hash split — train/held-out sampling keyed on the
+    * CONTENT hash (first md5(text) nibble): byte-identical documents always
+    * land in the same split (no train/heldout leakage through duplicate
+    * text), reproducible across runs, engines, and cluster sizes with no
+    * RNG state.
     */
   def q45(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("bucket_hex",
-        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+        substring(md5(col("text").cast("binary")), 1, 1))
       .withColumn("split",
         when(col("bucket_hex").isin("0", "1"), "heldout").otherwise("train"))
       .select(col("doc_id"), col("bucket_hex"), col("split"))
@@ -72,8 +80,8 @@ object Pipeline {
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q45_hash_split", q45,
       Some("""SELECT doc_id,
-        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket_hex,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |  substr(md5(text), 1, 1) AS bucket_hex,
+        |  CASE WHEN substr(md5(text), 1, 1) IN ('0', '1')
         |       THEN 'heldout' ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)))
 }
