@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE JSON stdout line; sbt's default logger for
+// forked runs prefixes every line with "[info] ", which broke the round-2
+// parse (BENCH_r02.json parsed:null). StdoutOutput passes the forked
+// process's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

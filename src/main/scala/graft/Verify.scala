@@ -31,6 +31,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full registered-query list: lets the compare step treat a rows-only
+    // query that crashed (no oracle entry AND no output dir) as a FAIL
+    // instead of silently skipping it.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), names)
     spark.stop()
   }
 }

@@ -109,8 +109,9 @@ object TextAnalysis {
         |SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  round(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
-        |          AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_token_len,
+        |  round(CAST(coalesce(list_aggregate(list_transform(toks, t -> length(t)),
+        |          'sum'), 0) AS DOUBLE) / greatest(len(toks), 1), 4)
+        |    AS mean_token_len,
         |  round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
         |          AS DOUBLE) / greatest(length(text), 1), 4) AS alpha_ratio,
         |  round(CAST(len(list_filter(toks, t -> list_contains(

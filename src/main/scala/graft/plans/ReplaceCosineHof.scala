@@ -53,6 +53,12 @@ object ReplaceCosineHof extends Rule[LogicalPlan] {
     }
   }
 
+  private def isNonNullDoubleArray(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, containsNull) => !containsNull
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Divide(
@@ -60,10 +66,10 @@ object ReplaceCosineHof extends Rule[LogicalPlan] {
           Multiply(Sqrt(DotFold(a1, a2)), Sqrt(DotFold(b1, b2)), _), _)
           if a.semanticEquals(a1) && a.semanticEquals(a2) &&
             b.semanticEquals(b1) && b.semanticEquals(b2) &&
-            (a.dataType match {
-              case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
-              case _ => false
-            }) =>
+            // containsNull must be false: the HOF fold returns NULL when an
+            // element is null, while CosineSimExpr reads null slots as 0.0 —
+            // rewriting a nullable-element array would change results
+            isNonNullDoubleArray(a.dataType) && isNonNullDoubleArray(b.dataType) =>
         CosineSimExpr(a, b)
     }
 }

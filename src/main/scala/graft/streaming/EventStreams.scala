@@ -60,11 +60,14 @@ object EventStreams {
 
   /** Streaming exact dedup: first occurrence per event_id wins; state
     * bounded by the watermark (duplicates must arrive within Lateness).
+    * dropDuplicatesWithinWatermark is the variant that actually evicts on
+    * watermark passage — plain dropDuplicates("event_id") keeps every id
+    * ever seen because the event-time column is not part of the dedup key.
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", Lateness)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream range join — the streaming twin of the batch binned
     * range join (Advanced.q36): clicks matched to purchases by the same

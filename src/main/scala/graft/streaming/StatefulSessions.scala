@@ -53,8 +53,12 @@ object StatefulSessions {
     }
     open.foreach { s =>
       state.update(s)
-      // close when the watermark passes the session's gap horizon
-      state.setTimeoutTimestamp(s.end_us / 1000 + GapUs / 1000)
+      // close when the watermark passes the session's gap horizon; clamp to
+      // watermark+1 — a valid late event (inside Lateness but > gap late)
+      // can put end+gap at/behind the current watermark, and Spark throws
+      // for a timeout not strictly later than it
+      state.setTimeoutTimestamp(math.max(
+        state.getCurrentWatermarkMs() + 1, s.end_us / 1000 + GapUs / 1000))
     }
     out.reverseIterator
   }

@@ -36,10 +36,15 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = 0
     # a query that crashed in Verify has no output dir — that is a failure,
-    # not something to silently skip
+    # not something to silently skip. queries.json (dumped by Verify) is the
+    # authoritative expected set, so even a rows-only query with no oracle
+    # entry and no output dir is counted as FAIL.
     expected = set(oracle) | {
         n for n in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, n))}
+    qlist = os.path.join(out_dir, "queries.json")
+    if os.path.exists(qlist):
+        expected |= set(json.load(open(qlist)))
     for name in sorted(expected):
         if only and name not in only:
             continue
