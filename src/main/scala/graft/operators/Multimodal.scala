@@ -124,13 +124,26 @@ object Multimodal {
         col("width"), col("height"), col("format"))
       .orderBy(col("media_id"))
 
-  /** Feature pipeline smoke query (stub decode → 16-dim features). */
-  def q29(spark: SparkSession, dir: String): DataFrame =
+  /** Feature pipeline query (stub decode → 16-dim features), oracle-checked.
+    * The normalized Float features are back-multiplied by the byte count to
+    * recover the EXACT histogram counts (a float holds count/n correctly
+    * rounded, so round(f*n) == count for any count < ~8M), and the reported
+    * ratios are then re-derived in double — making every output column
+    * bit-reproducible by an oracle that just counts bytes per nibble.
+    */
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    val nb = greatest(col("n_bytes"), lit(1))
     extractFeatures(mediaTable(spark, dir)).toDF()
       .select(col("media_id"), col("n_bytes"),
-        round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
-        round(element_at(col("features"), 16).cast("double"), 4).as("f15"))
+        round(element_at(col("features"), 1).cast("double") * nb)
+          .cast("long").as("c0"),
+        round(element_at(col("features"), 16).cast("double") * nb)
+          .cast("long").as("c15"))
+      .select(col("media_id"), col("n_bytes"), col("c0"), col("c15"),
+        round(col("c0") / greatest(col("n_bytes"), lit(1)), 4).as("f0"),
+        round(col("c15") / greatest(col("n_bytes"), lit(1)), 4).as("f15"))
       .orderBy(col("media_id"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_multimodal_meta", q28,
@@ -142,5 +155,19 @@ object Multimodal {
         |  CAST((doc_id % 3) * 32 + 64 AS INT) AS height,
         |  ['png','jpeg','webp'][CAST(doc_id % 3 AS INT) + 1] AS format
         |FROM documents ORDER BY media_id""".stripMargin)),
-    QueryDef("q29_media_features", q29, None))
+    // the fixture text is pure ASCII (verified: octet_length == length for
+    // every doc), so per-char ascii() equals the byte the stub histograms
+    QueryDef("q29_media_features", q29,
+      Some("""WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |    CAST(len(list_filter(generate_series(1, length(text)),
+        |      i -> (ascii(substr(text, i, 1)) // 16) = 0)) AS BIGINT) AS c0,
+        |    CAST(len(list_filter(generate_series(1, length(text)),
+        |      i -> (ascii(substr(text, i, 1)) // 16) = 15)) AS BIGINT) AS c15
+        |  FROM documents)
+        |SELECT media_id, n_bytes, c0, c15,
+        |  round(CAST(c0 AS DOUBLE) / greatest(n_bytes, 1), 4) AS f0,
+        |  round(CAST(c15 AS DOUBLE) / greatest(n_bytes, 1), 4) AS f15
+        |FROM d ORDER BY media_id""".stripMargin)))
 }

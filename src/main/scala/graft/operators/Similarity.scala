@@ -157,6 +157,27 @@ object Similarity {
     */
   val NearDupCosine = 0.35
 
+  /** q48: EXACT cosine near-dup pairs — the oracle-checkable ground truth
+    * the LSH variant (q24) is recall-checked against. All-pairs via a
+    * broadcast nested-loop self-join on `a_id < b_id`: fine at fixture scale
+    * (2k vectors = 2M pairs at sf0.1); at 100 TB this query is exactly what
+    * q24's bucketing replaces, and exists here as the correctness anchor,
+    * not the scale path. Threshold applied to the ROUNDED score on both
+    * sides so the oracle can never disagree at the boundary.
+    */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+    base.select(col("vec_id").as("a_id"), col("v").as("av"))
+      .join(broadcast(base.select(col("vec_id").as("b_id"), col("v").as("bv"))),
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(vecexprs.cosineSim(col("av"), col("bv")), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupCosine)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- ANN: IVF (KMeans coarse quantizer) --------------------------------
 
   /** IVF cells and probe fan-out. Cells ~ sqrt(corpus) at real scale; the
@@ -238,5 +259,14 @@ object Similarity {
         |FROM r WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
     QueryDef("q24_embedding_neardup", q24, None),
     QueryDef("q25_ann_lsh", q25, None),
-    QueryDef("q39_ann_ivf", q39, None))
+    QueryDef("q39_ann_ivf", q39, None),
+    QueryDef("q48_neardup_exact", q48,
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.v, b.v), 6) >= $NearDupCosine
+        |ORDER BY a_id, b_id""".stripMargin)))
 }

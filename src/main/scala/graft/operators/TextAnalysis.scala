@@ -46,8 +46,11 @@ object TextAnalysis {
   }
 
   /** Language ID: n-gram/stopword-marker heuristic (text.langId), checked
-    * against a Scala model in TextAnalysisSpec; rows-only for the driver
-    * (the argmax is awkward to mirror exactly in SQL).
+    * against a Scala model in TextAnalysisSpec AND oracle-checked: the
+    * argmax + tie-break maps to DuckDB list_max over (score, lang) structs
+    * (struct comparison is field-order lexicographic on both sides), and the
+    * scores are integer-ratio doubles rounded to 4 dp, so both engines
+    * compute identical IEEE values.
     */
   def langIdScores(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -87,10 +90,27 @@ object TextAnalysis {
 
   private val toksCte =
     """WITH d AS (
-      |  SELECT doc_id, text,
+      |  SELECT doc_id, text, lang,
       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
       |                t -> t <> '') AS toks
       |  FROM documents)""".stripMargin
+
+  /** DuckDB mirror of text.langId, generated from the same stopword map so
+    * the two can never drift.
+    */
+  private def langIdOracle: String = {
+    val structs = text.stopwords.keys.toSeq.sorted.map { l =>
+      val words = text.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""{'score': round(CAST(len(list_filter(toks, t -> list_contains($words, t))) AS DOUBLE) / greatest(len(toks), 1), 4), 'lang': '$l'}"""
+    }.mkString(",\n")
+    s"""$toksCte,
+       |s AS (SELECT doc_id, lang, [$structs] AS scored FROM d)
+       |SELECT doc_id,
+       |  CASE WHEN list_max(scored).score > 0 THEN list_max(scored).lang
+       |       ELSE 'und' END AS lang_pred,
+       |  lang AS lang_label
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q19_token_top100", q19Tokens,
@@ -118,7 +138,7 @@ object TextAnalysis {
         |      ['the','a','of','and','to','in','is','that','it','for'], t)))
         |          AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio
         |FROM d ORDER BY doc_id""".stripMargin)),
-    QueryDef("q27_lang_id", langIdScores, None),
+    QueryDef("q27_lang_id", langIdScores, Some(langIdOracle)),
     QueryDef("q47_edit_distance",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
