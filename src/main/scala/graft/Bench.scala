@@ -10,13 +10,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
-    // One warm-up action so JIT/codegen + filesystem caches don't bill the
-    // first measured query.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Warm-up actions so parquet-reader JIT + filesystem caches don't bill
+    // the first measured query of each table family.
+    Seq("lineitem", "orders", "documents", "embeddings", "events")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Two runs per query, min reported: the first run pays one-time plan
-    // codegen + JVM JIT; steady-state is what a resident engine delivers.
+    // Up to three runs per query, min reported: run 1 pays plan codegen and
+    // queues C2 JIT compilation, which lands ASYNCHRONOUSLY — a single
+    // back-to-back rerun can still execute partly interpreted (observed 5x
+    // gaps between run 2 and a settled run at sf0.1). Rerun while the time
+    // is still improving by >15%; steady-state is what a resident engine
+    // delivers.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -25,7 +30,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val t =
-        try math.min(once(), once())
+        try {
+          var best = once()
+          var runs = 1
+          var improving = true
+          while (runs < 3 && improving) {
+            val r = once()
+            improving = r < best * 0.85
+            if (r < best) best = r
+            runs += 1
+          }
+          best
+        }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)

@@ -40,6 +40,35 @@ object sketch {
     ColumnBridge.column(
       ShingleHashesExpr(ColumnBridge.expression(tokens), n))
 
+  /** xxhash64 (seed 42, matching the built-in `xxhash64`) of every
+    * `[a-z0-9]+` token of the lowercased text, in order, duplicates kept —
+    * bit-identical to `transform(cleanTokens(text), xxhash64)` but fully
+    * codegen'd. The HOF form's ArrayFilter/ArrayTransform are
+    * CodegenFallback, which drags the WHOLE enclosing projection out of
+    * whole-stage codegen into interpreted eval — the dominant cost of the
+    * sketch pipelines' cold runs at sf0.1.
+    */
+  def tokenHashes(text: Column): Column =
+    ColumnBridge.column(TokenXxh64Expr(ColumnBridge.expression(text)))
+
+  /** Shingle chaining over pre-computed token hashes (tokenHashes above):
+    * same chain+sort+dedupe as shingleHashes, without re-tokenizing.
+    */
+  def shingleFromHashes(tokenHashes: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleFromHashesExpr(ColumnBridge.expression(tokenHashes), n))
+
+  /** Per-set multiset token counts in ONE tokenization pass: element i is
+    * how many `[a-z0-9]+` tokens of the lowercased text belong to sets(i).
+    * Replaces L parallel `size(filter(toks, isin(...)))` HOFs (each an
+    * interpreted pass over every token) for quality scoring and language
+    * ID. Membership is by xxhash64 of the token vs the pre-hashed word set —
+    * a false count needs a 64-bit collision with one of the ~40 set words.
+    */
+  def tokenSetCounts(text: Column, sets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(
+      TokenSetCountsExpr(ColumnBridge.expression(text), sets))
+
   /** Winnowing document fingerprints (Schleimer et al., MOSS): rolling-hash
     * every k-char-gram, slide a w-wide window, keep each window's minimum
     * hash, dedupe. Guarantees a match of length >= k+w-1 shares a
@@ -232,8 +261,18 @@ object ShingleHashesExpr {
       th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
       i += 1
     }
+    chainSortDedupe(th, n)
+  }
+
+  /** Chain each window of n consecutive token hashes into a shingle hash,
+    * sort, dedupe — shared by the from-strings and from-hashes forms so they
+    * can never drift.
+    */
+  def chainSortDedupe(th: Array[Long], n: Int): ArrayData = {
+    val m = th.length
+    if (m < n) return new GenericArrayData(Array.empty[Long])
     val sh = new Array[Long](m - n + 1)
-    i = 0
+    var i = 0
     while (i <= m - n) {
       var k = 0x9e3779b97f4a7c15L
       var j = 0
@@ -251,6 +290,190 @@ object ShingleHashesExpr {
     }
     new GenericArrayData(java.util.Arrays.copyOf(sh, w))
   }
+}
+
+/** Ordered xxhash64 token hashes of the lowercased text (see
+  * sketch.tokenHashes). Tokens are maximal `[a-z0-9]+` byte runs of the
+  * lowercased string's UTF-8 form — identical to
+  * `split(lower(text), "[^a-z0-9]+")` minus empties (multi-byte UTF-8 units
+  * are all >= 0x80, so they can never join a token run), each hashed with
+  * the built-in xxhash64's seed (42).
+  */
+case class TokenXxh64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_xxh64 needs string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenXxh64Expr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TokenXxh64Expr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenXxh64Expr =
+    copy(child = newChild)
+}
+
+object TokenXxh64Expr {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @inline private def isTokenByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  def compute(text: UTF8String): ArrayData = {
+    // UTF8String.toLowerCase is exactly the built-in lower()'s semantics
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val t = isTokenByte(bytes(i))
+      if (t && !inTok) count += 1
+      inTok = t
+      i += 1
+    }
+    val out = new Array[Long](count)
+    var o = 0
+    i = 0
+    while (i < n) {
+      if (isTokenByte(bytes(i))) {
+        val start = i
+        while (i < n && isTokenByte(bytes(i))) i += 1
+        out(o) = XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        o += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Multiset token counts against pre-hashed word sets (see
+  * sketch.tokenSetCounts). One tokenization pass; each token hash is looked
+  * up in a word-hash -> set-bitmask map.
+  */
+case class TokenSetCountsExpr(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(sets.nonEmpty && sets.size <= 64, "1..64 word sets")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_set_counts needs string, got $t")
+    }
+
+  @transient private lazy val masks = TokenSetCountsExpr.buildMasks(sets)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenSetCountsExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      masks, sets.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("setMasks", masks,
+      "java.util.HashMap<Long, Long>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.TokenSetCountsExpr
+         |  .compute($c, $mRef, ${sets.size});""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCountsExpr =
+    copy(child = newChild)
+}
+
+object TokenSetCountsExpr {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def buildMasks(sets: Seq[Seq[String]]): java.util.HashMap[java.lang.Long, java.lang.Long] = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    sets.zipWithIndex.foreach { case (words, i) =>
+      words.foreach { w =>
+        val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+        val prev = m.get(h)
+        m.put(h, (if (prev == null) 0L else prev.longValue()) | (1L << i))
+      }
+    }
+    m
+  }
+
+  def compute(text: UTF8String,
+      masks: java.util.HashMap[java.lang.Long, java.lang.Long],
+      nSets: Int): ArrayData = {
+    val counts = new Array[Long](nSets)
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        val start = i
+        while (i < n && {
+          val c = bytes(i); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) i += 1
+        val h = XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        val mask = masks.get(h)
+        if (mask != null) {
+          var m = mask.longValue()
+          while (m != 0L) {
+            val s = java.lang.Long.numberOfTrailingZeros(m)
+            counts(s) += 1
+            m &= m - 1
+          }
+        }
+      } else i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+/** Sorted distinct n-shingle hashes from pre-hashed tokens (see
+  * sketch.shingleFromHashes).
+  */
+case class ShingleFromHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_from_hashes needs array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    ShingleHashesExpr.chainSortDedupe(arr.toLongArray(), n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.ShingleHashesExpr
+         |  .chainSortDedupe($c.toLongArray(), $n);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleFromHashesExpr =
+    copy(child = newChild)
 }
 
 /** Sorted distinct winnowing fingerprints of a string (see

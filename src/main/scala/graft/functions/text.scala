@@ -30,9 +30,12 @@ object text {
   def cleanTokens(text: Column): Column =
     filter(tokens(text), t => t =!= lit(""))
 
-  /** Token count (non-empty tokens), as long. */
+  /** Token count (non-empty tokens), as long. Counted via the native
+    * tokenizer expression — `size(filter(...))` would drag the projection
+    * out of whole-stage codegen (ArrayFilter is CodegenFallback).
+    */
   def tokenCount(text: Column): Column =
-    size(cleanTokens(text)).cast("long")
+    size(expressions.sketch.tokenHashes(text)).cast("long")
 
   /** Word-level n-grams over the non-empty token list, joined with spaces.
     * Docs shorter than n yield an empty array (the sequence() bound would
@@ -73,21 +76,29 @@ object text {
 
   /** Fraction of tokens that belong to `set`, rounded to 4 dp ([0,1], 0 for
     * empty docs). Building block for quality scoring and language ID.
+    * One native tokenize-and-count pass (the filter+isin HOF form it
+    * replaced was an interpreted pass per set).
     */
   def tokenSetRatio(text: Column, set: Seq[String]): Column = {
-    val toks = cleanTokens(text)
-    val hits = size(filter(toks, t => t.isin(set.map(lit): _*)))
-    round(hits.cast("double") / greatest(size(toks), lit(1)), 4)
+    val hits = element_at(expressions.sketch.tokenSetCounts(text, Seq(set)), 1)
+    round(hits.cast("double") / greatest(tokenCount(text), lit(1)), 4)
   }
 
   /** N-gram-heuristic language ID: argmax of stopword-marker ratio across
     * the candidate languages. All-zero scores fall back to "und"
     * (undetermined); nonzero ties resolve to the lexicographically greatest
-    * language code (deterministic).
+    * language code (deterministic). All four languages' counts come from ONE
+    * tokenization pass (tokenSetCounts).
     */
   def langId(text: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(tokenSetRatio(text, stopwords(l)).as("score"), lit(l).as("lang")))
+    val counts = expressions.sketch.tokenSetCounts(text, langs.map(stopwords))
+    val nTok = greatest(tokenCount(text), lit(1))
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      struct(
+        round(element_at(counts, i + 1).cast("double") / nTok, 4).as("score"),
+        lit(l).as("lang"))
+    }
     // array_max on struct = lexicographic (score, lang), so equal scores
     // resolve to the lexicographically GREATEST language code — the
     // documented tie-break.
@@ -105,12 +116,15 @@ object text {
     * stopword ratio — all deterministic, rounded.
     */
   def qualitySignals(text: Column): Seq[(String, Column)] = {
-    val toks = cleanTokens(text)
-    val nTok = greatest(size(toks), lit(1))
+    val nTok = greatest(tokenCount(text), lit(1))
+    // sum of token lengths == count of [a-z0-9] chars of lower(text)
+    // (tokens ARE the maximal [a-z0-9] runs of lower(text)) — a codegen'd
+    // regexp count instead of an interpreted aggregate-HOF fold
+    val tokenChars = length(regexp_replace(lower(text), "[^a-z0-9]", ""))
     Seq(
       "n_chars" -> length(text).cast("long"),
       "n_tokens" -> tokenCount(text),
-      "mean_token_len" -> round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok, 4),
+      "mean_token_len" -> round(tokenChars.cast("double") / nTok, 4),
       "alpha_ratio" -> round(alphaRatio(text), 4),
       "stopword_ratio" -> tokenSetRatio(text, stopwords("en")))
   }

@@ -63,7 +63,10 @@ object Dedup {
       .repartition(cores, col("doc_id"))
       .select(
         col("doc_id"),
-        sketch.shingleHashes(text.cleanTokens(col("text")), 3).as("sh"))
+        // tokenize+hash+chain fully native: the cleanTokens HOF form is
+        // CodegenFallback and de-optimizes the whole projection (equality
+        // with the HOF form asserted in DedupSpec)
+        sketch.shingleFromHashes(sketch.tokenHashes(col("text")), 3).as("sh"))
     // one row per (band, doc). Band keys come from ONE native-expression
     // evaluation per row (minima + per-band mixing in one pass) — slicing a
     // materialized signature in a later projection re-evaluates it per band
@@ -121,7 +124,9 @@ object Dedup {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
     val fp = docs.repartition(cores, col("doc_id"))
       .select(col("doc_id"),
-        simhash(text.cleanTokens(col("text"))).as("fp"))
+        // native tokenize+hash feeding the native simhash — one codegen'd
+        // projection, no interpreted lambda dispatch per token
+        sketch.simhash64(sketch.tokenHashes(col("text"))).as("fp"))
     // chunk key = (chunk#, 16 fp bits) packed into one long. A plain long
     // (not a struct) so a null fingerprint (token-less doc) propagates to a
     // null key and drops out of the equi-join — struct keys would treat

@@ -102,12 +102,16 @@ object Scalars {
     val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
       org.apache.spark.sql.types.StringType,
       org.apache.spark.sql.types.IntegerType))
+    // parse ONCE in an inner projection: from_json is non-cheap and
+    // referenced three times, so CollapseProject keeps the two projects
+    // separate instead of re-inlining the parse per output column
     Tables.events(spark, dir)
+      .select(col("event_id"), m.as("m"))
       .select(
         col("event_id"),
-        element_at(m, "k").as("k_val"),
-        size(map_keys(m)).as("n_keys"),
-        concat_ws(",", array_sort(map_keys(m))).as("keys_csv"))
+        element_at(col("m"), "k").as("k_val"),
+        size(map_keys(col("m"))).as("n_keys"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"))
       .orderBy(col("event_id"))
   }
 

@@ -212,6 +212,10 @@ object Similarity {
     }
     val model = new KMeans()
       .setK(IvfCells).setSeed(42).setMaxIter(10)
+      // random init: k-means|| costs several extra distributed passes and
+      // an IVF quantizer only needs roughly-balanced cells, not optimal
+      // ones (recall bound still asserted in SimilaritySpec)
+      .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base)
     val assigned = model.transform(base).select(col("vec_id"), col("v"), col("cell"))

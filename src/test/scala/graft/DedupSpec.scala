@@ -92,4 +92,34 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(run() === run())
   }
+
+  /** The native tokenize+hash path must be bit-identical to the HOF form it
+    * replaced in the sketch pipelines — asserted on real fixture text
+    * (punctuation, digits, mixed case) plus adversarial edge strings.
+    */
+  test("native tokenHashes/shingleFromHashes equal the HOF forms") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{expressions => fe, text}
+    import spark.implicits._
+    val edge = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "ONE"), (9004L, "a-b_c 42x"),
+      (9005L, "Über Straße İstanbul"), (9006L, "7"),
+      (9007L, "!!!"), (9008L, "trailing space "), (9009L, " leading"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).unionAll(edge)
+    val rows = docs.select(
+      col("doc_id"),
+      fe.sketch.tokenHashes(col("text")).as("native_th"),
+      transform(text.cleanTokens(col("text")), t => xxhash64(t)).as("hof_th"),
+      fe.sketch.shingleFromHashes(fe.sketch.tokenHashes(col("text")), 3).as("native_sh"),
+      fe.sketch.shingleHashes(text.cleanTokens(col("text")), 3).as("hof_sh"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"token-hash drift for doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](3) === r.getSeq[Long](4),
+        s"shingle-hash drift for doc ${r.getLong(0)}")
+    }
+  }
 }
