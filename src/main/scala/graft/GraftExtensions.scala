@@ -17,6 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   minhash_band_keys(array<bigint>, k, bands, seed) -> array<bigint>
   *   cosine_sim(array<double>, array<double>)      -> double
   *   hyperplane_buckets(array<double>, planes, tables) -> array<bigint>
+  *   token_xxh64(string)                           -> array<bigint>
+  *   shingle_from_hashes(array<bigint>, n)         -> array<bigint>
+  *   word_ngrams(string, n)                        -> array<string>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -81,5 +84,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HyperplaneBucketsExpr(args.head,
         intArg(args(1), "hyperplane_buckets"),
         intArg(args(2), "hyperplane_buckets"))))
+
+    ext.injectFunction((FunctionIdentifier("token_xxh64"),
+      info("token_xxh64",
+        "token_xxh64(text) - xxhash64 of each [a-z0-9]+ token of lower(text)"),
+      (args: Seq[Expression]) => TokenXxh64Expr(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("shingle_from_hashes"),
+      info("shingle_from_hashes",
+        "shingle_from_hashes(hashes, n) - distinct n-shingle chain hashes"),
+      (args: Seq[Expression]) =>
+        ShingleFromHashesExpr(args.head, intArg(args(1), "shingle_from_hashes"))))
+
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(text, n) - space-joined token n-grams of lower(text)"),
+      (args: Seq[Expression]) =>
+        WordNgramsExpr(args.head, intArg(args(1), "word_ngrams"))))
   }
 }

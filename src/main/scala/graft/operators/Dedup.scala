@@ -166,7 +166,8 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(
         col("doc_id"),
-        array_distinct(text.wordNgrams(col("text"), 3)).as("g"))
+        array_distinct(graft.functions.expressions.textnative
+          .wordNgrams(col("text"), 3)).as("g"))
     val probes = grams.filter(col("doc_id") < 5)
       .select(col("doc_id").as("probe_id"), col("g").as("pg"))
     grams.crossJoin(broadcast(probes))

@@ -25,11 +25,16 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(100)
 
-  /** Q19b: word-trigram frequency top-100 — same shape over wordNgrams. */
+  /** Q19b: word-trigram frequency top-100 — same shape over the native
+    * n-gram expression (bit-identical to text.wordNgrams, asserted in
+    * TextAnalysisSpec; the HOF form is CodegenFallback).
+    */
   def q19Ngrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(explode(text.wordNgrams(col("text"), 3)).as("gram"))
+      .select(explode(
+        graft.functions.expressions.textnative.wordNgrams(col("text"), 3))
+        .as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))

@@ -74,4 +74,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(keys.length === Dedup.Bands)
     assert(keys.distinct.length === keys.length)
   }
+
+  test("SQL token_xxh64/shingle_from_hashes/word_ngrams agree with built-ins") {
+    val r = spark.sql(
+      """SELECT
+        |  token_xxh64('The quick-Brown fox 42!') AS th,
+        |  transform(filter(split(lower('The quick-Brown fox 42!'), '[^a-z0-9]+'),
+        |    t -> t <> ''), t -> xxhash64(t)) AS th_hof,
+        |  shingle_from_hashes(token_xxh64('a b c d'), 2) AS sfh,
+        |  shingle_hashes(array('a','b','c','d'), 2) AS sh,
+        |  word_ngrams('The quick-Brown fox', 2) AS ng
+        |""".stripMargin).collect().head
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+    assert(r.getSeq[String](4) === Seq("the quick", "quick brown", "brown fox"))
+  }
 }

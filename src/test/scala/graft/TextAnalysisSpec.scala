@@ -88,4 +88,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.length === 500)
     assert(df.forall(_.getString(1) != null))
   }
+
+  test("native wordNgrams equals the HOF form on fixture and edge strings") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.textnative
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "one two", "one two three",
+      "A-B_c 42x y!", " lead", "trail ", "Über Straße İstanbul ok",
+      "a b c d e f").toDF("text")
+    val docs = Tables.documents(spark, dir).select(col("text")).unionAll(edge)
+    for (n <- Seq(1, 2, 3)) {
+      val rows = docs.select(
+        textnative.wordNgrams(col("text"), n).as("native"),
+        text.wordNgrams(col("text"), n).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n drift")
+      }
+    }
+  }
 }
