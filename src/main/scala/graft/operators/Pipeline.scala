@@ -29,7 +29,7 @@ object Pipeline {
   def corpusFilter(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"), col("text"),
-        size(text.cleanTokens(col("text"))).cast("long").as("n_tokens"),
+        text.tokenCount(col("text")).as("n_tokens"),
         text.alphaRatio(col("text")).as("alpha_ratio"),
         text.tokenSetRatio(col("text"), text.stopwords("en")).as("sw_ratio"))
       .filter(col("n_tokens") >= 20 &&
@@ -55,6 +55,74 @@ object Pipeline {
         when(col("bucket_hex").isin("0", "1"), "heldout").otherwise("train"))
       .select(col("doc_id"), col("bucket_hex"), col("split"))
       .orderBy(col("doc_id"))
+
+  /** q49: PII-style redaction scrub — emails, URLs, long digit runs replaced
+    * by typed placeholders, with per-doc match counts. Pure per-row regexp
+    * expressions (codegen'd, no shuffle): the canonical pre-training scrub
+    * pass. Patterns are restricted to the Java-regex ∩ RE2 dialect so the
+    * DuckDB oracle applies verbatim; planted-PII behavior is additionally
+    * spec-checked (the fixture corpus itself contains no PII).
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val LongNumRe = "[0-9]{7,}"
+
+  def redact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+          .as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0)))
+          .as("n_longnums"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), UrlRe, "<URL>"),
+            EmailRe, "<EMAIL>"),
+          LongNumRe, "<NUM>").as("redacted"))
+      .orderBy(col("doc_id"))
+
+  def q49(spark: SparkSession, dir: String): DataFrame =
+    redact(Tables.documents(spark, dir))
+
+  /** q50: token-budget chunk packing — documents are assigned to training
+    * chunks of ~`budget` tokens by cumulative token offset in doc_id order
+    * (chunk = floor(preceding-tokens / budget)): deterministic, one window
+    * pass, no driver state. At cluster scale the window would be keyed by a
+    * shard column so the cumulative sum never funnels one partition; the
+    * declared query uses the global order the oracle can reproduce.
+    */
+  val ChunkBudget = 2048L
+
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), text.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("chunk_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+          / ChunkBudget).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q51: stratified deterministic sample — top-K docs per language ordered
+    * by content hash (md5 of text, doc_id tie-break): reproducible across
+    * runs/engines/cluster sizes, no RNG state, and identical texts sort
+    * adjacently so duplicate content can't straddle the sample boundary
+    * differently per run. One hash shuffle on the low-cardinality stratum
+    * key.
+    */
+  val SamplePerLang = 50
+
+  def q51(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text").cast("binary")), col("doc_id"))))
+      .filter(col("rn") <= SamplePerLang)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q44_corpus_filter", q44,
@@ -83,5 +151,34 @@ object Pipeline {
         |  substr(md5(text), 1, 1) AS bucket_hex,
         |  CASE WHEN substr(md5(text), 1, 1) IN ('0', '1')
         |       THEN 'heldout' ELSE 'train' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin)))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q49_redact", q49,
+      Some(s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '$LongNumRe')) AS INT) AS n_longnums,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '$UrlRe', '<URL>', 'g'),
+        |      '$EmailRe', '<EMAIL>', 'g'),
+        |    '$LongNumRe', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q50_pack_chunks", q50,
+      Some(s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |    / $ChunkBudget) AS BIGINT) AS chunk_id
+        |FROM t ORDER BY doc_id""".stripMargin)),
+    QueryDef("q51_stratified_sample", q51,
+      Some(s"""SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= $SamplePerLang
+        |ORDER BY lang, rn""".stripMargin)))
 }

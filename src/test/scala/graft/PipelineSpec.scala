@@ -25,4 +25,43 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(10L, 12L))
   }
+
+  test("redaction scrubs planted PII and counts each kind") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or visit https://ex.com/a?b=1 now"),
+      (2L, "call 12345678 ref 9876543210 code 123"), // two long runs, one short
+      (3L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.redact(docs).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(byId(1L)._1 === 1 && byId(1L)._2 === 1)
+    assert(byId(1L)._4 === "contact <EMAIL> or visit <URL> now")
+    assert(byId(2L)._3 === 2)
+    assert(byId(2L)._4 === "call <NUM> ref <NUM> code 123")
+    assert(byId(3L) === ((0, 0, 0, "clean text with no pii at all")))
+  }
+
+  test("chunk packing never splits a doc and respects the running budget") {
+    val rows = Pipeline.q50(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { r =>
+      val (n, chunk) = (r.getLong(1), r.getLong(2))
+      assert(chunk === cum / Pipeline.ChunkBudget, s"doc ${r.getLong(0)}")
+      cum += n
+    }
+  }
+
+  test("stratified sample takes at most K per language, deterministically") {
+    val a = Pipeline.q51(spark, "/root/testdata/sf0.001").collect()
+    val b = Pipeline.q51(spark, "/root/testdata/sf0.001").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    val perLang = a.groupBy(_.getString(1)).view.mapValues(_.length)
+    perLang.foreach { case (l, n) =>
+      assert(n <= Pipeline.SamplePerLang, s"lang $l oversampled")
+    }
+    assert(a.nonEmpty)
+  }
 }

@@ -49,4 +49,39 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Similarity.q20(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(500))
   }
+
+  test("q37/q38: TPC-H shapes broadcast every dimension join") {
+    val a = graft.operators.Advanced
+    for (name <- Seq("q37_tpch_q3", "q38_tpch_q5")) {
+      val p = plan(a.defs.find(_.name == name).get.build(spark, dir))
+      assert(p.contains("BroadcastHashJoin"), s"$name: no broadcast join")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian crept in")
+    }
+  }
+
+  test("q48: exact near-dup is broadcast nested-loop, never cartesian") {
+    val p = plan(Similarity.q48(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"), "a < b condition fell to cartesian")
+  }
+
+  test("q18: exact dedup aggregates in two phases (map-side partial)") {
+    val p = plan(graft.operators.Dedup.q18(spark, dir))
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "dedup lost its partial aggregation phase")
+  }
+
+  test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
+    // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
+    // back into these projections would silently drop the whole stage out of
+    // whole-stage codegen (AQE hides codegen spans pre-execution, so assert
+    // on the optimized plan's expressions instead)
+    for (df <- Seq(
+      graft.operators.Dedup.q22(spark, dir),
+      graft.operators.Dedup.q21(spark, dir),
+      graft.operators.TextAnalysis.q19Ngrams(spark, dir))) {
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("lambdafunction"), p.take(500))
+    }
+  }
 }
