@@ -60,6 +60,63 @@ object LineNumberedText {
       .toDS()
   }
 
+  /** Split-aware line-numbered reader — the 100 TB path for S1 (SURVEY
+    * §7.3): intra-file parallelism for huge files, where `read`'s
+    * task-per-file model would serialize. Two passes over Hadoop text
+    * splits:
+    *
+    *  1. count lines per (file, splitStart) — O(#splits) longs to the
+    *     driver (split METADATA, not data, same class of state as a parquet
+    *     footer index);
+    *  2. per-file prefix-sum those counts, broadcast the (file, splitStart)
+    *     -> firstLineOffset map, and stream each split assigning global
+    *     line numbers from its offset.
+    *
+    * The same RDD object is used for both passes, so the split layout is
+    * identical by construction. `maxSplitBytes` forces small splits in
+    * tests (and is the knob real deployments size to HDFS-block scale).
+    */
+  def readSplitAware(spark: SparkSession, files: Seq[String],
+      maxSplitBytes: Option[Long] = None): Dataset[RawLine] = {
+    import spark.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    maxSplitBytes.foreach { b =>
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", b)
+    }
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      files.mkString(","), classOf[TextInputFormat],
+      classOf[LongWritable], classOf[Text], conf)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+    // pass 1: lines per split
+    val counts = rdd.mapPartitionsWithInputSplit { (split, it) =>
+      val fs = split.asInstanceOf[FileSplit]
+      Iterator(((fs.getPath.toUri.getPath, fs.getStart), {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      }))
+    }.collect().toMap
+    // per-file prefix sums -> first-line offset of each split
+    val offsets: Map[(String, Long), Long] =
+      counts.keys.groupBy(_._1).flatMap { case (_, ks) =>
+        val sorted = ks.toSeq.sortBy(_._2)
+        sorted.zip(sorted.scanLeft(0L)((acc, k) => acc + counts(k)))
+          .map { case (k, off) => k -> off }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: stream each split, numbering from its offset
+    rdd.mapPartitionsWithInputSplit { (split, it) =>
+      val fs = split.asInstanceOf[FileSplit]
+      val file = fs.getPath.toUri.getPath
+      var n = bc.value((file, fs.getStart))
+      it.map { case (_, t) =>
+        n += 1
+        RawLine(file, n.toInt,
+          new String(t.getBytes, 0, t.getLength, StandardCharsets.UTF_8))
+      }
+    }.toDS()
+  }
+
   /** List `*.txt` files under a directory (driver-side metadata op only). */
   def listTextFiles(dir: String): Seq[String] = {
     val path = new Path(dir)

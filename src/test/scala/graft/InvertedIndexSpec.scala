@@ -60,6 +60,27 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("split-aware reader equals the streaming reader, with real splits") {
+    val files = LineNumberedText.listTextFiles(corpus)
+    // 4 KB max split on ~26 KB files forces ~7 splits per file, so the
+    // prefix-sum path is actually exercised (not one split per file)
+    val split = LineNumberedText.readSplitAware(spark, files, Some(4096L))
+    assert(split.rdd.getNumPartitions > files.size,
+      "splits did not subdivide files; the test is vacuous")
+    val a = split.collect().map(r => (r.filename, r.linenum, r.line)).sorted
+    // Hadoop's LineRecordReader strips a leading UTF-8 BOM (file1.txt has
+    // one); BufferedReader keeps it as content. The normalizer empties the
+    // line either way (P2 drops non-alnum leads), so the postings semantics
+    // are identical — compare modulo the BOM.
+    val b = LineNumberedText.read(spark, files)
+      .collect()
+      .map(r => (r.filename, r.linenum,
+        if (r.linenum == 1) r.line.stripPrefix("\uFEFF") else r.line))
+      .sorted
+    assert(a.length === b.length)
+    assert(a === b)
+  }
+
   test("canonical index: rows sorted by word, postings by (file#, linenum)") {
     val idx = InvertedIndex.referenceIndex(spark, corpus).collect()
     val words = idx.map(_.getString(0)).toSeq
