@@ -79,8 +79,11 @@ object TextAnalysis {
 
   /** Winnowing fingerprints (rolling-hash k-grams, window minima): the
     * document-fingerprint face of near-dup detection — a shared fingerprint
-    * pins a shared substring of length >= k+w-1. Rows-only; model-checked
-    * in TextAnalysisSpec.
+    * pins a shared substring of length >= k+w-1. Model-checked in
+    * TextAnalysisSpec AND oracle-checked: the Long-wraparound polynomial
+    * hash is reproduced in DuckDB with HUGEINT mod-2^64 arithmetic (see
+    * winnowOracle), valid because the fixture text is pure ASCII (ascii()
+    * == the UTF-16 unit the engine hashes).
     */
   def q34Fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -99,6 +102,38 @@ object TextAnalysis {
       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
       |                t -> t <> '') AS toks
       |  FROM documents)""".stripMargin
+
+  /** DuckDB mirror of WinnowFingerprintsExpr (k=8, w=4), generated with the
+    * same constants. The engine's Long arithmetic wraps mod 2^64; DuckDB
+    * BIGINT throws on overflow, so each polynomial step runs in HUGEINT
+    * with an explicit `% 2^64`, and the result re-centers to signed before
+    * the (signed) window-minimum compare.
+    */
+  private def winnowOracle: String = {
+    val B = 0x100000001b3L // WinnowFingerprintsExpr.B
+    val M = BigInt(1) << 64
+    val H = BigInt(1) << 63
+    val k = 8
+    val w = 4
+    var e = "CAST(ascii(substr(text, i, 1)) AS HUGEINT)"
+    for (j <- 1 until k)
+      e = s"(($e) * $B + ascii(substr(text, i+$j, 1))) % $M"
+    val signed = s"CASE WHEN ($e) >= $H THEN ($e) - $M ELSE ($e) END"
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, greatest(length(text) - ${k - 1}, 0)),
+       |      i -> CAST($signed AS BIGINT)) AS gh
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[]) ELSE
+       |      list_sort(list_distinct(list_transform(
+       |        generate_series(1, greatest(len(gh) - $w, 0) + 1),
+       |        s -> list_min(gh[s:least(s + ${w - 1}, len(gh))])))) END AS fps
+       |  FROM g)
+       |SELECT doc_id, CAST(len(fps) AS INT) AS n_fps, fps[1] AS min_fp
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB mirror of text.langId, generated from the same stopword map so
     * the two can never drift.
@@ -154,7 +189,7 @@ object TextAnalysis {
         |  CAST(levenshtein(substr(text, 1, 20), 'the quick brown fox') AS INT)
         |    AS edit_dist
         |FROM documents ORDER BY doc_id""".stripMargin)),
-    QueryDef("q34_fingerprints", q34Fingerprints, None),
+    QueryDef("q34_fingerprints", q34Fingerprints, Some(winnowOracle)),
     QueryDef("q35_token_counts", q35TokenCounts,
       Some(s"""WITH d AS (
         |  SELECT doc_id, text,
