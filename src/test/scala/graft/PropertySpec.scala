@@ -89,4 +89,50 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     assert(got.forall(r => r >= 0.0 && r <= 1.0))
   }
+
+  /** Plain-Scala tokenizer model shared by the native-expression properties
+    * below: maximal [a-z0-9]+ runs of the (Java) lowercased string. For the
+    * generator's character set Java and UTF8String lowercasing agree
+    * (divergences like dotted-İ need locale-special characters the
+    * generator doesn't emit; UTF8String parity on those is covered by the
+    * fixture-edge tests in DedupSpec/TextAnalysisSpec).
+    */
+  private def modelTokens(s: String): Seq[String] =
+    s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  test("native token hashes: count and order match the tokenizer model") {
+    import graft.functions.expressions.TokenXxh64Expr
+    check(Prop.forAll(anyString) { s =>
+      val out = TokenXxh64Expr.compute(UTF8String.fromString(s)).toLongArray()
+      val toks = modelTokens(s)
+      out.length == toks.size &&
+        // per-token hash equals hashing the token string alone
+        out.toSeq == toks.map(t =>
+          TokenXxh64Expr.compute(UTF8String.fromString(t)).toLongArray()(0))
+    })
+  }
+
+  test("native word ngrams equal the sliding-window model") {
+    import graft.functions.expressions.WordNgramsExpr
+    check(Prop.forAll(anyString, Gen.choose(1, 4)) { (s, n) =>
+      val got = WordNgramsExpr.compute(UTF8String.fromString(s), n)
+      val toks = modelTokens(s)
+      val want =
+        if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == want
+    })
+  }
+
+  test("native token set counts equal the multiset-membership model") {
+    import graft.functions.expressions.TokenSetCountsExpr
+    val sets = Seq(Seq("the", "a", "of"), Seq("42", "x9"), Seq("zzz"))
+    val masks = TokenSetCountsExpr.buildMasks(sets)
+    check(Prop.forAll(anyString) { s =>
+      val got = TokenSetCountsExpr
+        .compute(UTF8String.fromString(s), masks, sets.size).toLongArray()
+      val toks = modelTokens(s)
+      got.toSeq == sets.map(set => toks.count(set.contains).toLong)
+    })
+  }
 }
