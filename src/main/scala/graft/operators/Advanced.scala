@@ -55,6 +55,24 @@ object Advanced {
         max(col("l_quantity")).as("q_max"))
       .orderBy(col("l_returnflag"))
 
+  /** q52: approximate quantiles (GK sketch via approx_percentile) — the
+    * sketch-based scale path next to q31's exact sort-based percentiles: at
+    * 100 TB the exact form pays a full sort per group, the sketch is one
+    * mergeable pass of bounded state. Rows-only for the driver (the sketch
+    * is not cross-engine reproducible); the accuracy contract
+    * (|approx - exact rank| <= accuracy bound) is property-checked in
+    * ScalarsSpec.
+    */
+  def q52(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.25, 1000)").as("ap25"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_quantity, 0.75, 1000)").as("ap75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** q32: pivot — order counts per priority × status as columns. */
   def q32(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -207,6 +225,7 @@ object Advanced {
         |  ns - last_purchase_ns AS ns_since_purchase
         |FROM w WHERE event_type = 'click'
         |ORDER BY user_id, event_id""".stripMargin)),
+    QueryDef("q52_approx_quantiles", q52, None),
     QueryDef("q31_percentiles", q31,
       Some("""SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

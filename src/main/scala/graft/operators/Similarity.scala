@@ -211,10 +211,11 @@ object Similarity {
           StructField("neighbor_id", LongType), StructField("score", DoubleType))))
     }
     val model = new KMeans()
-      .setK(IvfCells).setSeed(42).setMaxIter(10)
-      // random init: k-means|| costs several extra distributed passes and
-      // an IVF quantizer only needs roughly-balanced cells, not optimal
-      // ones (recall bound still asserted in SimilaritySpec)
+      // random init + few iterations: k-means|| costs several extra
+      // distributed passes and an IVF quantizer only needs roughly-balanced
+      // cells, not converged-optimal ones (recall bound still asserted in
+      // SimilaritySpec)
+      .setK(IvfCells).setSeed(42).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base)

@@ -25,6 +25,33 @@ class ScalarsSpec extends AnyFunSuite {
     }
   }
 
+  test("q52 approximate quantiles respect the sketch rank-error bound") {
+    import org.apache.spark.sql.functions._
+    val eps = 1.0 / 1000 // accuracy parameter of q52
+    val quantities = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val rows = graft.operators.Advanced.q52(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val vals = quantities(flag)
+      val n = vals.length
+      for ((q, i) <- Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3)) {
+        val a = r.getDouble(i)
+        // returned value must be an actual data point whose rank is within
+        // eps*n (+1 for boundary arithmetic) of the target rank
+        val lo = vals.count(_ < a)
+        val hi = vals.count(_ <= a)
+        val target = q * n
+        assert(lo <= target + eps * n + 1 && hi >= target - eps * n - 1,
+          s"$flag p$q: value $a rank [$lo,$hi] vs target $target (n=$n)")
+      }
+    }
+  }
+
   test("approx_count_distinct within 5% of exact per event_type") {
     val exact = Scalars.q13(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
