@@ -175,6 +175,27 @@ object Relational {
         col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** q53: arbitrary GROUPING SETS — per-priority totals, per-status totals,
+    * and the grand total in one pass (neither ROLLUP's prefix hierarchy nor
+    * CUBE's full lattice). The DataFrame API has no grouping-sets builder,
+    * so the engine form IS SQL over a temp view — same text semantics both
+    * engines; money summed via the fixed-point idiom (num.sqlDsum) so the
+    * hash is stable.
+    */
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(s"""
+      SELECT o_orderpriority, o_orderstatus,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        COUNT(*) AS n,
+        ${sqlDsum("o_totalprice")} AS total
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      ORDER BY g_pri, g_status,
+        o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")
+  }
+
   /** q41: CUBE — all four grouping-set combinations in one pass. */
   def q41(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -324,6 +345,16 @@ object Relational {
         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY g_pri, g_status,
+        |  o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+    QueryDef("q53_grouping_sets", q53,
+      Some(s"""SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  COUNT(*) AS n,
+        |  ${sqlDsum("o_totalprice")} AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY g_pri, g_status,
         |  o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)))
 }
