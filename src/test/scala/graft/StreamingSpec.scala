@@ -113,6 +113,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** The reference pipeline itself, streaming: corpus lines replayed as a
+    * stream through the SAME normalize->group aggregation (SURVEY §2.8 maps
+    * the reference's end-of-input broadcast to epoch/complete-mode
+    * semantics). The drained stream must equal the batch word count.
+    */
+  test("streaming word count over the replayed corpus equals batch") {
+    import graft.sources.{LineNumberedText, RawLine}
+    import graft.operators.InvertedIndex
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val files = LineNumberedText.listTextFiles("/root/reference/testfiles")
+    val lines = LineNumberedText.read(spark, files).collect().toSeq
+    val stream = MemoryStream[RawLine]
+    val (b1, b2) = lines.splitAt(lines.size / 2)
+    def wordCount(df: DataFrame): DataFrame =
+      InvertedIndex.postings(df)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    stream.addData(b1)
+    val q = wordCount(stream.toDF())
+      .writeStream.format("memory").queryName("stream_wc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = canon(spark.table("stream_wc"))
+    val batch = canon(wordCount(
+      LineNumberedText.read(spark, files).toDF()))
+    assert(streamed === batch)
+    assert(streamed.size === 4135) // the golden distinct-word count
+  }
+
   test("streaming dedup keeps one row per event_id") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
