@@ -16,32 +16,34 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Up to three runs per query, min reported: run 1 pays plan codegen and
-    // queues C2 JIT compilation, which lands ASYNCHRONOUSLY — a single
-    // back-to-back rerun can still execute partly interpreted (observed 5x
-    // gaps between run 2 and a settled run at sf0.1). Rerun while the time
-    // is still improving by >15%; steady-state is what a resident engine
-    // delivers.
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+    val runCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // Min of up to six runs per query: run 1 pays plan codegen and queues C2
+    // JIT compilation, which lands ASYNCHRONOUSLY — a single back-to-back
+    // rerun can still execute partly interpreted (observed 5x gaps between
+    // run 2 and a settled run at sf0.1). Rerun while the time is still
+    // improving by >15%; steady-state is what a resident engine delivers.
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def settle(name: String, maxRuns: Int): Double = {
+      var best = once(name)
+      var runs = 1
+      var improving = true
+      while (runs < maxRuns && improving) {
+        val r = once(name)
+        improving = r < best * 0.85
+        if (r < best) best = r
+        runs += 1
       }
+      runCounts(name) = runCounts.getOrElse(name, 0) + runs
+      best
+    }
+    val firstPass = names.map { name =>
       val t =
-        try {
-          var best = once()
-          var runs = 1
-          var improving = true
-          while (runs < 3 && improving) {
-            val r = once()
-            improving = r < best * 0.85
-            if (r < best) best = r
-            runs += 1
-          }
-          best
-        }
+        try settle(name, maxRuns = 6)
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
@@ -49,7 +51,24 @@ object Bench {
         }
       name -> t
     }
+    // Outlier retry pass: a transient load spike on the box (the r3 bench
+    // recorded 2-5x phantom regressions on q24/q26/q27/q28 that no isolated
+    // rerun reproduced) inflates EVERY settle run of whichever query it
+    // overlaps. Queries that landed far above the per-query median get
+    // re-measured minutes later, min kept — a real regression survives the
+    // retry, a noise window doesn't.
+    val okTimes = firstPass.collect { case (_, v) if v >= 0 => v }.sorted
+    val med0 = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
+    val retryFloor = math.max(1.5 * med0, 1.0)
+    val results = firstPass.map { case (name, t) =>
+      if (t > retryFloor && !errors.contains(name))
+        name -> math.min(t,
+          try settle(name, maxRuns = 3) catch { case _: Throwable => t })
+      else name -> t
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rs = names.map(k => "\"" + k + "\":" + runCounts.getOrElse(k, 0))
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -68,7 +87,7 @@ object Bench {
       else if (ok.size % 2 == 1) ok(ok.size / 2)
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","headline_index_pipeline":$headline,"per_query_median":$median,"queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_index_pipeline":$headline,"per_query_median":$median,"queries":$qs,"runs":$rs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,7 +15,8 @@ object Registry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
-      operators.Pipeline.defs
+      operators.Pipeline.defs ++
+      streaming.StreamReplay.defs
 
   def byName(name: String): QueryDef =
     all.find(_.name == name).getOrElse(

@@ -386,8 +386,9 @@ case class TokenSetCountsExpr(child: Expression, sets: Seq[Seq[String]])
       masks, sets.size)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mRef = ctx.addReferenceObj("setMasks", masks,
-      "java.util.HashMap<Long, Long>")
+    // raw type: Janino's generics support is partial, and a generated-code
+    // compile failure would silently drop the stage to interpreted eval
+    val mRef = ctx.addReferenceObj("setMasks", masks, "java.util.HashMap")
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.functions.expressions.TokenSetCountsExpr
          |  .compute($c, $mRef, ${sets.size});""".stripMargin)

@@ -178,7 +178,41 @@ object Advanced {
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
 
+  /** q54: TPC-H Q14 shape (promo revenue) — the one query surface over
+    * `part`: date-sliced lineitem ⋈ part on partkey, revenue ratio of
+    * PROMO-typed parts. The filter prunes lineitem at the scan
+    * (PushedFilters on l_shipdate); part is a genuine dimension (fixed
+    * catalog, not corpus-scaled) so its join side is broadcast. The ratio's
+    * numerator and denominator each use the order-independent fixed-point
+    * sum, divided once — deterministic cross-engine.
+    */
+  def q54(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          dsum(when(col("p_type").startsWith("PROMO"), col("rev"))
+            .otherwise(lit(0.0))) / dsum(col("rev")), 4)
+          .as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q54_promo_revenue", q54,
+      Some(s"""SELECT
+        |  round(100.0 * (${sqlDsum(
+               "CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")})
+        |    / (${sqlDsum("l_extendedprice * (1 - l_discount)")}), 4)
+        |    AS promo_revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
     QueryDef("q36_range_join", q36,
       Some("""WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)

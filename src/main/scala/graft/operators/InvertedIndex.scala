@@ -77,40 +77,16 @@ object InvertedIndex {
       .select(format_string("%s: %s", col("word"), col("postings")))
       .write.mode("overwrite").text(path)
 
-  /** Tier-A twin on the RDD API (BASELINE.json names the RDD approach): the
-    * same map → hash-shuffle → reduce pipeline as the DataFrame form, with
-    * the reference's djb2 routing (plans.Djb2Partitioner) standing in for
-    * the C binary's partitioner. Must produce the identical canonical
-    * output — asserted in InvertedIndexSpec.
-    */
-  def rddReferenceIndex(spark: SparkSession, dir: String): Seq[(String, String)] = {
-    val files = LineNumberedText.listTextFiles(dir)
-    val fileNo = "(\\d+)".r
-    LineNumberedText.read(spark, files)
-      .rdd
-      .map(r => (r.filename.split("/").last, r.linenum,
-        // Locale.ROOT: default-locale lowercasing diverges from Spark's
-        // locale-independent lower() (e.g. dotless-i under tr-TR)
-        r.line.toLowerCase(java.util.Locale.ROOT).takeWhile(c =>
-          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))))
-      .filter(_._3.nonEmpty)
-      .map { case (f, n, w) => (w, (fileNo.findFirstIn(f).fold(0)(_.toInt), f, n)) }
-      .partitionBy(graft.plans.Djb2Partitioner(10))
-      .groupByKey()
-      .mapValues(ps => ps.toSeq.sorted
-        .map { case (_, f, n) => s"($f: $n)" }.mkString(", "))
-      .sortByKey()
-      .collect().toSeq
-  }
-
   /** Tier-B: token-position postings over `documents` — posexplode keeps raw
     * array positions (1-based) so dropped empty tokens leave gaps, exactly as
     * the reference keeps line numbers of dropped lines.
     */
   def documentPostings(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      // single-file inputs arrive as one split; spread the tokenize+explode
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      // No pre-repartition: tokenize+explode is cheaper than shuffling the
+      // text payload (A/B-measured: plain 0.15s vs spread 0.27s for the full
+      // q01 at sf0.1), and at cluster scale the scan arrives as many splits
+      // anyway — the groupBy shuffle right after is the only exchange needed.
       .select(col("doc_id"), posexplode(text.tokens(col("text"))).as(Seq("pos0", "token")))
       .filter(col("token") =!= "")
       .select(col("token"), col("doc_id"), (col("pos0") + 1).cast("int").as("pos"))

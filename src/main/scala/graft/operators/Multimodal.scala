@@ -31,11 +31,14 @@ case class MediaFeatures(media_id: Long, width: Int, height: Int,
   */
 object Multimodal {
 
-  /** Fixture: documents.text as bytes + synthesized metadata. */
+  /** Fixture: documents.text as bytes + synthesized metadata. No
+    * pre-repartition: per-row metadata/hash work is cheaper than shuffling
+    * the payload (A/B-measured: q28 plain 0.16s vs spread 0.29s at sf0.1);
+    * at cluster scale the scan arrives as many splits already.
+    */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(
         col("doc_id").as("media_id"),
         col("text").cast("binary").as("media"),
@@ -62,17 +65,47 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** REAL pure-JVM image decode (javax.imageio — PNG/JPEG/BMP/GIF ship with
+    * the JDK): 16-bin luminance histogram over the decoded pixels,
+    * normalized — the same output contract as `decodeStub`, on actual
+    * pixels. MultimodalSpec drives an in-test PNG through the
+    * mapPartitions path with this decoder; the oracle-checked q29 keeps the
+    * stub because the fixture's payloads are text-derived, not images.
+    */
+  def decodeImage(media: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    require(img != null, "payload is not a decodable image")
+    val hist = new Array[Float](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 4) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(img.getWidth.toLong * img.getHeight, 1L).toFloat
+    hist.map(_ / n)
+  }
+
   /** Feature extraction: mapPartitions so a real decoder would be
     * initialized once per partition and fed a stream of rows (the Spark-side
-    * batch shape of a Pandas-UDF/Arrow pipeline), never per row.
+    * batch shape of a Pandas-UDF/Arrow pipeline), never per row. The decoder
+    * is pluggable: `decodeStub` (default, fixture-safe) or `decodeImage`
+    * (real javax.imageio pixels).
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+      decode: Array[Byte] => Array[Float] = decodeStub): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real codecs acquire native resources here, once per partition
       rows.map { r =>
         MediaFeatures(r.media_id, r.width, r.height, r.media.length,
-          decodeStub(r.media))
+          decode(r.media))
       }
     }
   }

@@ -63,8 +63,12 @@ object Pipeline {
     * DuckDB oracle applies verbatim; planted-PII behavior is additionally
     * spec-checked (the fixture corpus itself contains no PII).
     */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val UrlRe = "https?://[^ ]+"
+  // (?i): PII is case-blind (Bob@Example.COM, HTTPS://...) — the inline flag
+  // is shared by Java regex and RE2, so the DuckDB oracle stays in sync.
+  // URL body is whitespace-bounded ([^\s], not [^ ]) so a URL in multi-line
+  // text can't swallow newlines and the lines after them.
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "(?i)https?://[^\\s]+"
   val LongNumRe = "[0-9]{7,}"
 
   def redact(docs: DataFrame): DataFrame =
@@ -88,21 +92,48 @@ object Pipeline {
 
   /** q50: token-budget chunk packing — documents are assigned to training
     * chunks of ~`budget` tokens by cumulative token offset in doc_id order
-    * (chunk = floor(preceding-tokens / budget)): deterministic, one window
-    * pass, no driver state. At cluster scale the window would be keyed by a
-    * shard column so the cumulative sum never funnels one partition; the
-    * declared query uses the global order the oracle can reproduce.
+    * (chunk = floor(preceding-tokens / budget)): deterministic, no driver
+    * state.
+    *
+    * The cumulative sum is TWO-PHASE so it never funnels one partition (a
+    * global `Window.orderBy` plans `Exchange SinglePartition` — the whole
+    * corpus through one task; PlanSpec asserts that exchange is gone):
+    *   1. shard = doc_id / ShardSize (monotone in doc_id, so shard order ==
+    *      global order); within-shard running sums run as a PARTITIONED
+    *      window, all shards in parallel;
+    *   2. each shard's offset = sum of the totals of the shards before it,
+    *      computed on the tiny per-shard aggregate (corpus/ShardSize rows)
+    *      via a broadcast triangular join — no single-partition exchange
+    *      anywhere. (At extreme shard counts this level nests once more —
+    *      the classic two-level scan — but one level covers ~1e4 shards,
+    *      i.e. ~40M docs, before the triangle matters.)
+    * offset + within-shard cumsum == the global cumsum, long for long, so
+    * the oracle SQL is unchanged.
     */
   val ChunkBudget = 2048L
+  val ShardSize = 4096L
 
   def q50(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), text.tokenCount(col("text")).as("n_tokens"),
+        (col("doc_id") / ShardSize).cast("long").as("shard"))
+    val withinW = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), text.tokenCount(col("text")).as("n_tokens"))
+    val totals = toks.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_total"))
+    val offsets = totals
+      .join(broadcast(totals.select(col("shard").as("s2"),
+        col("shard_total").as("t2"))), col("s2") < col("shard"), "left")
+      .groupBy(col("shard"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("shard_offset"))
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(withinW))
+      .join(broadcast(offsets), Seq("shard"))
       .withColumn("chunk_id",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+        floor((col("shard_offset") + col("cum") - col("n_tokens"))
           / ChunkBudget).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id"))
       .orderBy(col("doc_id"))
   }
 

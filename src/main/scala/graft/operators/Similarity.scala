@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * candidates to bucket/cell-local sets and are recall-checked against the
   * exact top-k in SimilaritySpec. q24 is the cosine near-dup face of the
   * same bucketing.
+  *
+  * Spread policy (A/B-measured at sf0.1): the `repartition(..., vec_id)`
+  * before the vector math is the ONE place a payload spread pays — the
+  * NTables×Planes×dim bucket dot products (and the pairwise cosines they
+  * feed) dominate the shuffle cost (q24: spread 0.60s vs plain 0.74s).
+  * Cheap per-row ops (hashing, tokenizing, metadata) measured the other way
+  * and carry no spread — see InvertedIndex.documentPostings / Multimodal.
   */
 object Similarity {
 
@@ -135,6 +142,15 @@ object Similarity {
     val base = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+    lshNearDupPairs(base, NearDupCosine)
+  }
+
+  /** The LSH near-dup core on any (vec_id, v: array<double>) frame —
+    * factored out so SimilaritySpec can recall-check it at the production
+    * threshold (cosine >= 0.95, where the banding theory gives ~0.95
+    * recall) as well as the fixture threshold q24 declares.
+    */
+  def lshNearDupPairs(base: DataFrame, threshold: Double): DataFrame = {
     val bucketed = base.select(col("vec_id"),
       explode(vecexprs.hyperplaneBuckets(col("v"), Planes, NTables)).as("bucket"))
     // ids through the bucket join, dedupe, then fetch vectors + score once
@@ -148,7 +164,7 @@ object Similarity {
       .join(base.select(col("vec_id").as("b_id"), col("v").as("bv")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(vecexprs.cosineSim(col("av"), col("bv")), 6).as("cosine"))
-      .filter(col("cosine") >= NearDupCosine)
+      .filter(col("cosine") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -31,7 +31,6 @@ object TextAnalysis {
     */
   def q19Ngrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(
         graft.functions.expressions.textnative.wordNgrams(col("text"), 3))
         .as("gram"))
@@ -87,7 +86,6 @@ object TextAnalysis {
     */
   def q34Fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(
         col("doc_id"),
         graft.functions.expressions.sketch

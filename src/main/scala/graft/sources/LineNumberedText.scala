@@ -111,6 +111,10 @@ object LineNumberedText {
       var n = bc.value((file, fs.getStart))
       it.map { case (_, t) =>
         n += 1
+        // fail loudly instead of wrapping negative past 2^31 lines — RawLine
+        // keeps the reference's int linenum (mapreduce.c postings are int)
+        require(n <= Int.MaxValue,
+          s"$file exceeds Int.MaxValue lines; widen RawLine.linenum to Long")
         RawLine(file, n.toInt,
           new String(t.getBytes, 0, t.getLength, StandardCharsets.UTF_8))
       }

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-visible Structured Streaming evidence (SURVEY §2.8): q55 replays
+  * the `events` parquet through a REAL file-streaming source and drains the
+  * watermarked tumbling aggregation — the execution path is
+  * `StreamingQuery`/micro-batch, not batch, yet the drained result equals
+  * the batch twin q14 by construction (same transform, complete-mode sink),
+  * so q14's oracle SQL hash-checks it.
+  *
+  * Scale shape: the file source is incremental (maxFilesPerTrigger bounds a
+  * micro-batch at cluster scale), state is the watermarked window store
+  * (O(open windows × event types), never O(history)); the memory sink holds
+  * only the aggregated result, which is what any production sink would
+  * receive.
+  */
+object StreamReplay {
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    // file-stream sources need an explicit schema: one metadata-only batch
+    // read supplies it (ts arrives as raw nanos under nanosAsLong, exactly
+    // as in Tables.events). The source's basePath must be a DIRECTORY, and
+    // the fixture's events.parquet is a single file — stream the parent
+    // directory with pathGlobFilter selecting just that file (a production
+    // deployment points at a landing directory; the glob is the adapter).
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val sink = s"q55_replay_sink_${runSeq.incrementAndGet()}"
+    val query = EventStreams.tumblingCounts(events)
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally query.stop()
+    spark.table(sink).orderBy(col("bucket_ms"), col("event_type"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // same result contract as q14 — the oracle is intentionally identical
+    QueryDef("q55_stream_replay", q55,
+      Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |  event_type, COUNT(*) AS n,
+        |  ${graft.functions.num.sqlDsum("value")} AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin)))
+}

@@ -38,12 +38,38 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(enginePostings.map(_._1).distinct.size === 4135)
   }
 
+  /** RDD-API golden twin (BASELINE.json names the RDD approach): the same
+    * map → hash-shuffle → reduce pipeline as the DataFrame form, with the
+    * reference's djb2 routing (plans.Djb2Partitioner) standing in for the C
+    * binary's partitioner. Test-scoped on purpose — its
+    * `groupByKey().collect()` is a golden-comparison convenience (4,135
+    * rows), not an endorsed data-path pattern.
+    */
+  private def rddReferenceIndex(dir: String): Seq[(String, String)] = {
+    val files = LineNumberedText.listTextFiles(dir)
+    val fileNo = "(\\d+)".r
+    LineNumberedText.read(spark, files)
+      .rdd
+      .map(r => (r.filename.split("/").last, r.linenum,
+        // Locale.ROOT: default-locale lowercasing diverges from Spark's
+        // locale-independent lower() (e.g. dotless-i under tr-TR)
+        r.line.toLowerCase(java.util.Locale.ROOT).takeWhile(c =>
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))))
+      .filter(_._3.nonEmpty)
+      .map { case (f, n, w) => (w, (fileNo.findFirstIn(f).fold(0)(_.toInt), f, n)) }
+      .partitionBy(graft.plans.Djb2Partitioner(10))
+      .groupByKey()
+      .mapValues(ps => ps.toSeq.sorted
+        .map { case (_, f, n) => s"($f: $n)" }.mkString(", "))
+      .sortByKey()
+      .collect().toSeq
+  }
+
   test("RDD-API twin produces the identical canonical index") {
     val df = InvertedIndex.referenceIndex(spark, corpus)
       .select("word", "postings")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val rdd = InvertedIndex.rddReferenceIndex(spark, corpus)
-    assert(rdd === df)
+    assert(rddReferenceIndex(corpus) === df)
   }
 
   test("S3 text sink writes the reference's formatted lines") {

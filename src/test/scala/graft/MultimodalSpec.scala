@@ -33,6 +33,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG decode through the mapPartitions path (javax.imageio)") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // two real PNGs: solid black (luminance 0 -> bin 0) and solid white
+    // (luminance 255 -> bin 15)
+    def png(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(0L, png(0x000000), 8, 4, "png"),
+      MediaRow(1L, png(0xffffff), 8, 4, "png")).toDS()
+    val feats = Multimodal.extractFeatures(media, Multimodal.decodeImage)
+      .collect().sortBy(_.media_id)
+    assert(feats.length === 2)
+    assert(feats(0).features(0) === 1.0f)   // all-black pixels in bin 0
+    assert(feats(1).features(15) === 1.0f)  // all-white pixels in bin 15
+    feats.foreach(f => assert(math.abs(f.features.sum - 1.0f) < 1e-3))
+  }
+
   test("resize bounds payload and is deterministic") {
     val resized = Multimodal.resize(Multimodal.mediaTable(spark, dir), 64)
     val a = resized.collect().map(r => r.media_id -> r.media.toSeq).toMap

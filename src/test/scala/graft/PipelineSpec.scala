@@ -31,7 +31,12 @@ class PipelineSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or visit https://ex.com/a?b=1 now"),
       (2L, "call 12345678 ref 9876543210 code 123"), // two long runs, one short
-      (3L, "clean text with no pii at all"))
+      (3L, "clean text with no pii at all"),
+      // mixed-case PII must not escape the (?i) patterns
+      (4L, "mail Bob@Example.COM or HTTPS://Ex.COM/Path today"),
+      // a URL at end-of-line must stop at the newline, not swallow the
+      // following lines up to the next space
+      (5L, "see https://ex.com/docs\nsecond line stays\nthird line too"))
       .toDF("doc_id", "text")
     val rows = Pipeline.redact(docs).collect()
     val byId = rows.map(r => r.getLong(0) ->
@@ -41,6 +46,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId(2L)._3 === 2)
     assert(byId(2L)._4 === "call <NUM> ref <NUM> code 123")
     assert(byId(3L) === ((0, 0, 0, "clean text with no pii at all")))
+    assert(byId(4L)._1 === 1 && byId(4L)._2 === 1)
+    assert(byId(4L)._4 === "mail <EMAIL> or <URL> today")
+    assert(byId(5L)._4 === "see <URL>\nsecond line stays\nthird line too")
   }
 
   test("chunk packing never splits a doc and respects the running budget") {

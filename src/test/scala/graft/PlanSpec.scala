@@ -71,6 +71,21 @@ class PlanSpec extends AnyFunSuite {
       "dedup lost its partial aggregation phase")
   }
 
+  test("q50: two-phase cumulative sum plans no single-partition exchange") {
+    // A global Window.orderBy would funnel the whole corpus through ONE
+    // task (Exchange SinglePartition); the shard-keyed rewrite must keep
+    // every exchange hash- or range-partitioned.
+    val p = plan(graft.operators.Pipeline.q50(spark, dir))
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
+
+  test("q54: lineitem date slice is pushed down; part join is broadcast") {
+    val p = plan(graft.operators.Advanced.q54(spark, dir))
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate not pushed")
+    assert(p.contains("BroadcastHashJoin"), "part dimension not broadcast")
+  }
+
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
     // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
     // back into these projections would silently drop the whole stage out of

@@ -87,4 +87,40 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.10, s"near-dup recall $recall below theory floor")
   }
+
+  test("LSH near-dup recall >= 0.9 at the production threshold (0.95)") {
+    // Planted corpus: 200 random 64-dim vectors plus 50 true near-dups
+    // (v + 0.15*noise => cosine ~0.99). At c >= 0.95 the banding theory
+    // gives per-plane p = 1 - acos(c)/pi >= 0.90, so 4 tables x 6 planes
+    // recall 1-(1-p^6)^4 >= 0.95 — THIS is the operating point the
+    // fixture-threshold test above cannot exercise.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def vec(): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val planted = base.take(50).map { case (i, v) =>
+      (200L + i, v.zip(Array.fill(dim)(rnd.nextGaussian()))
+        .map { case (x, g) => x + 0.15 * g })
+    }
+    val all = base ++ planted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.95
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 40, s"fixture degenerate: only ${truth.size} true pairs")
+    import spark.implicits._
+    val df = all.toDF("vec_id", "v")
+    val found = Similarity.lshNearDupPairs(df, 0.95)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((found -- truth).isEmpty, "LSH must never invent a pair")
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"production-threshold recall $recall below 0.9")
+  }
 }
