@@ -178,7 +178,103 @@ object Dedup {
       .orderBy(col("probe_id"), col("doc_id"))
   }
 
+  // ---- dup-cluster resolution (connected components) ----------------------
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with itself; each round every node takes the minimum
+    * label among itself and its neighbors, until a fixpoint. The result
+    * label is the component's minimum id — exactly the "keep the smallest
+    * id per duplicate cluster" rule the exact dedup (q18) applies, lifted
+    * to transitive NEAR-duplicate clusters (near-dup is not transitive, so
+    * pair output alone under-deletes: a~b, b~c must collapse to one keeper
+    * even when a~c is below threshold).
+    *
+    * Scale shape: each round is a shuffle join (edges ⋈ labels on the node
+    * id) plus a POINTER JUMP (labels ⋈ labels: v also takes lab(lab(v))),
+    * then one min-aggregate; the jump makes convergence O(log diameter)
+    * instead of O(diameter) — measured on the fixture graph (diameter 16):
+    * 5 rounds instead of 17. `localCheckpoint` truncates the lineage so
+    * round N's plan doesn't replay rounds 1..N-1. The only driver-side
+    * value per round is one scalar (the label sum, which strictly decreases
+    * until the fixpoint — the convergence test needs no row-level diff
+    * join). The fixpoint is exactly component-min: labels only travel
+    * edges, and a fixpoint under neighbor-min forces labels constant per
+    * component, pinned at the minimum id.
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("s"), col("b_id").as("d"))
+      .union(pairs.select(col("b_id").as("s"), col("a_id").as("d")))
+      .localCheckpoint() // eager: reused by every round's join
+    // Only edge-incident nodes iterate — at production dup rates that is a
+    // few percent of the corpus; everyone else is a singleton (lab = v)
+    // resolved by one post-loop join, never shuffled per round.
+    val active = edges.select(col("s").as("v")).distinct()
+    def labSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lab")), lit(0L))).head().getLong(0)
+    var labels = active.select(col("v"), col("v").as("lab")).localCheckpoint()
+    var cur = labSum(labels)
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val neigh = edges.join(labels, edges("s") === labels("v"))
+        .select(col("d").as("v"), col("lab"))
+      val jump = labels.select(col("v"), col("lab").as("ptr"))
+        .join(labels.select(col("v").as("ptr2"), col("lab")),
+          col("ptr") === col("ptr2"))
+        .select(col("v"), col("lab"))
+      val next = labels.union(neigh).union(jump)
+        .groupBy(col("v")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+      val nextSum = labSum(next)
+      done = nextSum == cur
+      cur = nextSum
+      labels = next
+      round += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxRounds rounds")
+    ids.join(labels, Seq("v"), "left")
+      .select(col("v"), coalesce(col("lab"), col("v")).as("lab"))
+  }
+
+  /** q56: near-dup cluster resolution over the exact cosine pair graph
+    * (q48) — every vector gets its cluster representative (min vec_id in
+    * its component) and the keep/drop decision. The complete dedup verdict
+    * a curation pipeline applies after pair generation; at 100 TB the pair
+    * input is q24's LSH bucketed pairs instead of the exact anchor — same
+    * component step.
+    *
+    * Bench note: inherently iterative — O(log diameter) sequential rounds,
+    * each a Spark job (the fixture graph takes 4). Local wall time is
+    * job-scheduling latency, not data volume; per-round data is one
+    * (id, label) pair frame over edge-incident nodes only.
+    */
+  def q56(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      Tables.embeddings(spark, dir).select(col("vec_id").as("v")),
+      Similarity.q48(spark, dir).select(col("a_id"), col("b_id")))
+      .select(col("v").as("vec_id"), col("lab").as("rep_id"),
+        (col("lab") === col("v")).as("is_kept"))
+      .orderBy(col("vec_id"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q56_dup_clusters", q56,
+      Some(s"""WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |      FROM e a, e b
+        |      WHERE a.vec_id < b.vec_id
+        |        AND round(list_cosine_similarity(a.v, b.v), 6) >=
+        |            ${Similarity.NearDupCosine}),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |cc(v, lab) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT edges.d, cc.lab FROM cc JOIN edges ON edges.s = cc.v)
+        |SELECT v AS vec_id, MIN(lab) AS rep_id, (MIN(lab) = v) AS is_kept
+        |FROM cc GROUP BY v ORDER BY vec_id""".stripMargin)),
     QueryDef("q18_exact_dedup", q18,
       Some("""SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
         |  COUNT(*) AS n_copies

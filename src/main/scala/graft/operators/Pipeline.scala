@@ -155,7 +155,65 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("rn"))
       .orderBy(col("lang"), col("rn"))
 
+  /** q57: benchmark decontamination — flag training documents whose word
+    * 3-grams overlap the evaluation set's (every `EvalEvery`-th doc stands
+    * in for the benchmark). The canonical pre-training leakage check:
+    * contamination = fraction of a train doc's distinct 3-grams that occur
+    * anywhere in the eval set.
+    *
+    * Scale shape: the eval gram set is broadcast — benchmarks are MB-scale
+    * by construction while the train corpus is the 100 TB side, so this is
+    * THE textbook broadcast join. Train grams explode node-locally (narrow)
+    * and the only shuffle is the per-doc count aggregate, which partial-
+    * aggregates map-side — gram strings never cross the wire. At corpus
+    * scale the gram key would be xxhash64'd (q21's shingle machinery) to
+    * make even the broadcast fixed-width.
+    */
+  val EvalEvery = 50L
+
+  def decontaminate(docs: DataFrame, evalEvery: Long): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      array_distinct(graft.functions.expressions.textnative
+        .wordNgrams(col("text"), 3)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % evalEvery === 0)
+      .select(explode(col("g")).as("gram")).distinct()
+      .withColumn("hit", lit(1))
+    grams.filter(col("doc_id") % evalEvery =!= 0)
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        explode(col("g")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination", col("n_contaminated") / col("n_grams"))
+      .withColumn("is_contaminated", col("n_contaminated") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  def q57(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir), EvalEvery)
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q57_decontaminate", q57,
+      Some(s"""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS g
+        |  FROM d),
+        |ev AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % $EvalEvery = 0),
+        |tr AS (SELECT doc_id, CAST(len(g) AS INT) AS n_grams, unnest(g) AS gram
+        |       FROM g WHERE doc_id % $EvalEvery <> 0)
+        |SELECT tr.doc_id, tr.n_grams,
+        |  COUNT(ev.gram) AS n_contaminated,
+        |  COUNT(ev.gram) / tr.n_grams AS contamination,
+        |  COUNT(ev.gram) > 0 AS is_contaminated
+        |FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+        |GROUP BY tr.doc_id, tr.n_grams
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q44_corpus_filter", q44,
       Some("""WITH q AS (
         |  SELECT doc_id, lang, text,

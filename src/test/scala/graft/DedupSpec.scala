@@ -85,6 +85,20 @@ class DedupSpec extends AnyFunSuite {
       s"unrelated docs flagged as near-dups: $unrelatedHits")
   }
 
+  test("connected components resolve transitive near-dup chains to min-id reps") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 NOT paired — transitivity must come from the CC),
+    // clique 10-11-12, pair 20-21, singletons 30, 31
+    val ids = (Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 30L, 31L)).toDF("v")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 31L)
+    assert(got === want)
+  }
+
   test("MinHash signature is deterministic across evaluations") {
     import spark.implicits._
     val docs = corpus.take(5).toDF("doc_id", "text")

@@ -26,6 +26,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept === Seq(10L, 12L))
   }
 
+  test("decontamination flags exactly the train docs sharing eval 3-grams") {
+    import spark.implicits._
+    // doc 0 is the eval doc (0 % evalEvery == 0); 1 copies one of its
+    // trigrams verbatim, 2 shares only bigrams (no full trigram), 3 is clean
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "x y alpha beta gamma z w"),
+      (2L, "beta gamma then alpha beta stop it"),
+      (3L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val rows = Pipeline.decontaminate(docs, Pipeline.EvalEvery)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // doc 1: grams {x y alpha, y alpha beta, alpha beta gamma, beta gamma z,
+    // gamma z w} — exactly one ("alpha beta gamma") is an eval gram
+    assert(rows(1L) === ((5, 1L, true)))
+    assert(rows(2L)._3 === false, "shared bigrams alone must not flag")
+    assert(rows(3L) === ((4, 0L, false)))
+    assert(!rows.contains(0L), "eval docs are not scored")
+  }
+
   test("redaction scrubs planted PII and counts each kind") {
     import spark.implicits._
     val docs = Seq(
