@@ -192,7 +192,49 @@ object Pipeline {
   def q57(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(spark, dir), EvalEvery)
 
+  /** q59: language mixture weights — the sampling-weight table a
+    * multilingual pre-training run feeds its data loader: per-language
+    * token mass, its share, and a temperature-smoothed weight
+    * sqrt(share)/Z (alpha = 0.5 upweights tail languages; sqrt specifically
+    * because IEEE sqrt is correctly rounded in every engine, so the oracle
+    * matches bit-for-bit where an arbitrary pow could drift an ulp). Z uses
+    * the order-independent fixed-point sum for the same reason. One
+    * aggregate over the corpus (language-keyed, partial map-side), then
+    * arithmetic on the tiny per-language table — nothing here grows with
+    * corpus size except the first groupBy.
+    */
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(text.tokenCount(col("text"))).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    val withShare = per.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("tot"))
+      .withColumn("sw", sqrt(col("share")))
+    val z = withShare.agg(graft.functions.num.dsum(col("sw")).as("z"))
+    withShare.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("sw") / col("z"), 6).as("weight"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q59_mix_weights", q59,
+      Some(s"""WITH per AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    SUM(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '')) AS BIGINT)) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |s AS (
+        |  SELECT *, CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per) AS share
+        |  FROM per),
+        |w AS (SELECT *, sqrt(share) AS sw FROM s),
+        |z AS (SELECT ${graft.functions.num.sqlDsum("sw")} AS z FROM w)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(share, 6) AS share, round(sw / z.z, 6) AS weight
+        |FROM w, z ORDER BY lang""".stripMargin)),
     QueryDef("q57_decontaminate", q57,
       Some(s"""WITH d AS (
         |  SELECT doc_id,

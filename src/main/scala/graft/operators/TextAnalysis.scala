@@ -150,7 +150,110 @@ object TextAnalysis {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** q58: repetition signals — the Gopher-style quality filters a
+    * pre-training corpus applies to catch degenerate/boilerplate text:
+    * distinct-token fraction, top-token fraction (most frequent token's
+    * share), duplicate-2-gram fraction. The array-based signals are pure
+    * per-row projections (native n-gram expression, zero shuffles); the
+    * top-token share needs one (doc_id, token)-keyed count — a key space
+    * that partial-aggregates map-side and never concentrates (doc_id in the
+    * key), so it scales with the corpus.
+    */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.expressions.textnative.wordNgrams(col("text"), 1).as("toks"),
+        graft.functions.expressions.textnative.wordNgrams(col("text"), 2).as("g2"))
+      .filter(size(col("toks")) > 0 && size(col("g2")) > 0)
+    val perRow = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        .as("distinct_frac"),
+      (lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")))
+        .as("dup_2gram_frac"))
+    val top = toks.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    perRow.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_frac"),
+        (col("top_cnt").cast("double") / col("n_tokens")).as("top_token_frac"),
+        col("dup_2gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q60: per-document TF-IDF top-K terms — the classic corpus-statistics
+    * pass (salient-term extraction for tagging/clustering). tf = in-doc
+    * share, idf = ln((N+1)/(df+1)); the score is ROUNDED to 6 dp BEFORE
+    * ranking so the (score DESC, term) order is identical cross-engine even
+    * if a libm ulp differs. Shuffles: one (doc,term) count, one term-keyed
+    * df aggregate + join (vocabulary-sized, partial-aggregated), one
+    * doc-keyed window — all shuffle keys scale with data, nothing global.
+    */
+  val TfIdfTopK = 5
+
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.expressions.textnative.wordNgrams(col("text"), 1))
+          .as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tc"))
+    val dtot = tf.groupBy(col("doc_id")).agg(sum(col("tc")).as("dt"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dtot, Seq("doc_id")).join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("tc").cast("double") / col("dt")) *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rnk") <= TfIdfTopK)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_repetition_signals", q58,
+      Some(s"""$toksCte,
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 2
+        |         THEN list_transform(generate_series(1, len(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+1], ' '))
+        |         ELSE [] END AS g2
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_frac,
+        |  CAST(list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+        |    / len(toks) AS top_token_frac,
+        |  1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_frac
+        |FROM g WHERE len(toks) > 0 AND len(g2) > 0
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q60_tfidf_topk", q60,
+      Some(s"""$toksCte,
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tc
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        |  GROUP BY doc_id, term),
+        |dtot AS (SELECT doc_id, SUM(tc) AS dt FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round((CAST(tc AS DOUBLE) / dt) * ln((n_docs + 1.0) / (df + 1.0)), 6)
+        |      AS tfidf
+        |  FROM tf JOIN dtot USING (doc_id) JOIN dfreq USING (term), n),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM s)
+        |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= $TfIdfTopK
+        |ORDER BY doc_id, rnk""".stripMargin)),
     QueryDef("q19_token_top100", q19Tokens,
       Some(s"""$toksCte
         |SELECT token, COUNT(*) AS n FROM (SELECT unnest(toks) AS token FROM d)

@@ -86,6 +86,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "part dimension not broadcast")
   }
 
+  test("q57: eval gram set joins broadcast; train grams never self-shuffle") {
+    val p = plan(graft.operators.Pipeline.q57(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "eval grams not broadcast")
+    assert(!p.contains("SortMergeJoin"), "gram join fell back to SMJ")
+  }
+
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
     // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
     // back into these projections would silently drop the whole stage out of
