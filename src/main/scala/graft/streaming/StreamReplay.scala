@@ -22,32 +22,55 @@ object StreamReplay {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def q55(spark: SparkSession, dir: String): DataFrame = {
-    // file-stream sources need an explicit schema: one metadata-only batch
-    // read supplies it (ts arrives as raw nanos under nanosAsLong, exactly
-    // as in Tables.events). The source's basePath must be a DIRECTORY, and
-    // the fixture's events.parquet is a single file — stream the parent
-    // directory with pathGlobFilter selecting just that file (a production
-    // deployment points at a landing directory; the glob is the adapter).
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val events = spark.readStream.schema(schema)
+  /** The `events` table as a REAL file-stream source. File-stream sources
+    * need an explicit schema: one metadata-only batch read supplies it (ts
+    * arrives as raw nanos under nanosAsLong, exactly as in Tables.events).
+    * The source's basePath must be a DIRECTORY, and the fixture's
+    * events.parquet is a single file — stream the parent directory with
+    * pathGlobFilter selecting just that file (a production deployment
+    * points at a landing directory; the glob is the adapter).
+    */
+  private def replayEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
-    val sink = s"q55_replay_sink_${runSeq.incrementAndGet()}"
-    val query = EventStreams.tumblingCounts(events)
-      .writeStream
+  }
+
+  private def drain(df: DataFrame, sinkPrefix: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val sink = s"${sinkPrefix}_${runSeq.incrementAndGet()}"
+    val query = df.writeStream
       .format("memory")
       .queryName(sink)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     try query.awaitTermination()
     finally query.stop()
-    spark.table(sink).orderBy(col("bucket_ms"), col("event_type"))
+    spark.table(sink)
   }
+
+  def q55(spark: SparkSession, dir: String): DataFrame =
+    drain(EventStreams.tumblingCounts(replayEvents(spark, dir)),
+      "q55_replay_sink", "complete")
+      .orderBy(col("bucket_ms"), col("event_type"))
+
+  /** q61: streaming ingest dedup, driver-visible — the replayed events run
+    * through the watermark-evicting dropDuplicatesWithinWatermark state
+    * (append mode: rows emit as they arrive, so unlike session output the
+    * drained result does not depend on the final watermark). The fixture's
+    * event_ids are unique, so the drained stream must equal the table
+    * row-for-row; the duplicate-suppression behavior itself is
+    * planted-dup-checked in StreamingSpec.
+    */
+  def q61(spark: SparkSession, dir: String): DataFrame =
+    drain(EventStreams.dedupEvents(replayEvents(spark, dir))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+      "q61_dedup_sink", "append")
+      .orderBy(col("event_id"))
 
   val defs: Seq[QueryDef] = Seq(
     // same result contract as q14 — the oracle is intentionally identical
@@ -55,5 +78,8 @@ object StreamReplay {
       Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |  event_type, COUNT(*) AS n,
         |  ${graft.functions.num.sqlDsum("value")} AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin)))
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin)),
+    QueryDef("q61_stream_dedup", q61,
+      Some("""SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin)))
 }
