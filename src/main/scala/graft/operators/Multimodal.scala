@@ -102,8 +102,9 @@ object Multimodal {
       decode: Array[Byte] => Array[Float] = decodeStub): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codecs acquire native resources here, once per partition
-      rows.map { r =>
+      // real codecs acquire native resources here, once per partition;
+      // rows with no payload are skipped (a decoder cannot fabricate one)
+      rows.filter(_.media != null).map { r =>
         MediaFeatures(r.media_id, r.width, r.height, r.media.length,
           decode(r.media))
       }

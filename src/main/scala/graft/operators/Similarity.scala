@@ -214,6 +214,10 @@ object Similarity {
     val base = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      // null embeddings can't train or be assigned a cell (array_to_vector
+      // throws); the cosine tiers drop them via null propagation, the IVF
+      // tier drops them here
+      .filter(col("v").isNotNull)
       .withColumn("fv", array_to_vector(col("v")))
     // KMeans cannot train on an empty corpus — short-circuit with an empty,
     // schema-correct result (the one isEmpty probe is fine for an operator
