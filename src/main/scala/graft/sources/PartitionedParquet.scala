@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Hive-style partitioned parquet output — the canonical layout a curation
+  * pipeline writes its corpus shards in: one directory per partition-key
+  * value (`lang=en/…`), files within each partition sorted on the sort key
+  * so downstream range scans and merge-style consumers read sequentially.
+  *
+  * At 100 TB this buys two things on the READ side, both asserted in
+  * SourcesSpec: partition PRUNING (a `lang = 'en'` filter never lists, let
+  * alone reads, the other languages' directories — PartitionFilters in the
+  * scan, zero data touched) and within-file ordering (consumers needing
+  * doc_id order per shard skip the sort). The partition key should be
+  * low-cardinality and skew-tolerant (language, source, date — never a
+  * high-cardinality id, which would explode the file count).
+  */
+object PartitionedParquet {
+
+  def write(df: DataFrame, path: String, partitionKey: String,
+      sortKey: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    // repartition on the partition key first so each partition directory is
+    // written by the tasks owning that key (small file count — without it,
+    // every task writes a sliver into every directory); then sort within
+    // tasks so each parquet file is ordered on the sort key. A skewed
+    // partition value splits across tasks via AQE, still sorted per file.
+    df.repartition(col(partitionKey))
+      .sortWithinPartitions(col(partitionKey), col(sortKey))
+      .write
+      .partitionBy(partitionKey)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

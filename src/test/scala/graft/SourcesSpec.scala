@@ -51,6 +51,39 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned parquet sink: layout, pruning, and within-file order") {
+    withTemp { tmp =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.PartitionedParquet.write(docs, s"$tmp/out", "lang", "doc_id")
+      // hive-style directory per language
+      val subdirs = new java.io.File(s"$tmp/out").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("lang=")), subdirs)
+      // read-back equality (partition column round-trips)
+      val back = graft.sources.PartitionedParquet.read(spark, s"$tmp/out")
+      assert(back.count() === docs.count())
+      assert(back.select(sum(col("doc_id"))).head().getLong(0) ===
+        docs.select(sum(col("doc_id"))).head().getLong(0))
+      // partition pruning: a lang filter must become a PartitionFilter on
+      // the scan, not a data filter over all languages
+      val p = back.filter(col("lang") === "en").queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(p.contains("PartitionFilters: [isnotnull(lang"), p.take(600))
+      // within-file order: each parquet file ascends on doc_id
+      val files = new java.io.File(s"$tmp/out").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val ids = spark.read.parquet(f.getPath)
+          .select(col("doc_id")).collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
+      }
+    }
+  }
+
   test("streaming parquet sink restarts from checkpoint exactly once") {
     withTemp { tmp =>
       import spark.implicits._
