@@ -220,7 +220,52 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** q63: cleaned-corpus label profile — the post-cleaning sanity check a
+    * curation run does before training: join the quality-filtered corpus
+    * (q44's gates + content dedup) to its embedding labels and profile the
+    * surviving class balance (doc count + mean length per label). The join
+    * is corpus × corpus on the shared id — the shape the bucketed-table
+    * tier (`sources/Bucketed`) exists for at 100 TB: both sides pre-
+    * bucketed on the id join with no exchange; here the plain shuffle join
+    * is the declared form.
+    */
+  def q63(spark: SparkSession, dir: String): DataFrame =
+    corpusFilter(Tables.documents(spark, dir))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label")),
+        col("doc_id") === col("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("n_tokens")).as("avg_tokens"))
+      .orderBy(col("label"))
+
+  /** Shared oracle CTE for the q44 cleaning gates + dedup (q44 and q63). */
+  private val cleanedCte =
+    """WITH q AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                         t -> t <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS alpha_ratio,
+      |    round(CAST(len(list_filter(
+      |        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                    t -> t <> ''),
+      |        t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))
+      |        AS DOUBLE) / greatest(len(list_filter(
+      |          regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')), 1),
+      |      4) AS sw_ratio
+      |  FROM documents),
+      |f AS (
+      |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM q
+      |  WHERE n_tokens >= 20 AND alpha_ratio >= 0.5 AND sw_ratio <= 0.5),
+      |cleaned AS (SELECT doc_id, lang, n_tokens FROM f WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q63_label_profile", q63,
+      Some(s"""$cleanedCte
+        |SELECT label, COUNT(*) AS n_docs, AVG(n_tokens) AS avg_tokens
+        |FROM cleaned JOIN embeddings ON doc_id = vec_id
+        |GROUP BY label ORDER BY label""".stripMargin)),
     QueryDef("q59_mix_weights", q59,
       Some(s"""WITH per AS (
         |  SELECT lang, COUNT(*) AS n_docs,
@@ -257,25 +302,8 @@ object Pipeline {
         |GROUP BY tr.doc_id, tr.n_grams
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q44_corpus_filter", q44,
-      Some("""WITH q AS (
-        |  SELECT doc_id, lang, text,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |                         t -> t <> '')) AS BIGINT) AS n_tokens,
-        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-        |      / greatest(length(text), 1) AS alpha_ratio,
-        |    round(CAST(len(list_filter(
-        |        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |                    t -> t <> ''),
-        |        t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))
-        |        AS DOUBLE) / greatest(len(list_filter(
-        |          regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')), 1),
-        |      4) AS sw_ratio
-        |  FROM documents),
-        |f AS (
-        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |  FROM q
-        |  WHERE n_tokens >= 20 AND alpha_ratio >= 0.5 AND sw_ratio <= 0.5)
-        |SELECT doc_id, lang, n_tokens FROM f WHERE rn = 1
+      Some(s"""$cleanedCte
+        |SELECT doc_id, lang, n_tokens FROM cleaned
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q45_hash_split", q45,
       Some("""SELECT doc_id,

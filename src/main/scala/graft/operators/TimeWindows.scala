@@ -62,7 +62,51 @@ object TimeWindows {
     graft.streaming.EventStreams.slidingCounts(Tables.events(spark, dir))
       .orderBy(col("bucket_ms"), col("event_type"))
 
+  /** q62: burst collapse (ingest debounce) — telemetry pipelines cap
+    * repeated same-type events per user by keeping one row per burst: a
+    * burst starts when the gap from the previous same-(user, type) event
+    * exceeds 24 hours. The q15 lag+cumsum idiom with the type added to the
+    * key — the window is (user, type)-partitioned, so at scale it shuffles
+    * once on a key that grows with users, never globally.
+    */
+  val BurstGapUs: Long = 86400L * 1000000L
+
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns DIV 1000").as("us"))
+      .withColumn("nf",
+        when(col("us") - lag(col("us"), 1).over(w) > BurstGapUs ||
+          lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("burst_id",
+        sum(col("nf")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("burst_id"))
+      .agg(min(col("us")).as("first_us"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("event_type"), col("burst_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q62_burst_collapse", q62,
+      Some(s"""WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > $BurstGapUs
+        |                   OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (
+        |    PARTITION BY user_id, event_type ORDER BY us, event_id)
+        |), b AS (
+        |  SELECT *, CAST(SUM(nf) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS burst_id
+        |  FROM flagged)
+        |SELECT user_id, event_type, burst_id,
+        |  MIN(us) AS first_us, COUNT(*) AS n_events
+        |FROM b GROUP BY user_id, event_type, burst_id
+        |ORDER BY user_id, event_type, burst_id""".stripMargin)),
     QueryDef("q40_sliding_window", q40,
       Some(s"""WITH e AS (
         |  SELECT event_type, value,
