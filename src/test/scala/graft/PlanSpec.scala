@@ -92,6 +92,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "gram join fell back to SMJ")
   }
 
+  test("q63: label profile never reads the embedding vectors") {
+    // the whole point of columnar pruning on a fat table: joining
+    // embeddings for its LABEL column must not scan the vector payload
+    val p = plan(graft.operators.Pipeline.q63(spark, dir))
+    assert(!p.contains("embedding:array"), "scan reads the vector column")
+    assert(p.contains("struct<vec_id:bigint,label:int>"), p.take(600))
+  }
+
+  test("q62: burst collapse prunes unused event columns") {
+    val p = plan(graft.operators.TimeWindows.q62(spark, dir))
+    assert(!p.contains("value:double") && !p.contains("props:"),
+      "scan reads pruned columns")
+  }
+
+  test("q60: per-doc top-k ranks via WindowGroupLimit, not full window sort") {
+    // rank-limit pushdown: each task keeps only K rows per group BEFORE the
+    // shuffle — without it the whole (doc, term) score table shuffles
+    val p = plan(graft.operators.TextAnalysis.q60(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
+
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
     // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
     // back into these projections would silently drop the whole stage out of
