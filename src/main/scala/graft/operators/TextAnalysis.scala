@@ -199,10 +199,14 @@ object TextAnalysis {
         explode(graft.functions.expressions.textnative.wordNgrams(col("text"), 1))
           .as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tc"))
-    val dtot = tf.groupBy(col("doc_id")).agg(sum(col("tc")).as("dt"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // doc totals and document frequency as WINDOWS over the one tf
+    // aggregate — separate groupBy branches would re-scan and re-tokenize
+    // the corpus once each ((doc_id, term) is unique after the aggregate,
+    // so count-over-term == docs containing the term); n_docs is the one
+    // scalar branch, a metadata-only columnar count
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dtot, Seq("doc_id")).join(dfreq, Seq("term"))
+    tf.withColumn("dt", sum(col("tc")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round((col("tc").cast("double") / col("dt")) *

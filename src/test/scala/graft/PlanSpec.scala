@@ -111,6 +111,11 @@ class PlanSpec extends AnyFunSuite {
     // shuffle — without it the whole (doc, term) score table shuffles
     val p = plan(graft.operators.TextAnalysis.q60(spark, dir))
     assert(p.contains("WindowGroupLimit"), p.take(600))
+    // doc-total/doc-frequency are windows over the ONE tf aggregate: the
+    // corpus is scanned+tokenized once (plus the metadata-only count
+    // branch) — groupBy branches would re-scan it once each
+    assert("wordngramsexpr".r.findAllIn(p).size <= 2,
+      "corpus tokenized more than once")
   }
 
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
