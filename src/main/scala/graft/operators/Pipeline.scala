@@ -204,16 +204,23 @@ object Pipeline {
     * corpus size except the first groupBy.
     */
   def q59(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(spark, dir)
+    // Corpus total and Z as GLOBAL WINDOWS over the per-language aggregate:
+    // aggregate branches (tot, z) would each replay the scan+tokenize
+    // lineage — one full corpus pass per branch (measured: 8 scans / 16
+    // tokenize projections in the branched plan). The single-partition
+    // window exchange is safe here because the windowed frame is the
+    // aggregate, bounded by language cardinality, never corpus-sized.
+    val w = Window.partitionBy(lit(1))
+    Tables.documents(spark, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(text.tokenCount(col("text"))).as("n_tokens"))
-    val tot = per.agg(sum(col("n_tokens")).as("tot"))
-    val withShare = per.crossJoin(broadcast(tot))
-      .withColumn("share", col("n_tokens").cast("double") / col("tot"))
+      .withColumn("share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
       .withColumn("sw", sqrt(col("share")))
-    val z = withShare.agg(graft.functions.num.dsum(col("sw")).as("z"))
-    withShare.crossJoin(broadcast(z))
+      .withColumn("z",
+        sum(graft.functions.num.fixed4(col("sw"))).over(w).cast("double")
+          / lit(10000))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         round(col("share"), 6).as("share"),
         round(col("sw") / col("z"), 6).as("weight"))

@@ -160,22 +160,28 @@ object TextAnalysis {
     * key), so it scales with the corpus.
     */
   def q58(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.expressions.textnative.wordNgrams(col("text"), 1).as("toks"),
-        graft.functions.expressions.textnative.wordNgrams(col("text"), 2).as("g2"))
-      .filter(size(col("toks")) > 0 && size(col("g2")) > 0)
-    val perRow = toks.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n_tokens"),
-      (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-        .as("distinct_frac"),
-      (lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")))
-        .as("dup_2gram_frac"))
-    val top = toks.select(col("doc_id"), explode(col("toks")).as("t"))
+    val docs = Tables.documents(spark, dir)
+    // every token stat comes from the ONE exploded (doc, token) aggregate
+    // (total = sum of counts, distinct = group count, top = max count) —
+    // a separate per-row branch would tokenize the corpus a second time
+    val tokStats = docs
+      .select(col("doc_id"), explode(
+        graft.functions.expressions.textnative.wordNgrams(col("text"), 1)).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
-    perRow.join(top, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"), col("distinct_frac"),
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+    // the 2-gram repeat signal is inherently array-local: one per-row pass
+    val gramStats = docs
+      .select(col("doc_id"),
+        graft.functions.expressions.textnative.wordNgrams(col("text"), 2).as("g2"))
+      .filter(size(col("g2")) > 0)
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")))
+          .as("dup_2gram_frac"))
+    tokStats.join(gramStats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_frac"),
         (col("top_cnt").cast("double") / col("n_tokens")).as("top_token_frac"),
         col("dup_2gram_frac"))
       .orderBy(col("doc_id"))
