@@ -225,7 +225,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** q64: corpus heavy hitters via the mergeable Misra-Gries sketch
+    * (k = 64 counters) — the bounded-memory stand-in for q19's exact
+    * token group-by at 100 TB: each task's state is 64 counters regardless
+    * of vocabulary size. Rows-only (estimates are merge-order-dependent in
+    * the tail); the containment and error-bound guarantees are asserted
+    * against exact counts in HeavyHittersSpec.
+    */
+  val HeavyHittersK = 64
+
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(
+        graft.functions.expressions.textnative.wordNgrams(col("text"), 1))
+        .as("token"))
+      .as[String]
+      .select(new graft.functions.HeavyHittersAggregator(HeavyHittersK).toColumn)
+      .toDF("hh")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("token"), col("e._2").as("est_count"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q64_heavy_hitters", q64, None),
     QueryDef("q58_repetition_signals", q58,
       Some(s"""$toksCte,
         |g AS (
