@@ -65,10 +65,12 @@ object Pipeline {
     */
   // (?i): PII is case-blind (Bob@Example.COM, HTTPS://...) — the inline flag
   // is shared by Java regex and RE2, so the DuckDB oracle stays in sync.
-  // URL body is whitespace-bounded ([^\s], not [^ ]) so a URL in multi-line
+  // URL body is whitespace-bounded (an EXPLICIT class, not \s: Java's \s
+  // includes vertical tab, RE2's does not — the literal class means both
+  // engines stop the URL at the same characters), so a URL in multi-line
   // text can't swallow newlines and the lines after them.
   val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val UrlRe = "(?i)https?://[^\\s]+"
+  val UrlRe = "(?i)https?://[^ \\t\\n\\r\\f\\x0B]+"
   val LongNumRe = "[0-9]{7,}"
 
   def redact(docs: DataFrame): DataFrame =
@@ -120,15 +122,20 @@ object Pipeline {
     val withinW = Window.partitionBy(col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = toks.groupBy(col("shard"))
-      .agg(sum(col("n_tokens")).as("shard_total"))
+    val cumed = toks.withColumn("cum", sum(col("n_tokens")).over(withinW))
+    // shard totals come FROM the windowed frame (a shard's total is its max
+    // running sum), so both consumers branch after the window's
+    // hash(shard) exchange and exchange reuse keeps ONE corpus
+    // scan+tokenize — a groupBy off `toks` would plan its own partial-agg
+    // exchange and replay the scan for the totals branch
+    val totals = cumed.groupBy(col("shard"))
+      .agg(max(col("cum")).as("shard_total"))
     val offsets = totals
       .join(broadcast(totals.select(col("shard").as("s2"),
         col("shard_total").as("t2"))), col("s2") < col("shard"), "left")
       .groupBy(col("shard"))
       .agg(coalesce(sum(col("t2")), lit(0L)).as("shard_offset"))
-    toks
-      .withColumn("cum", sum(col("n_tokens")).over(withinW))
+    cumed
       .join(broadcast(offsets), Seq("shard"))
       .withColumn("chunk_id",
         floor((col("shard_offset") + col("cum") - col("n_tokens"))

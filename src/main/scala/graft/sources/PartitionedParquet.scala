@@ -20,12 +20,15 @@ object PartitionedParquet {
   def write(df: DataFrame, path: String, partitionKey: String,
       sortKey: String): Unit = {
     import org.apache.spark.sql.functions.col
-    // repartition on the partition key first so each partition directory is
-    // written by the tasks owning that key (small file count — without it,
-    // every task writes a sliver into every directory); then sort within
-    // tasks so each parquet file is ordered on the sort key. A skewed
-    // partition value splits across tasks via AQE, still sorted per file.
-    df.repartition(col(partitionKey))
+    // RANGE-partition on (partitionKey, sortKey): each directory is written
+    // by the few tasks owning that key's range (small file count — a plain
+    // repartition(col) would write every task's sliver into every
+    // directory), and crucially a SKEWED key value still spans multiple
+    // tasks because the range boundaries cut on the sort key within it —
+    // hash-repartitioning on the key alone would funnel a dominant value
+    // (lang=en at half the corpus) through one task. Rows arrive
+    // range-sorted, so the within-task sort is nearly free.
+    df.repartitionByRange(col(partitionKey), col(sortKey))
       .sortWithinPartitions(col(partitionKey), col(sortKey))
       .write
       .partitionBy(partitionKey)

@@ -20,28 +20,44 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamReplay {
 
-  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val runSeqs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
   /** The `events` table as a REAL file-stream source. File-stream sources
     * need an explicit schema: one metadata-only batch read supplies it (ts
     * arrives as raw nanos under nanosAsLong, exactly as in Tables.events).
-    * The source's basePath must be a DIRECTORY, and the fixture's
-    * events.parquet is a single file — stream the parent directory with
-    * pathGlobFilter selecting just that file (a production deployment
-    * points at a landing directory; the glob is the adapter).
+    * The source's basePath must be a DIRECTORY: a directory-form
+    * events.parquet (the normal Spark/cluster layout) streams directly,
+    * while the driver fixture's single-FILE form streams the parent
+    * directory with pathGlobFilter selecting just that file — the glob
+    * matches leaf file names only, so it must never be applied to the
+    * directory form (it would match no part-files and silently stream
+    * nothing).
     */
   private def replayEvents(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val isDir = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hPath).isDirectory
+    val src =
+      if (isDir) spark.readStream.schema(schema).parquet(path)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+    src.withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
   }
 
   private def drain(df: DataFrame, sinkPrefix: String, mode: String): DataFrame = {
     val spark = df.sparkSession
-    val sink = s"${sinkPrefix}_${runSeq.incrementAndGet()}"
+    // a memory sink registers a temp view per run; drop the previous run's
+    // so a resident session (bench reruns, spec suites) doesn't accumulate
+    // one pinned result table per execution
+    val seq = runSeqs.computeIfAbsent(sinkPrefix,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+    val prev = seq.get()
+    if (prev > 0) spark.catalog.dropTempView(s"${sinkPrefix}_$prev")
+    val sink = s"${sinkPrefix}_${seq.incrementAndGet()}"
     val query = df.writeStream
       .format("memory")
       .queryName(sink)

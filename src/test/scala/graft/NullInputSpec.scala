@@ -24,13 +24,17 @@ class NullInputSpec extends AnyFunSuite {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val withNulls = t match {
         case "documents" =>
-          // null text on one row, null lang on another, both on a third
-          val extra = base.limit(3)
+          // deterministic planting: row 1 null text, row 2 null lang,
+          // row 3 both (an idx column, not residues of arbitrary ids)
+          val extra = base.orderBy(col("doc_id")).limit(3)
+            .withColumn("idx", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
             .withColumn("doc_id", col("doc_id") + 1000000)
-            .withColumn("text", when(col("doc_id") % 3 === 0, col("text")))
-            .withColumn("lang", when(col("doc_id") % 3 === 1, col("lang")))
+            .withColumn("text", when(col("idx") === 2, col("text")))
+            .withColumn("lang", when(col("idx") === 1, col("lang")))
             .withColumn("source", lit(null).cast("string"))
             .withColumn("n_chars", lit(null).cast("long"))
+            .drop("idx")
           base.unionByName(extra)
         case "embeddings" =>
           val extra = base.limit(2)
