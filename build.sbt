@@ -16,6 +16,11 @@ run / fork := true
 // parse (BENCH_r02.json parsed:null). StdoutOutput passes the forked
 // process's stdout through raw.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line: the driver keeps
+// only the last ~2000 stdout chars when parsing Bench's final JSON line, and
+// the trailer eats ~80 chars of that window for nothing.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

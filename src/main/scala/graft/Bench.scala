@@ -66,7 +66,15 @@ object Bench {
           try settle(name, maxRuns = 3) catch { case _: Throwable => t })
       else name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only the LAST ~2000 chars of stdout and parses the
+    // final JSON line out of that tail; r4's line (full-precision doubles +
+    // an inline runs map, 65 queries) outgrew the window and the round lost
+    // its perf numbers (BENCH_r04 parsed:null). Keep the final line compact:
+    // 2-decimal seconds (bench noise is ±10%, centiseconds are already below
+    // it) and push runs/errors detail to a separate earlier line.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rs = names.map(k => "\"" + k + "\":" + runCounts.getOrElse(k, 0))
       .mkString("{", ",", "}")
@@ -86,8 +94,15 @@ object Bench {
       if (ok.isEmpty) 0.0
       else if (ok.size % 2 == 1) ok(ok.size / 2)
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","headline_index_pipeline":$headline,"per_query_median":$median,"queries":$qs,"runs":$rs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir"}""")
+    // Detail line FIRST (per-query run counts + full error messages): it may
+    // scroll out of the driver's tail window; the compact line below must not.
+    println(s"""bench-detail: {"runs":$rs,"errors":$es}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_index_pipeline":${fmt(headline)},"per_query_median":${fmt(median)},"queries":$qs,"n_err":${errors.size},"sf":"$sfDir"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
+        "nearing the driver's 2000-char stdout tail; shorten before adding queries")
+    println(line)
     spark.stop()
   }
 }

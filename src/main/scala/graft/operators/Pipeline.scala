@@ -228,9 +228,16 @@ object Pipeline {
       .withColumn("z",
         sum(graft.functions.num.fixed4(col("sw"))).over(w).cast("double")
           / lit(10000))
+      // micro-unit integers, not round(x, 6): both engines compute identical
+      // doubles up to here (exact longs → one division, one correctly-rounded
+      // sqrt), but DECIMAL-style rounding of a double is engine/version-
+      // dependent at the cut digit (r4 driver flagged a hash mismatch its
+      // local DuckDB build didn't reproduce). floor(x * 1e6) is two more
+      // correctly-rounded IEEE ops — bit-identical everywhere — and the hash
+      // then compares BIGINTs, never floats.
       .select(col("lang"), col("n_docs"), col("n_tokens"),
-        round(col("share"), 6).as("share"),
-        round(col("sw") / col("z"), 6).as("weight"))
+        floor(col("share") * lit(1000000)).cast("long").as("share_e6"),
+        floor(col("sw") / col("z") * lit(1000000)).cast("long").as("weight_e6"))
       .orderBy(col("lang"))
   }
 
@@ -292,7 +299,8 @@ object Pipeline {
         |w AS (SELECT *, sqrt(share) AS sw FROM s),
         |z AS (SELECT ${graft.functions.num.sqlDsum("sw")} AS z FROM w)
         |SELECT lang, n_docs, n_tokens,
-        |  round(share, 6) AS share, round(sw / z.z, 6) AS weight
+        |  CAST(FLOOR(share * 1000000) AS BIGINT) AS share_e6,
+        |  CAST(FLOOR(sw / z.z * 1000000) AS BIGINT) AS weight_e6
         |FROM w, z ORDER BY lang""".stripMargin)),
     QueryDef("q57_decontaminate", q57,
       Some(s"""WITH d AS (
