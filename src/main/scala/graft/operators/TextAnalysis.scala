@@ -247,8 +247,41 @@ object TextAnalysis {
       .select(col("e._1").as("token"), col("e._2").as("est_count"))
   }
 
+  /** q65: point token frequencies via the mergeable Count-Min sketch — the
+    * companion to q64's Misra-Gries: MG surfaces WHICH tokens are frequent,
+    * CMS answers "how often does THIS token occur" for an arbitrary probe
+    * list from a fixed depth×width counter matrix (~224 KB here) regardless
+    * of vocabulary size. Counters are pure sums, so unlike MG the estimates
+    * are IDENTICAL under every partitioning and merge order. Rows-only
+    * (the oracle engine cannot mirror the sketch's hash family); the
+    * always-overcount and eps·N error-bound guarantees plus cross-
+    * partitioning determinism are asserted against exact counts in
+    * CountMinSpec.
+    */
+  val CmsProbes: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
+    "data", "model", "training", "language", "zebra", "qwertyuiop")
+  val CmsEps = 0.0005
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(
+        graft.functions.expressions.textnative.wordNgrams(col("text"), 1))
+        .as("token"))
+      .as[String]
+      .select(new graft.functions.CountMinAggregator(
+        CmsProbes, CmsEps, CmsConfidence, CmsSeed).toColumn)
+      .toDF("cms")
+      .select(explode(col("cms")).as("e"))
+      .select(col("e._1").as("probe"), col("e._2").as("est_count"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_heavy_hitters", q64, None),
+    QueryDef("q65_cms_counts", q65, None),
     QueryDef("q58_repetition_signals", q58,
       Some(s"""$toksCte,
         |g AS (
