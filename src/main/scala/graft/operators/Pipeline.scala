@@ -199,6 +199,61 @@ object Pipeline {
   def q57(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(spark, dir), EvalEvery)
 
+  /** q66: Bloom-prescreened decontamination — q57's exact semantics behind a
+    * Bloom-filter prescreen, the shape the leakage check takes when the
+    * train side is 100 TB:
+    *
+    *   1. build ONE Bloom filter over the eval gram set (driver-side sketch
+    *      state, ~150 KB of bits — model state like q39's centroids, not
+    *      data);
+    *   2. prescreen exploded train grams with the native
+    *      `bloom.mightContain` predicate (codegen'd, hashes raw UTF-8
+    *      bytes) — no false negatives, so nothing real is lost, and
+    *      ~(1 - fpp) of non-overlapping grams never reach the join;
+    *   3. exact broadcast join on the survivors removes the false
+    *      positives; per-doc hit counts re-attach to the (narrow) doc list
+    *      by a left join.
+    *
+    * Result is row-for-row IDENTICAL to q57 (same oracle SQL; equality also
+    * asserted in PipelineSpec), but the join+aggregate input shrinks from
+    * every-train-gram to bloom-survivors — at corpus scale the prescreen
+    * discards the overwhelming share of rows before any wide operator sees
+    * them. Costs one extra narrow corpus pass for the per-doc gram counts
+    * (at 100 TB that column would come bucketed/persisted from the gram
+    * build).
+    *
+    * If eval grams outgrow `BloomExpectedItems` the fpp degrades but
+    * correctness does NOT (step 3 stays exact) — the filter only ever errs
+    * toward letting more rows through.
+    */
+  val BloomExpectedItems = 1L << 17
+  val BloomFpp = 0.01
+
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir).select(col("doc_id"),
+      array_distinct(graft.functions.expressions.textnative
+        .wordNgrams(col("text"), 3)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % EvalEvery === 0)
+      .select(explode(col("g")).as("gram")).distinct()
+    val bf = evalGrams.stat.bloomFilter("gram", BloomExpectedItems, BloomFpp)
+    val train = grams.filter(col("doc_id") % EvalEvery =!= 0)
+    val hits = train
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .filter(graft.functions.expressions.bloom.mightContain(col("gram"), bf))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("hit")).as("n_contaminated"))
+    train
+      .select(col("doc_id"), size(col("g")).as("n_grams"))
+      .filter(col("n_grams") > 0) // explode drops gram-less docs in q57 too
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination", col("n_contaminated") / col("n_grams"))
+      .withColumn("is_contaminated", col("n_contaminated") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** q59: language mixture weights — the sampling-weight table a
     * multilingual pre-training run feeds its data loader: per-language
     * token mass, its share, and a temperature-smoothed weight
@@ -281,6 +336,32 @@ object Pipeline {
       |  WHERE n_tokens >= 20 AND alpha_ratio >= 0.5 AND sw_ratio <= 0.5),
       |cleaned AS (SELECT doc_id, lang, n_tokens FROM f WHERE rn = 1)""".stripMargin
 
+  /** Shared oracle for q57/q66 — both compute the same exact decontamination
+    * result (q66's Bloom prescreen never drops a true hit and its verify
+    * join removes the false positives).
+    */
+  private val decontOracleSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS g
+      |  FROM d),
+      |ev AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % $EvalEvery = 0),
+      |tr AS (SELECT doc_id, CAST(len(g) AS INT) AS n_grams, unnest(g) AS gram
+      |       FROM g WHERE doc_id % $EvalEvery <> 0)
+      |SELECT tr.doc_id, tr.n_grams,
+      |  COUNT(ev.gram) AS n_contaminated,
+      |  COUNT(ev.gram) / tr.n_grams AS contamination,
+      |  COUNT(ev.gram) > 0 AS is_contaminated
+      |FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+      |GROUP BY tr.doc_id, tr.n_grams
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_label_profile", q63,
       Some(s"""$cleanedCte
@@ -302,27 +383,10 @@ object Pipeline {
         |  CAST(FLOOR(share * 1000000) AS BIGINT) AS share_e6,
         |  CAST(FLOOR(sw / z.z * 1000000) AS BIGINT) AS weight_e6
         |FROM w, z ORDER BY lang""".stripMargin)),
-    QueryDef("q57_decontaminate", q57,
-      Some(s"""WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |      i -> array_to_string(toks[i:i+2], ' '))) AS g
-        |  FROM d),
-        |ev AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % $EvalEvery = 0),
-        |tr AS (SELECT doc_id, CAST(len(g) AS INT) AS n_grams, unnest(g) AS gram
-        |       FROM g WHERE doc_id % $EvalEvery <> 0)
-        |SELECT tr.doc_id, tr.n_grams,
-        |  COUNT(ev.gram) AS n_contaminated,
-        |  COUNT(ev.gram) / tr.n_grams AS contamination,
-        |  COUNT(ev.gram) > 0 AS is_contaminated
-        |FROM tr LEFT JOIN ev ON tr.gram = ev.gram
-        |GROUP BY tr.doc_id, tr.n_grams
-        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q57_decontaminate", q57, Some(decontOracleSql)),
+    // q66 computes q57's EXACT result behind the Bloom prescreen (no false
+    // negatives + exact verify join), so the oracle is shared verbatim.
+    QueryDef("q66_bloom_decontaminate", q66, Some(decontOracleSql)),
     QueryDef("q44_corpus_filter", q44,
       Some(s"""$cleanedCte
         |SELECT doc_id, lang, n_tokens FROM cleaned

@@ -47,6 +47,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(!rows.contains(0L), "eval docs are not scored")
   }
 
+  test("bloom-prescreened decontamination equals the exact form row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Pipeline.q57(spark, dir).collect().toSeq
+    val bloomed = Pipeline.q66(spark, dir).collect().toSeq
+    assert(bloomed.nonEmpty)
+    // no false negatives (every contaminated doc survives the prescreen) and
+    // the verify join killed every false positive: results are identical
+    assert(bloomed === exact)
+  }
+
   test("redaction scrubs planted PII and counts each kind") {
     import spark.implicits._
     val docs = Seq(

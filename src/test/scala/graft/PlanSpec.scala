@@ -92,6 +92,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "gram join fell back to SMJ")
   }
 
+  test("q66: bloom prescreen sits before the broadcast verify join") {
+    val p = plan(graft.operators.Pipeline.q66(spark, dir))
+    assert(p.contains("bloommightcontain") || p.contains("BloomMightContain"),
+      "prescreen predicate missing from the plan")
+    assert(p.contains("BroadcastHashJoin"), "verify join not broadcast")
+    assert(!p.contains("SortMergeJoin"), "gram join fell back to SMJ")
+    val opt = graft.operators.Pipeline.q66(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("lambdafunction"), opt.take(500))
+  }
+
   test("q63: label profile never reads the embedding vectors") {
     // the whole point of columnar pruning on a fat table: joining
     // embeddings for its LABEL column must not scan the vector payload
