@@ -202,7 +202,69 @@ object Advanced {
           .as("promo_revenue"),
         count(lit(1)).as("n_items"))
 
+  /** q68: CDC merge/upsert apply — a deterministic change feed (updates,
+    * deletes, inserts keyed like the base) merged onto the orders snapshot:
+    * the MERGE INTO shape every incremental table-maintenance pipeline runs,
+    * expressed as ONE full-outer join on the key plus per-row CASE arms
+    * (matched+U → reprice, matched+D → drop, unmatched-change+I → insert,
+    * unmatched-base → carry forward).
+    *
+    * Scale shape: a single key-partitioned shuffle join — no windows, no
+    * second pass. Full outer cannot broadcast (both sides must surface
+    * unmatched rows), but on a bucketed base table (`sources/Bucketed`) the
+    * big side's exchange disappears and only the (small) change feed
+    * shuffles; AQE handles the usual CDC key skew. The change feed is
+    * derived from the same fixture table (keys mod 10) so the oracle can
+    * reproduce it exactly; repricing is one IEEE multiply — parity-safe.
+    */
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val changes = base
+      .filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey").as("key"), lit("U").as("op"),
+        (col("o_totalprice") * lit(1.1)).as("new_price"))
+      .unionAll(base.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey").as("key"), lit("D").as("op"),
+          lit(null).cast("double").as("new_price")))
+      .unionAll(base.filter(col("o_orderkey") % 10 === 1)
+        .select((col("o_orderkey") + lit(10000000L)).as("key"),
+          lit("I").as("op"), col("o_totalprice").as("new_price")))
+    base.join(changes, col("o_orderkey") === col("key"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("o_orderkey"), col("key")).as("o_orderkey"),
+        coalesce(col("o_orderstatus"), lit("N")).as("o_orderstatus"),
+        when(col("op").isin("U", "I"), col("new_price"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("op") === "U", "updated")
+          .when(col("op") === "I", "inserted")
+          .otherwise("kept").as("action"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q68_merge_upsert", q68,
+      Some("""WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey AS key, 'U' AS op,
+        |         o_totalprice * CAST(1.1 AS DOUBLE) AS new_price
+        |  FROM base WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', NULL FROM base WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 1)
+        |SELECT coalesce(b.o_orderkey, c.key) AS o_orderkey,
+        |  coalesce(b.o_orderstatus, 'N') AS o_orderstatus,
+        |  CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+        |       ELSE b.o_totalprice END AS o_totalprice,
+        |  CASE c.op WHEN 'U' THEN 'updated' WHEN 'I' THEN 'inserted'
+        |       ELSE 'kept' END AS action
+        |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.key
+        |WHERE coalesce(c.op, '') <> 'D'
+        |ORDER BY o_orderkey""".stripMargin)),
     QueryDef("q54_promo_revenue", q54,
       Some(s"""SELECT
         |  round(100.0 * (${sqlDsum(

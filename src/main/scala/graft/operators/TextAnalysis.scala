@@ -49,6 +49,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q67: unpivot (melt) — the wide per-doc quality-signal row reshaped to
+    * long (doc_id, signal, value) form, the layout feature stores and
+    * signal-drift monitors ingest. The inverse reshape of q32's pivot;
+    * `Dataset.unpivot` plans a one-pass Expand (each input row fans out to
+    * 5 output rows node-locally — no shuffle, no join), so the reshape adds
+    * nothing to the scan+project cost at any scale. Counts are cast to
+    * double (unpivot requires one common value type; exact up to 2^53).
+    */
+  def q67(spark: SparkSession, dir: String): DataFrame =
+    qualityScores(spark, dir)
+      .select(col("doc_id"),
+        col("n_chars").cast("double").as("n_chars"),
+        col("n_tokens").cast("double").as("n_tokens"),
+        col("mean_token_len"), col("alpha_ratio"), col("stopword_ratio"))
+      .unpivot(
+        Array(col("doc_id")),
+        Array(col("n_chars"), col("n_tokens"), col("mean_token_len"),
+          col("alpha_ratio"), col("stopword_ratio")),
+        "signal", "value")
+      .orderBy(col("doc_id"), col("signal"))
+
   /** Language ID: n-gram/stopword-marker heuristic (text.langId), checked
     * against a Scala model in TextAnalysisSpec AND oracle-checked: the
     * argmax + tie-break maps to DuckDB list_max over (score, lang) structs
@@ -345,6 +366,25 @@ object TextAnalysis {
         |      ['the','a','of','and','to','in','is','that','it','for'], t)))
         |          AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio
         |FROM d ORDER BY doc_id""".stripMargin)),
+    QueryDef("q67_unpivot_signals", q67,
+      Some(s"""$toksCte,
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(toks) AS DOUBLE) AS n_tokens,
+        |    round(CAST(coalesce(list_aggregate(list_transform(toks, t -> length(t)),
+        |            'sum'), 0) AS DOUBLE) / greatest(len(toks), 1), 4)
+        |      AS mean_token_len,
+        |    round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |            AS DOUBLE) / greatest(length(text), 1), 4) AS alpha_ratio,
+        |    round(CAST(len(list_filter(toks, t -> list_contains(
+        |        ['the','a','of','and','to','in','is','that','it','for'], t)))
+        |            AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio
+        |  FROM d)
+        |SELECT doc_id, signal, value FROM (
+        |  UNPIVOT q ON n_chars, n_tokens, mean_token_len, alpha_ratio, stopword_ratio
+        |  INTO NAME signal VALUE value)
+        |ORDER BY doc_id, signal""".stripMargin)),
     QueryDef("q27_lang_id", langIdScores, Some(langIdOracle)),
     QueryDef("q47_edit_distance",
       (s, d) => Tables.documents(s, d)
