@@ -235,7 +235,18 @@ object Pipeline {
         .wordNgrams(col("text"), 3)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % EvalEvery === 0)
       .select(explode(col("g")).as("gram")).distinct()
-    val bf = evalGrams.stat.bloomFilter("gram", BloomExpectedItems, BloomFpp)
+    // own treeAggregate, not stat.bloomFilter: same inserts (putString hashes
+    // the UTF-8 bytes the probe side reads), but with a real zero value, so
+    // an EMPTY eval set yields an all-zeros filter instead of the stat
+    // helper's null-buffer NPE (EmptyInputSpec runs every query on empty
+    // tables). Bitset OR is order-independent — the filter is deterministic
+    // under any partitioning/merge tree.
+    import spark.implicits._
+    val bf = evalGrams.as[String].rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter
+        .create(BloomExpectedItems, BloomFpp))(
+      (f, g) => { f.putString(g); f },
+      (a, b) => { a.mergeInPlace(b); a })
     val train = grams.filter(col("doc_id") % EvalEvery =!= 0)
     val hits = train
       .select(col("doc_id"), explode(col("g")).as("gram"))

@@ -33,15 +33,20 @@ class EmptyInputSpec extends AnyFunSuite {
     */
   /** Global aggregates (no GROUP BY) correctly emit exactly one row on
     * empty input — ANSI semantics, and what the DuckDB oracle produces.
+    * q65's global Count-Min aggregate likewise answers every probe with an
+    * estimate of 0 on an empty corpus — one row per probe is the sketch
+    * giving the right answer, not a leak.
     */
-  private val globalAggs = Set("q54_promo_revenue")
+  private val expectedRows = Map(
+    "q54_promo_revenue" -> 1L,
+    "q65_cms_counts" -> graft.operators.TextAnalysis.CmsProbes.size.toLong)
 
   test("every registered query runs on empty tables and returns 0 rows") {
     // q00 reads the fixed reference corpus, not the sf dir
     val failures = Registry.all.filterNot(_.name == "q00_reference_index").flatMap { q =>
       try {
         val n = q.build(spark, emptyDir).count()
-        val want = if (globalAggs(q.name)) 1 else 0
+        val want = expectedRows.getOrElse(q.name, 0L)
         if (n == want) None else Some(s"${q.name}: $n rows from empty input")
       } catch {
         case e: Throwable =>
