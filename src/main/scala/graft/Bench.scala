@@ -97,8 +97,9 @@ object Bench {
     // Detail line FIRST (per-query run counts + full error messages): it may
     // scroll out of the driver's tail window; the compact line below must not.
     println(s"""bench-detail: {"runs":$rs,"errors":$es}""")
+    val sfName = new java.io.File(sfDir).getName // basename: tail chars are scarce
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_index_pipeline":${fmt(headline)},"per_query_median":${fmt(median)},"queries":$qs,"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_index_pipeline":${fmt(headline)},"per_query_median":${fmt(median)},"queries":$qs,"n_err":${errors.size},"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
         "nearing the driver's 2000-char stdout tail; shorten before adding queries")

@@ -144,6 +144,32 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q69: overlapping token-window chunking — each doc split into windows of
+    * `WindowSize` tokens advancing by `WindowStride` (50% overlap), the
+    * boundary layout a RAG / long-context training pass feeds its encoder.
+    * Pure per-row arithmetic + a node-local explode (ceil(n/stride) rows out
+    * per doc, no shuffle until the final presentation sort): the chunk count
+    * derives from the token count, so the fan-out never materializes text.
+    * Docs with zero tokens produce zero chunks (both engines drop them in
+    * the unnest/explode).
+    */
+  val WindowSize = 512L
+  val WindowStride = 256L
+
+  def q69(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), text.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("chunk_idx", explode(when(col("n_tokens") > 0,
+        sequence(lit(0L),
+          ceil(col("n_tokens").cast("double") / WindowStride).cast("long") - 1))
+        .otherwise(typedLit(Array.empty[Long]))))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * WindowStride).as("start_tok"),
+        least(col("chunk_idx") * WindowStride + WindowSize, col("n_tokens"))
+          .as("end_tok"))
+      .withColumn("chunk_tokens", col("end_tok") - col("start_tok"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** q51: stratified deterministic sample — top-K docs per language ordered
     * by content hash (md5 of text, doc_id tie-break): reproducible across
     * runs/engines/cluster sizes, no RNG state, and identical texts sort
@@ -430,6 +456,24 @@ object Pipeline {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |    / $ChunkBudget) AS BIGINT) AS chunk_id
         |FROM t ORDER BY doc_id""".stripMargin)),
+    QueryDef("q69_chunk_windows", q69,
+      Some(s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(CAST(n_tokens AS DOUBLE) / $WindowStride) AS BIGINT) - 1))
+        |      AS chunk_idx
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, chunk_idx,
+        |  chunk_idx * $WindowStride AS start_tok,
+        |  least(chunk_idx * $WindowStride + $WindowSize, n_tokens) AS end_tok,
+        |  least(chunk_idx * $WindowStride + $WindowSize, n_tokens)
+        |    - chunk_idx * $WindowStride AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
     QueryDef("q51_stratified_sample", q51,
       Some(s"""SELECT doc_id, lang, rn FROM (
         |  SELECT doc_id, lang, row_number() OVER (

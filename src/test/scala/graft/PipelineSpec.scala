@@ -93,6 +93,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk windows tile every doc: stride offsets, full coverage, bounded size") {
+    val dir = "/root/testdata/sf0.001"
+    val byDoc = graft.operators.Pipeline.q69(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    val stride = graft.operators.Pipeline.WindowStride
+    val size = graft.operators.Pipeline.WindowSize
+    byDoc.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // contiguous indices from 0, each starting at idx*stride
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length.toLong))
+      sorted.foreach { case (_, idx, start, end, n) =>
+        assert(start === idx * stride)
+        assert(n === end - start)
+        assert(n > 0 && n <= size, s"doc $doc chunk $idx size $n")
+      }
+      // the final window reaches the doc's last token; the one before
+      // (if any) does not — no chunk is redundant
+      val lastEnd = sorted.last._4
+      assert(sorted.init.forall(_._4 < lastEnd))
+    }
+  }
+
   test("stratified sample takes at most K per language, deterministically") {
     val a = Pipeline.q51(spark, "/root/testdata/sf0.001").collect()
     val b = Pipeline.q51(spark, "/root/testdata/sf0.001").collect()
