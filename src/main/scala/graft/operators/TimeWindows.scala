@@ -88,6 +88,30 @@ object TimeWindows {
       .orderBy(col("user_id"), col("event_type"), col("burst_id"))
   }
 
+
+  /** Shared oracle for q15 and the streaming-replay q70 — the stateful
+    * sessionizer's drained result equals the batch lag-idiom sessions by
+    * construction (same 30-minute-gap rule; StatefulSessionsSpec asserts the
+    * equivalence on planted corpora, the gate hash-checks it on the fixture).
+    */
+  val sessionOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+      |                   OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS nf
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), sess AS (
+      |  SELECT *, CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(us) AS start_us, MAX(us) AS end_us,
+      |  MAX(us) - MIN(us) AS dur_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q62_burst_collapse", q62,
       Some(s"""WITH e AS (
@@ -125,21 +149,6 @@ object TimeWindows {
       Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin)),
-    QueryDef("q15_sessionization", q15,
-      Some("""WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
-        |), flagged AS (
-        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
-        |                   OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS nf
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |), sess AS (
-        |  SELECT *, CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS session_id
-        |  FROM flagged)
-        |SELECT user_id, session_id, COUNT(*) AS n_events,
-        |  MIN(us) AS start_us, MAX(us) AS end_us,
-        |  MAX(us) - MIN(us) AS dur_us
-        |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)))
+    QueryDef("q15_sessionization", q15, Some(sessionOracleSql)))
+
 }

@@ -88,7 +88,50 @@ object StreamReplay {
       "q61_dedup_sink", "append")
       .orderBy(col("event_id"))
 
+  /** q70: custom-state sessionizer, driver-visible — the replayed file
+    * stream runs through the flatMapGroupsWithState sessionizer
+    * (`StatefulSessions`) and the drained CLOSED sessions hash-match q15's
+    * batch oracle.
+    *
+    * Sessions only emit when the event-time watermark passes their gap
+    * horizon, so the replay unions a single far-future SENTINEL row (one
+    * driver-side row via MemoryStream — the data itself still streams from
+    * the file source): after the data batch, the watermark jumps past every
+    * session's end+gap and the trailing no-data micro-batch fires the
+    * event-time timeouts that flush the tail sessions. The sentinel user's
+    * own open session never emits (nothing outlives the sentinel) and is
+    * filtered defensively. session_id is assigned post-drain by start
+    * order per user — a presentation window over the (small) session list,
+    * matching the batch idiom's cumulative numbering.
+    */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = replayEvents(spark, dir)
+      .select(col("ts"), col("user_id"))
+      // planted-null robustness: a null event time cannot sessionize (the
+      // batch form degenerates too — the gate's fixture has no null ts)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val sentinel =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    sentinel.addData(Seq((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), -1L)))
+    val union = src.unionByName(sentinel.toDF().toDF("ts", "user_id"))
+    val drained = drain(
+      StatefulSessions.sessionizeWithState(union).toDF(),
+      "q70_sessions_sink", "append")
+    drained.filter(col("user_id") >= 0)
+      .withColumn("session_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("start_us"))).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("dur_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q70_stream_sessions", q70,
+      Some(graft.operators.TimeWindows.sessionOracleSql)),
     // same result contract as q14 — the oracle is intentionally identical
     QueryDef("q55_stream_replay", q55,
       Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
