@@ -73,7 +73,9 @@ object Bench {
     // 2-decimal seconds (bench noise is ±10%, centiseconds are already below
     // it) and push runs/errors detail to a separate earlier line.
     def fmt(v: Double): String =
-      if (v < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (v < 0) "-1"
+      else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rs = names.map(k => "\"" + k + "\":" + runCounts.getOrElse(k, 0))
@@ -98,8 +100,11 @@ object Bench {
     // scroll out of the driver's tail window; the compact line below must not.
     println(s"""bench-detail: {"runs":$rs,"errors":$es}""")
     val sfName = new java.io.File(sfDir).getName // basename: tail chars are scarce
+    // "headline" = reference-comparable index pipeline (q00+q01+q02);
+    // "median" = per-query median over the full inventory. Short keys on
+    // purpose — the tail window is the budget.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_index_pipeline":${fmt(headline)},"per_query_median":${fmt(median)},"queries":$qs,"n_err":${errors.size},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline":${fmt(headline)},"median":${fmt(median)},"queries":$qs,"n_err":${errors.size},"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
         "nearing the driver's 2000-char stdout tail; shorten before adding queries")
