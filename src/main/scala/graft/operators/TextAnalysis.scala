@@ -58,7 +58,12 @@ object TextAnalysis {
     * double (unpivot requires one common value type; exact up to 2^53).
     */
   def q67(spark: SparkSession, dir: String): DataFrame =
-    qualityScores(spark, dir)
+    // signals projected directly, NOT via qualityScores: its presentation
+    // orderBy would survive under the Expand as a pointless inner
+    // Sort+Exchange pair (PlanSpec pins the single-exchange shape)
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +:
+        text.qualitySignals(col("text")).map { case (n, c) => c.as(n) }: _*)
       .select(col("doc_id"),
         col("n_chars").cast("double").as("n_chars"),
         col("n_tokens").cast("double").as("n_tokens"),

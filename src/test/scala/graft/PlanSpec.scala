@@ -103,6 +103,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!opt.contains("lambdafunction"), opt.take(500))
   }
 
+  // formatted mode prints each operator twice (tree line "Op [variant] (N)"
+  // + detail heading "(N) Op") — count the tree form only
+  private def ops(p: String, name: String): Int =
+    (name + """[^(\n]*\(\d+\)""").r.findAllIn(p).size
+
+  test("q67: unpivot plans a node-local Expand — no join, no extra shuffle") {
+    val p = plan(graft.operators.TextAnalysis.q67(spark, dir))
+    assert(ops(p, "Expand") == 1, "melt did not plan as one Expand")
+    assert(!p.contains("Join"), "reshape must not join")
+    // exactly the presentation sort's range exchange — Expand adds none
+    assert(ops(p, "Exchange") == 1, p.take(400))
+  }
+
+  test("q68: merge applies in ONE key join, no cartesian") {
+    val p = plan(graft.operators.Advanced.q68(spark, dir))
+    assert(p.contains("FullOuter"), "merge lost its full-outer join")
+    assert(!p.contains("Cartesian"), "cartesian in the merge plan")
+    assert(ops(p, "SortMergeJoin") + ops(p, "ShuffledHashJoin") == 1,
+      "merge should need exactly one shuffle join")
+  }
+
+  test("q69: chunk fan-out is generate+explode, no join, no pre-sort shuffle") {
+    val p = plan(graft.operators.Pipeline.q69(spark, dir))
+    assert(ops(p, "Generate") == 1 && p.contains("explode"),
+      "fan-out not planned as one Generate/explode")
+    assert(!p.contains("Join"), "chunking must not join")
+    assert(ops(p, "Exchange") == 1, p.take(400))
+  }
+
   test("q63: label profile never reads the embedding vectors") {
     // the whole point of columnar pruning on a fat table: joining
     // embeddings for its LABEL column must not scan the vector payload
