@@ -243,7 +243,60 @@ object Advanced {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q71: group-wise winsorization — per return flag, cap l_extendedprice
+    * at the DISCRETE P99 (the value at rank ceil(0.99·n) ascending): the
+    * outlier-clipping pass a feature/label pipeline runs before training.
+    * Rank-based on purpose: the threshold is an existing data value chosen
+    * by integer rank (row_number with a full tie-break), never interpolated
+    * — no arithmetic enters the hashed doubles, so both engines agree
+    * bit-for-bit. One shuffle on the group key for both windows (exchange
+    * reused); the conditional-max window derives the cap without a join.
+    * The group key here is 3-valued — at corpus scale the cap would come
+    * from q52's mergeable GK sketch broadcast instead (this is the exact
+    * anchor next to that scale path, like q31/q52 and q48/q24).
+    */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val grp = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(byPrice))
+      .withColumn("n", count(lit(1)).over(grp))
+      .withColumn("cap", max(when(
+        col("rn") <= ceil(lit(0.99) * col("n")), col("l_extendedprice")))
+        .over(grp))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"), col("cap"),
+        least(col("l_extendedprice"), col("cap")).as("clipped"),
+        (col("l_extendedprice") > col("cap")).as("is_clipped"))
+      // (orderkey, linenumber) is NOT unique in the fixture (45832 distinct
+      // of 60000 at sf0.01) — the full key keeps the presentation order
+      // engine-independent
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q71_winsorize", q71,
+      Some("""WITH r AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |    row_number() OVER w AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |), c AS (
+        |  SELECT *, MAX(CASE WHEN rn <= CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
+        |                     THEN l_extendedprice END)
+        |      OVER (PARTITION BY l_returnflag) AS cap
+        |  FROM r)
+        |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, cap,
+        |  least(l_extendedprice, cap) AS clipped,
+        |  l_extendedprice > cap AS is_clipped
+        |FROM c
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice""".stripMargin)),
     QueryDef("q68_merge_upsert", q68,
       Some("""WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

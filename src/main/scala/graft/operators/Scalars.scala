@@ -69,14 +69,21 @@ object Scalars {
           .cast("double").as("price_up"))
       .orderBy(col("o_orderkey"))
 
-  /** Q17a: JSON scalar extraction over events.props. */
+  /** Q17a: JSON scalar extraction over events.props. The path is extracted
+    * ONCE in an inner projection and the derived columns reference it — the
+    * original three get_json_object calls each re-parsed the document
+    * (CollapseProject keeps the projects separate because the parse is
+    * non-cheap and referenced 3×, same as q43's from_json).
+    */
   def q17Json(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"))
       .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-        get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+        col("k_str"),
+        col("k_str").cast("int").as("k_int"),
+        col("k_str").isNotNull.as("has_k"))
       .orderBy(col("event_id"))
 
   /** Q17b: array scalars over documents tokens. */
