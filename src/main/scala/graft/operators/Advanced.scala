@@ -244,29 +244,31 @@ object Advanced {
   }
 
   /** q71: group-wise winsorization — per return flag, cap l_extendedprice
-    * at the DISCRETE P99 (the value at rank ceil(0.99·n) ascending): the
-    * outlier-clipping pass a feature/label pipeline runs before training.
-    * Rank-based on purpose: the threshold is an existing data value chosen
-    * by integer rank (row_number with a full tie-break), never interpolated
-    * — no arithmetic enters the hashed doubles, so both engines agree
-    * bit-for-bit. One shuffle on the group key for both windows (exchange
-    * reused); the conditional-max window derives the cap without a join.
-    * The group key here is 3-valued — at corpus scale the cap would come
-    * from q52's mergeable GK sketch broadcast instead (this is the exact
-    * anchor next to that scale path, like q31/q52 and q48/q24).
+    * at the DISCRETE P99 (smallest value whose cume_dist ≥ 0.99 — i.e. the
+    * value at rank ceil(0.99·n) ascending): the outlier-clipping pass a
+    * feature/label pipeline runs before training. Rank-based on purpose:
+    * the threshold is an existing data value, never interpolated — no
+    * arithmetic enters the hashed doubles, so both engines agree
+    * bit-for-bit.
+    *
+    * Shape: caps come from a percentile_disc AGGREGATE (partial-aggregated
+    * across all input partitions), broadcast back onto the fact scan — the
+    * fact side never shuffles and never sorts. The first cut used two
+    * windows partitioned by the 3-valued flag, which funnels the whole
+    * table through 3 sort tasks; the aggregate form computes the identical
+    * result (equality-probed at sf0.01, same oracle) with no funnel. At
+    * corpus scale the exact per-group percentile buffer still grows with
+    * distinct values — q52's mergeable GK sketch is the declared
+    * bounded-state path (exact anchor next to it, like q31/q52, q48/q24).
     */
   def q71(spark: SparkSession, dir: String): DataFrame = {
-    val byPrice = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val grp = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_extendedprice"))
-      .withColumn("rn", row_number().over(byPrice))
-      .withColumn("n", count(lit(1)).over(grp))
-      .withColumn("cap", max(when(
-        col("rn") <= ceil(lit(0.99) * col("n")), col("l_extendedprice")))
-        .over(grp))
+    val caps = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .as("cap"))
+    li.join(broadcast(caps), Seq("l_returnflag"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_extendedprice"), col("cap"),
         least(col("l_extendedprice"), col("cap")).as("clipped"),

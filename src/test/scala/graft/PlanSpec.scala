@@ -132,6 +132,13 @@ class PlanSpec extends AnyFunSuite {
     assert(ops(p, "Exchange") == 1, p.take(400))
   }
 
+  test("q71: caps broadcast back; the fact side never sorts by group") {
+    val p = plan(graft.operators.Advanced.q71(spark, dir))
+    assert(ops(p, "BroadcastHashJoin") == 1, "caps not broadcast")
+    assert(!p.contains("Window"), "winsorize regressed to the window funnel")
+    assert(!p.contains("SortMergeJoin"), "cap join fell back to SMJ")
+  }
+
   test("q63: label profile never reads the embedding vectors") {
     // the whole point of columnar pruning on a fat table: joining
     // embeddings for its LABEL column must not scan the vector payload
