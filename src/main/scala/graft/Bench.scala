@@ -76,7 +76,19 @@ object Bench {
       if (v < 0) "-1"
       else "%.2f".formatLocal(java.util.Locale.ROOT, v)
         .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // Queries key by their SHORT id — the qNN names every doc (SURVEY,
+    // README, verdicts) already uses: minimal unique underscore-prefix, so
+    // "q17_json_scalars" -> "q17_json" (q17_array exists) but
+    // "q50_pack_chunks" -> "q50". The full-name map stays on the detail
+    // line (runs); this keeps the final line ~900 chars at 77 queries
+    // instead of ~1920 pressing the 2000-char tail window.
+    def seg(n: String, k: Int) = n.split('_').take(k).mkString("_")
+    val shortId: Map[String, String] = names.map { n =>
+      var k = 1
+      while (names.count(m => seg(m, k) == seg(n, k)) > 1) k += 1
+      n -> seg(n, k)
+    }.toMap
+    val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rs = names.map(k => "\"" + k + "\":" + runCounts.getOrElse(k, 0))
       .mkString("{", ",", "}")

@@ -89,6 +89,25 @@ object TimeWindows {
   }
 
 
+  /** Shared oracle for q40 and the streaming-replay q72 — both run the
+    * identical slidingCounts transform (watermark is a no-op on batch), so
+    * one SQL checks both execution paths.
+    */
+  val slidingOracleSql: String =
+    s"""WITH e AS (
+      |  SELECT event_type, value,
+      |    epoch_ms(date_trunc('hour', ts)) +
+      |      CASE WHEN minute(ts) >= 30 THEN 1800000 ELSE 0 END AS slot_ms
+      |  FROM events
+      |), w AS (
+      |  SELECT event_type, value,
+      |    unnest([slot_ms - 1800000, slot_ms]) AS bucket_ms
+      |  FROM e)
+      |SELECT bucket_ms, event_type, COUNT(*) AS n,
+      |  ${sqlDsum("value")} AS sum_value
+      |FROM w GROUP BY bucket_ms, event_type
+      |ORDER BY bucket_ms, event_type""".stripMargin
+
   /** Shared oracle for q15 and the streaming-replay q70 — the stateful
     * sessionizer's drained result equals the batch lag-idiom sessions by
     * construction (same 30-minute-gap rule; StatefulSessionsSpec asserts the
@@ -131,20 +150,7 @@ object TimeWindows {
         |  MIN(us) AS first_us, COUNT(*) AS n_events
         |FROM b GROUP BY user_id, event_type, burst_id
         |ORDER BY user_id, event_type, burst_id""".stripMargin)),
-    QueryDef("q40_sliding_window", q40,
-      Some(s"""WITH e AS (
-        |  SELECT event_type, value,
-        |    epoch_ms(date_trunc('hour', ts)) +
-        |      CASE WHEN minute(ts) >= 30 THEN 1800000 ELSE 0 END AS slot_ms
-        |  FROM events
-        |), w AS (
-        |  SELECT event_type, value,
-        |    unnest([slot_ms - 1800000, slot_ms]) AS bucket_ms
-        |  FROM e)
-        |SELECT bucket_ms, event_type, COUNT(*) AS n,
-        |  ${sqlDsum("value")} AS sum_value
-        |FROM w GROUP BY bucket_ms, event_type
-        |ORDER BY bucket_ms, event_type""".stripMargin)),
+    QueryDef("q40_sliding_window", q40, Some(slidingOracleSql)),
     QueryDef("q14_tumbling_window", q14,
       Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value

@@ -129,7 +129,22 @@ object StreamReplay {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q72: sliding-window replay — q40's watermarked 1 h/30 min counts
+    * drained through the same real file-stream path as q55 (complete-mode
+    * sink; each event updates its two overlapping windows in the state
+    * store). Completes the driver-visible streaming quartet: tumbling agg
+    * (q55), stateful dedup (q61), custom-state sessions (q70), sliding agg
+    * (q72) — every streaming-tier operator family has an oracle-checked
+    * micro-batch execution row.
+    */
+  def q72(spark: SparkSession, dir: String): DataFrame =
+    drain(EventStreams.slidingCounts(replayEvents(spark, dir)),
+      "q72_sliding_sink", "complete")
+      .orderBy(col("bucket_ms"), col("event_type"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q72_sliding_replay", q72,
+      Some(graft.operators.TimeWindows.slidingOracleSql)),
     QueryDef("q70_stream_sessions", q70,
       Some(graft.operators.TimeWindows.sessionOracleSql)),
     // same result contract as q14 — the oracle is intentionally identical
