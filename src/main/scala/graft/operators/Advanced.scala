@@ -227,8 +227,12 @@ object Advanced {
       .unionAll(base.filter(col("o_orderkey") % 10 === 7)
         .select(col("o_orderkey").as("key"), lit("D").as("op"),
           lit(null).cast("double").as("new_price")))
+      // insert keys live in the NEGATIVE domain: order keys are positive at
+      // every scale, so inserts can never alias a base row (a fixed +10M
+      // offset collides once orders exceeds 10M rows ≈ sf 6.7 and would
+      // silently turn inserts into phantom updates)
       .unionAll(base.filter(col("o_orderkey") % 10 === 1)
-        .select((col("o_orderkey") + lit(10000000L)).as("key"),
+        .select((-col("o_orderkey")).as("key"),
           lit("I").as("op"), col("o_totalprice").as("new_price")))
     base.join(changes, col("o_orderkey") === col("key"), "full_outer")
       .filter(coalesce(col("op"), lit("")) =!= "D")
@@ -309,7 +313,7 @@ object Advanced {
         |  UNION ALL
         |  SELECT o_orderkey, 'D', NULL FROM base WHERE o_orderkey % 10 = 7
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'I', o_totalprice
+        |  SELECT -o_orderkey, 'I', o_totalprice
         |  FROM base WHERE o_orderkey % 10 = 1)
         |SELECT coalesce(b.o_orderkey, c.key) AS o_orderkey,
         |  coalesce(b.o_orderstatus, 'N') AS o_orderstatus,

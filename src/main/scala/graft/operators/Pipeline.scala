@@ -147,21 +147,33 @@ object Pipeline {
   /** q69: overlapping token-window chunking — each doc split into windows of
     * `WindowSize` tokens advancing by `WindowStride` (50% overlap), the
     * boundary layout a RAG / long-context training pass feeds its encoder.
-    * Pure per-row arithmetic + a node-local explode (ceil(n/stride) rows out
-    * per doc, no shuffle until the final presentation sort): the chunk count
-    * derives from the token count, so the fan-out never materializes text.
-    * Docs with zero tokens produce zero chunks (both engines drop them in
-    * the unnest/explode).
+    * Pure per-row arithmetic + a node-local explode (no shuffle until the
+    * final presentation sort): the chunk count derives from the token count,
+    * so the fan-out never materializes text. Chunk count is
+    * 1 + max(ceil((n - WindowSize) / WindowStride), 0) — the last window is
+    * the FIRST one whose end reaches n, so every chunk contributes tokens no
+    * earlier chunk covers (a ceil(n/stride) bound emits a final chunk that's
+    * a strict subset of the penultimate one whenever n > stride). Docs with
+    * zero tokens produce zero chunks (both engines drop them in the
+    * unnest/explode).
     */
   val WindowSize = 512L
   val WindowStride = 256L
 
   def q69(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), text.tokenCount(col("text")).as("n_tokens"))
+    chunkWindows(Tables.documents(spark, dir)
+      .select(col("doc_id"), text.tokenCount(col("text")).as("n_tokens")))
+
+  /** The q69 tiling over any (doc_id, n_tokens) frame — split out so specs
+    * can drive it with planted multi-chunk token counts (the fixture docs
+    * are all <= 1 window).
+    */
+  def chunkWindows(toks: DataFrame): DataFrame =
+    toks
       .withColumn("chunk_idx", explode(when(col("n_tokens") > 0,
         sequence(lit(0L),
-          ceil(col("n_tokens").cast("double") / WindowStride).cast("long") - 1))
+          greatest(ceil((col("n_tokens") - WindowSize).cast("double") / WindowStride)
+            .cast("long"), lit(0L))))
         .otherwise(typedLit(Array.empty[Long]))))
       .select(col("doc_id"), col("chunk_idx"),
         (col("chunk_idx") * WindowStride).as("start_tok"),
@@ -408,8 +420,11 @@ object Pipeline {
     QueryDef("q59_mix_weights", q59,
       Some(s"""WITH per AS (
         |  SELECT lang, COUNT(*) AS n_docs,
-        |    SUM(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |                             t -> t <> '')) AS BIGINT)) AS n_tokens
+        |    -- outer CAST matters: DuckDB types an uncast SUM(BIGINT) as
+        |    -- HUGEINT (int128) while Spark emits int64 — the r4/r5 q59
+        |    -- hash mismatch was this TYPE, not the arithmetic
+        |    CAST(SUM(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                                  t -> t <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY lang),
         |s AS (
         |  SELECT *, CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per) AS share
@@ -465,7 +480,8 @@ object Pipeline {
         |c AS (
         |  SELECT doc_id, n_tokens,
         |    unnest(generate_series(0,
-        |      CAST(ceil(CAST(n_tokens AS DOUBLE) / $WindowStride) AS BIGINT) - 1))
+        |      greatest(CAST(ceil(CAST(n_tokens - $WindowSize AS DOUBLE)
+        |                         / $WindowStride) AS BIGINT), 0)))
         |      AS chunk_idx
         |  FROM t WHERE n_tokens > 0)
         |SELECT doc_id, chunk_idx,

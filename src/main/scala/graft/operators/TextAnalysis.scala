@@ -386,9 +386,12 @@ object TextAnalysis {
         |        ['the','a','of','and','to','in','is','that','it','for'], t)))
         |            AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio
         |  FROM d)
-        |SELECT doc_id, signal, value FROM (
-        |  UNPIVOT q ON n_chars, n_tokens, mean_token_len, alpha_ratio, stopword_ratio
-        |  INTO NAME signal VALUE value)
+        |-- INCLUDE NULLS: Spark's Dataset.unpivot retains rows whose value
+        |-- is NULL; DuckDB's default UNPIVOT drops them — a null text row
+        |-- would silently diverge under the default
+        |SELECT doc_id, signal, value FROM q
+        |  UNPIVOT INCLUDE NULLS (value FOR signal IN
+        |    (n_chars, n_tokens, mean_token_len, alpha_ratio, stopword_ratio))
         |ORDER BY doc_id, signal""".stripMargin)),
     QueryDef("q27_lang_id", langIdScores, Some(langIdOracle)),
     QueryDef("q47_edit_distance",

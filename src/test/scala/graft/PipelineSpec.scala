@@ -94,14 +94,30 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("chunk windows tile every doc: stride offsets, full coverage, bounded size") {
-    val dir = "/root/testdata/sf0.001"
-    val byDoc = graft.operators.Pipeline.q69(spark, dir)
+    import spark.implicits._
+    val stride = graft.operators.Pipeline.WindowStride
+    val size = graft.operators.Pipeline.WindowSize
+    // fixture docs are all <= 1 window (~100 tokens), so the multi-chunk
+    // path needs PLANTED token counts straddling every boundary: exactly
+    // one window, one window + 1 (the r5 formula emitted a redundant
+    // trailing chunk here), mid-range, and deep multi-chunk
+    val planted = Seq(1L, 100L, stride, stride + 1, size - 1, size, size + 1,
+      300L, 600L, 1100L, 4 * size + 7)
+      .zipWithIndex.map { case (n, i) => (1000L + i, n) }
+    val fixture = graft.operators.Pipeline.q69(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "chunk_tokens")
       .collect()
+    val synth = graft.operators.Pipeline.chunkWindows(
+      planted.toDF("doc_id", "n_tokens")).collect()
+    val byDoc = (fixture ++ synth)
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .groupBy(_._1)
     assert(byDoc.nonEmpty)
-    val stride = graft.operators.Pipeline.WindowStride
-    val size = graft.operators.Pipeline.WindowSize
+    // the planted counts DO hit the multi-chunk path
+    assert(byDoc(planted(8)._1).length === 2)  // 600  → 1 + ceil(88/256)
+    assert(byDoc(planted(9)._1).length === 4)  // 1100 → 1 + ceil(588/256)
+    assert(byDoc(planted(10)._1).length === 8) // 2055 → 1 + ceil(1543/256)
+    val plantedTokens = planted.toMap
     byDoc.foreach { case (doc, rows) =>
       val sorted = rows.sortBy(_._2)
       // contiguous indices from 0, each starting at idx*stride
@@ -111,10 +127,18 @@ class PipelineSpec extends AnyFunSuite {
         assert(n === end - start)
         assert(n > 0 && n <= size, s"doc $doc chunk $idx size $n")
       }
-      // the final window reaches the doc's last token; the one before
-      // (if any) does not — no chunk is redundant
+      // full coverage: the final window reaches the doc's last token...
+      plantedTokens.get(doc).foreach { n =>
+        assert(sorted.last._4 === n, s"doc $doc truncated")
+      }
+      // ...and no earlier window does — no chunk is redundant
       val lastEnd = sorted.last._4
-      assert(sorted.init.forall(_._4 < lastEnd))
+      assert(sorted.init.forall(_._4 < lastEnd), s"doc $doc redundant chunk")
+      // consecutive windows leave no gap (stride < size ⇒ overlap)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 < a._4, s"doc $doc gap at ${b._2}")
+        case _           =>
+      }
     }
   }
 
