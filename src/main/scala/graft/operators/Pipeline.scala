@@ -492,8 +492,8 @@ object Pipeline {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
     QueryDef("q51_stratified_sample", q51,
       Some(s"""SELECT doc_id, lang, rn FROM (
-        |  SELECT doc_id, lang, row_number() OVER (
-        |    PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  SELECT doc_id, lang, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS rn
         |  FROM documents)
         |WHERE rn <= $SamplePerLang
         |ORDER BY lang, rn""".stripMargin)))

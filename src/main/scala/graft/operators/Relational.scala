@@ -316,8 +316,9 @@ object Relational {
     QueryDef("q09_window_rank", q09,
       Some("""SELECT o_custkey, rn, o_orderkey FROM (
         |  SELECT o_custkey, o_orderkey,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey)
+        |         AS INTEGER) AS rn
         |  FROM orders) WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin)),
     QueryDef("q10_window_frame", q10,

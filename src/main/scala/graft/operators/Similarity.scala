@@ -277,8 +277,8 @@ object Similarity {
         |  SELECT probe_id, vec_id AS neighbor_id,
         |    list_cosine_similarity(pv, v) AS c
         |  FROM e, p WHERE vec_id <> probe_id),
-        |r AS (SELECT *, row_number() OVER (
-        |    PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rnk
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rnk
         |  FROM pairs)
         |SELECT probe_id, rnk, neighbor_id, round(c, 6) AS score
         |FROM r WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),

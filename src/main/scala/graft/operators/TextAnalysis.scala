@@ -341,8 +341,8 @@ object TextAnalysis {
         |      AS tfidf
         |  FROM tf JOIN dtot USING (doc_id) JOIN dfreq USING (term), n),
         |r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
         |  FROM s)
         |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= $TfIdfTopK
         |ORDER BY doc_id, rnk""".stripMargin)),

@@ -142,7 +142,33 @@ object StreamReplay {
       "q72_sliding_sink", "complete")
       .orderBy(col("bucket_ms"), col("event_type"))
 
+  /** q73: stream-stream range join, driver-visible — the replayed file
+    * stream self-joins through `EventStreams.clicksBeforePurchase` (clicks
+    * within the hour before each purchase by the same user). Both sides are
+    * watermarked and the time-range predicate bounds the join state: a
+    * buffered click is droppable once the purchase-side watermark passes
+    * click_ts + 1 h, so state is O(events in the lateness horizon), never
+    * O(history). Append mode is the only output mode stream-stream joins
+    * support; with Trigger.AvailableNow every match emits before the drain
+    * returns, so a plain batch self-join SQL is the oracle. Completes the
+    * streaming evidence set: tumbling (q55), dedup (q61), sessions (q70),
+    * sliding (q72), stream-stream join (q73).
+    */
+  def q73(spark: SparkSession, dir: String): DataFrame =
+    drain(EventStreams.clicksBeforePurchase(replayEvents(spark, dir)),
+      "q73_ssjoin_sink", "append")
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q73_stream_stream_join", q73,
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  c.event_id AS click_id
+        |FROM e p JOIN e c ON c.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.us >= p.us - 3600000000 AND c.us <= p.us
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin)),
     QueryDef("q72_sliding_replay", q72,
       Some(graft.operators.TimeWindows.slidingOracleSql)),
     QueryDef("q70_stream_sessions", q70,

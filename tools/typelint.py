@@ -39,19 +39,30 @@ def arrow_ok(duck_t, arrow_t):
     return a.startswith(OK.get(duck_t, ("<no-map>",)))
 
 def main():
+    if len(sys.argv) < 3:
+        print("usage: typelint.py <verify_out_dir> <sf_dir> [--strict]",
+              file=sys.stderr)
+        sys.exit(2)
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    oracle_path = os.path.join(out_dir, "oracle_sql.json")
+    if not os.path.exists(oracle_path):
+        print(f"ERROR: {oracle_path} not found", file=sys.stderr)
+        sys.exit(2)
+    oracle = json.load(open(oracle_path))
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     bad = 0
+    skipped = 0
+    strict = "--strict" in sys.argv
     for name, sql in sorted(oracle.items()):
         duck = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"{name}: SKIP (no engine output)")
+            skipped += 1
             continue
         schema = pq.read_schema(files[0])
         eng = {f.name: f.type for f in schema}
@@ -64,8 +75,13 @@ def main():
             if not arrow_ok(dt, eng[c]):
                 print(f"{name}: {c}: duckdb={dt} vs engine={eng[c]}")
                 bad += 1
+    checked = len(oracle) - skipped
+    skip_note = f", {skipped} skipped" if skipped else ""
     print(f"== {'CLEAN' if not bad else f'{bad} suspect column(s)'} "
-          f"across {len(oracle)} oracles")
+          f"across {checked}/{len(oracle)} oracles{skip_note}")
+    if strict and skipped:
+        bad += skipped
+    sys.exit(1 if bad else 0)
 
 if __name__ == "__main__":
     main()
