@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   token_xxh64(string)                           -> array<bigint>
   *   shingle_from_hashes(array<bigint>, n)         -> array<bigint>
   *   word_ngrams(string, n)                        -> array<string>
+  *   bloom_might_contain(string, binary-literal)   -> boolean
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -101,5 +102,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_ngrams(text, n) - space-joined token n-grams of lower(text)"),
       (args: Seq[Expression]) =>
         WordNgramsExpr(args.head, intArg(args(1), "word_ngrams"))))
+
+    // SQL has no object references, so the filter arrives as a binary
+    // literal of its own wire form (bloom.sqlLiteral / bloom.serialize) and
+    // is rebuilt ONCE here at analysis time — per-row evaluation still
+    // probes the shared deserialized object, codegen'd like the Column form.
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(s, filter_bytes) - Bloom membership; " +
+          "filter_bytes is a binary literal of a serialized BloomFilter " +
+          "(graft.functions.expressions.bloom.sqlLiteral)"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(bytes: Array[Byte],
+            org.apache.spark.sql.types.BinaryType) =>
+          BloomMightContainExpr(args.head, bloom.deserialize(bytes))
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain expects a binary-literal serialized " +
+            s"BloomFilter as arg 2, got $other")
+      }))
   }
 }

@@ -30,6 +30,26 @@ object bloom {
     */
   def mightContain(s: Column, bf: BloomFilter): Column =
     ColumnBridge.column(BloomMightContainExpr(ColumnBridge.expression(s), bf))
+
+  /** The filter's wire form (Spark's own `BloomFilter.writeTo` layout) —
+    * what the SQL surface carries as a binary literal: SQL has no object
+    * references, so `bloom_might_contain(s, X'...')` takes the serialized
+    * filter and GraftExtensions rebuilds the object once at analysis time.
+    * Kilobytes for dimension-table-sized filters, same payload a broadcast
+    * would ship.
+    */
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  /** `X'...'` SQL literal of a serialized filter, for spark.sql users. */
+  def sqlLiteral(bf: BloomFilter): String =
+    serialize(bf).map("%02X".format(_)).mkString("X'", "", "'")
 }
 
 case class BloomMightContainExpr(child: Expression, bf: BloomFilter)

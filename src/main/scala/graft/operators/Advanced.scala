@@ -266,12 +266,21 @@ object Advanced {
     * bounded-state path (exact anchor next to it, like q31/q52, q48/q24).
     */
   def q71(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    val li = winsorizeInput(spark, dir)
+    clipWithCaps(li, li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .as("cap")))
+  }
+
+  private def winsorizeInput(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_extendedprice"))
-    val caps = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
-        .as("cap"))
+
+  /** The shared winsorize body: broadcast the 3-row caps frame back onto the
+    * fact scan — the fact side never shuffles and never sorts.
+    */
+  private def clipWithCaps(li: DataFrame, caps: DataFrame): DataFrame =
     li.join(broadcast(caps), Seq("l_returnflag"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_extendedprice"), col("cap"),
@@ -282,11 +291,44 @@ object Advanced {
       // engine-independent
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_extendedprice"))
-  }
 
-  val defs: Seq[QueryDef] = Seq(
-    QueryDef("q71_winsorize", q71,
-      Some("""WITH r AS (
+  /** q71b: the winsorization SCALE TWIN — caps from the mergeable GK sketch
+    * (`approx_percentile`) instead of q71's exact `percentile_disc`, closing
+    * the anchor/twin pair the same way q52 closes q31 and q24 closes q48.
+    * GK state is O(accuracy), independent of row count: where the exact
+    * aggregate buffers every per-group value (unbounded at 100 TB), the
+    * sketch is one bounded-state mergeable pass — this is the production
+    * plan; q71 stays the labeled exact anchor.
+    *
+    * Accuracy choice: the GK rank-error bound is N/accuracy, so with
+    * accuracy > N the sketch's P99 is the exact discrete P99 and the twin
+    * clips bit-for-bit the same rows (probed: equal at sf0.01 with 1e5, at
+    * sf0.1 with 1e6). The registered gate query pins accuracy=1e6 — still
+    * fixed-size state, merge-associative, and ε·N < 1 at every gate scale —
+    * so q71's oracle SQL hash-checks it verbatim (the q66/q57 pattern). At
+    * a production ε (accuracy ~1e4, the `ProductionAccuracy` spec path) the
+    * clipped set differs only within the ε·N rank band, property-checked in
+    * PipelineSpec/ScalarsSpec style below (AdvancedSpec via PropertySpec).
+    */
+  val Q71bGateAccuracy = 1000000
+  val Q71bProductionAccuracy = 10000
+
+  def q71b(spark: SparkSession, dir: String): DataFrame =
+    winsorizeSketch(winsorizeInput(spark, dir), Q71bGateAccuracy)
+
+  /** Sketch-cap winsorize over any lineitem-shaped frame — split out so the
+    * spec can drive both the gate accuracy (exact-equality contract) and a
+    * production accuracy (rank-error contract).
+    */
+  def winsorizeSketch(li: DataFrame, accuracy: Int): DataFrame =
+    clipWithCaps(li, li.groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_extendedprice, 0.99, $accuracy)")
+        .as("cap")))
+
+  // shared by q71 (exact) and q71b (GK sketch at gate accuracy: ε·N < 1 at
+  // every gate scale, so the sketch cap IS the exact discrete P99 and one
+  // oracle hash-checks both — the q66/q57 verbatim-SQL pattern)
+  private val winsorizeOracleSql: String = """WITH r AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
         |    row_number() OVER w AS rn,
         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
@@ -302,7 +344,11 @@ object Advanced {
         |  least(l_extendedprice, cap) AS clipped,
         |  l_extendedprice > cap AS is_clipped
         |FROM c
-        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice""".stripMargin)),
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q71_winsorize", q71, Some(winsorizeOracleSql)),
+    QueryDef("q71b_winsorize_sketch", q71b, Some(winsorizeOracleSql)),
     QueryDef("q68_merge_upsert", q68,
       Some("""WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -38,6 +38,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(sql.head.getDouble(3) - 10.0 / 14.0) < 1e-12)
   }
 
+  test("SQL bloom_might_contain agrees with the Column API") {
+    import graft.functions.expressions.bloom
+    import spark.implicits._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    Seq("alpha", "beta", "gamma").foreach(bf.putString)
+    val probes = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      .toDF("s")
+    probes.createOrReplaceTempView("bloom_probes")
+    val viaSql = spark.sql(
+      s"""SELECT s, bloom_might_contain(s, ${bloom.sqlLiteral(bf)}) AS hit
+         |FROM bloom_probes ORDER BY s""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val viaColumn = probes
+      .select(col("s"), bloom.mightContain(col("s"), bf).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(viaSql === viaColumn)
+    // no false negatives, ever
+    Seq("alpha", "beta", "gamma").foreach(s => assert(viaSql(s), s))
+  }
+
   test("optimizer rule rewrites the HOF cosine fold to CosineSimExpr") {
     import graft.functions.vectors
     // arrays derived from a column so constant folding can't collapse the plan

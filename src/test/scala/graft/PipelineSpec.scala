@@ -142,6 +142,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q69 cross-engine dump: planted multi-chunk docs + engine output parquet") {
+    // The FIXTURE docs are all <= 1 window, so the driver's DuckDB gate never
+    // executes the multi-chunk branch of q69's own oracle SQL. This test
+    // plants real documents that straddle every window boundary and dumps
+    // (a) the planted table and (b) the engine's q69 over it to
+    // target/q69_cross/; `tools/q69_cross_check.py` then runs the REGISTERED
+    // oracle SQL (from a Verify dump's oracle_sql.json) against the planted
+    // table in DuckDB and diffs — cross-ENGINE equality on the multi-chunk
+    // branch, not just the engine vs its own Scala model.
+    import spark.implicits._
+    val size = Pipeline.WindowSize
+    val counts = Seq(0L, 1L, size - 1, size, size + 1, 600L, 1100L,
+      4 * size + 7)
+    val docs = counts.zipWithIndex.map { case (n, i) =>
+      val text = if (n == 0) "!!!" else (0L until n).map(j => s"w$j").mkString(" ")
+      (1000L + i, text, "en", "planted", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = "target/q69_cross"
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$base/fixture/documents.parquet")
+    val engine = Pipeline.q69(spark, s"$base/fixture")
+    engine.coalesce(1).write.mode("overwrite").parquet(s"$base/engine")
+    val byDoc = engine.collect().groupBy(_.getLong(0))
+    assert(byDoc.get(1000L).isEmpty)           // 0 tokens → no chunks
+    assert(byDoc(1005L).length === 2)          // 600 → multi-chunk
+    assert(byDoc(1007L).length === 8)          // 2055 → deep multi-chunk
+  }
+
   test("stratified sample takes at most K per language, deterministically") {
     val a = Pipeline.q51(spark, "/root/testdata/sf0.001").collect()
     val b = Pipeline.q51(spark, "/root/testdata/sf0.001").collect()

@@ -64,4 +64,40 @@ class ScalarsSpec extends AnyFunSuite {
         s"$k: approx $a vs exact $e drifts > 5%")
     }
   }
+
+  test("q71b sketch twin clips bit-for-bit the rows of the exact q71 anchor") {
+    // gate accuracy makes eps*N < 1, so the GK sketch's P99 IS the discrete
+    // P99 — the twin must equal the anchor row-for-row, which is what lets
+    // one oracle SQL hash-check both
+    val a = graft.operators.Advanced.q71(spark, dir).collect().toSeq
+    val b = graft.operators.Advanced.q71b(spark, dir).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("q71b at production accuracy: cap is a data value in the GK rank band") {
+    import org.apache.spark.sql.functions._
+    val acc = graft.operators.Advanced.Q71bProductionAccuracy
+    val eps = 1.0 / acc
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+    val byFlag = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val caps = graft.operators.Advanced.winsorizeSketch(li, acc)
+      .select(col("l_returnflag"), col("cap")).distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(caps.keySet == byFlag.keySet)
+    for ((flag, cap) <- caps) {
+      val vals = byFlag(flag)
+      val n = vals.length
+      assert(vals.contains(cap), s"$flag: cap $cap is not a data value")
+      val lo = vals.count(_ < cap)
+      val hi = vals.count(_ <= cap)
+      val target = math.ceil(0.99 * n)
+      assert(lo <= target + eps * n + 1 && hi >= target - eps * n - 1,
+        s"$flag: cap $cap rank [$lo,$hi] vs target $target (n=$n)")
+    }
+  }
 }
