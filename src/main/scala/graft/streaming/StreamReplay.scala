@@ -23,6 +23,13 @@ object StreamReplay {
   private val runSeqs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
+  // (schema, isDirectory) per events path: the batch footer read + FS stat
+  // that seed the file-stream source are immutable per fixture, but a
+  // resident session (bench settle runs × 5 replay queries) was paying them
+  // on every invocation
+  private val sourceMeta = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType, Boolean)]()
+
   /** The `events` table as a REAL file-stream source. File-stream sources
     * need an explicit schema: one metadata-only batch read supplies it (ts
     * arrives as raw nanos under nanosAsLong, exactly as in Tables.events).
@@ -36,10 +43,13 @@ object StreamReplay {
     */
   private def replayEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val isDir = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-      .getFileStatus(hPath).isDirectory
+    val (schema, isDir) = sourceMeta.computeIfAbsent(path, { p =>
+      val s = spark.read.parquet(p).schema
+      val hPath = new org.apache.hadoop.fs.Path(p)
+      val d = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(hPath).isDirectory
+      (s, d)
+    })
     val src =
       if (isDir) spark.readStream.schema(schema).parquet(path)
       else spark.readStream.schema(schema)
