@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   hyperplane_buckets(array<double>, planes, tables) -> array<bigint>
   *   token_xxh64(string)                           -> array<bigint>
   *   shingle_from_hashes(array<bigint>, n)         -> array<bigint>
+  *   gram_hashes(array<bigint>, n)                 -> array<bigint>
   *   word_ngrams(string, n)                        -> array<string>
   *   bloom_might_contain(string, binary-literal)   -> boolean
   */
@@ -96,6 +97,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "shingle_from_hashes(hashes, n) - distinct n-shingle chain hashes"),
       (args: Seq[Expression]) =>
         ShingleFromHashesExpr(args.head, intArg(args(1), "shingle_from_hashes"))))
+
+    ext.injectFunction((FunctionIdentifier("gram_hashes"),
+      info("gram_hashes",
+        "gram_hashes(hashes, n) - positional n-gram chain hashes, duplicates kept"),
+      (args: Seq[Expression]) =>
+        GramHashesExpr(args.head, intArg(args(1), "gram_hashes"))))
 
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams",

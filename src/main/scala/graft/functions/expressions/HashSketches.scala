@@ -58,6 +58,15 @@ object sketch {
     ColumnBridge.column(
       ShingleFromHashesExpr(ColumnBridge.expression(tokenHashes), n))
 
+  /** Position-ordered n-gram chain hashes, duplicates KEPT — element i is
+    * the chain hash of tokens [i, i+n). The span-dedup primitive: unlike
+    * shingleFromHashes (identity sets for Jaccard), every window occurrence
+    * matters here because duplicated-span counting is per position.
+    */
+  def gramHashes(tokenHashes: Column, n: Int): Column =
+    ColumnBridge.column(
+      GramHashesExpr(ColumnBridge.expression(tokenHashes), n))
+
   /** Per-set multiset token counts in ONE tokenization pass: element i is
     * how many `[a-z0-9]+` tokens of the lowercased text belong to sets(i).
     * Replaces L parallel `size(filter(toks, isin(...)))` HOFs (each an
@@ -264,13 +273,13 @@ object ShingleHashesExpr {
     chainSortDedupe(th, n)
   }
 
-  /** Chain each window of n consecutive token hashes into a shingle hash,
-    * sort, dedupe — shared by the from-strings and from-hashes forms so they
-    * can never drift.
+  /** Chain hash of each window of n consecutive token hashes, in position
+    * order, duplicates kept — the shared kernel of the shingle (sorted,
+    * deduped) and gram (positional) forms.
     */
-  def chainSortDedupe(th: Array[Long], n: Int): ArrayData = {
+  def chain(th: Array[Long], n: Int): Array[Long] = {
     val m = th.length
-    if (m < n) return new GenericArrayData(Array.empty[Long])
+    if (m < n) return Array.empty[Long]
     val sh = new Array[Long](m - n + 1)
     var i = 0
     while (i <= m - n) {
@@ -280,10 +289,24 @@ object ShingleHashesExpr {
       sh(i) = k
       i += 1
     }
+    sh
+  }
+
+  /** chain() boxed for the positional-gram expression. */
+  def chainKeepOrder(th: Array[Long], n: Int): ArrayData =
+    new GenericArrayData(chain(th, n))
+
+  /** Chain each window of n consecutive token hashes into a shingle hash,
+    * sort, dedupe — shared by the from-strings and from-hashes forms so they
+    * can never drift.
+    */
+  def chainSortDedupe(th: Array[Long], n: Int): ArrayData = {
+    val sh = chain(th, n)
+    if (sh.isEmpty) return new GenericArrayData(Array.empty[Long])
     java.util.Arrays.sort(sh)
     // in-place dedupe of the sorted hashes
     var w = 0
-    i = 0
+    var i = 0
     while (i < sh.length) {
       if (w == 0 || sh(i) != sh(w - 1)) { sh(w) = sh(i); w += 1 }
       i += 1
@@ -474,6 +497,36 @@ case class ShingleFromHashesExpr(child: Expression, n: Int)
          |  .chainSortDedupe($c.toLongArray(), $n);""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleFromHashesExpr =
+    copy(child = newChild)
+}
+
+/** Position-ordered n-gram chain hashes from pre-hashed tokens, duplicates
+  * kept (see sketch.gramHashes). Docs shorter than n tokens → empty array.
+  */
+case class GramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_hashes needs array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    ShingleHashesExpr.chainKeepOrder(arr.toLongArray(), n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.ShingleHashesExpr
+         |  .chainKeepOrder($c.toLongArray(), $n);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
     copy(child = newChild)
 }
 

@@ -258,7 +258,100 @@ object Dedup {
         (col("lab") === col("v")).as("is_kept"))
       .orderBy(col("vec_id"))
 
+  // ---- Span-level exact substring dedup (q74) -----------------------------
+
+  /** Duplicated-span window length, in tokens. 8 is small for production
+    * (the suffix-array dedup literature uses ~50-token spans) but the same
+    * plan runs at any n — the fixture's planted near-dup docs share spans
+    * at this length.
+    */
+  val SpanTokens = 8
+
+  /** q74: span-level exact-duplicate profiling — for each document, how many
+    * of its 8-token windows (stride 1, multiplicity kept) occur at least
+    * twice in the corpus (any position, same or another doc). The span
+    * analogue of doc-level exact dedup (q18): doc-level hashing misses
+    * boilerplate/quotation overlap between otherwise-distinct documents,
+    * which is exactly what span counting surfaces. Downstream, a curation
+    * pipeline drops docs above a dup_ratio threshold or cuts the flagged
+    * spans.
+    *
+    * Shape for 100 TB: tokenize+chain-hash is ONE codegen'd pass per row
+    * (native expressions, no HOF); the exploded (doc_id, gram_hash) frame is
+    * hash-partitioned ONCE by gram hash, and everything until the final
+    * per-doc rollup stays on that partitioning with no further wide
+    * exchange: the per-(gh, doc) multiplicity agg, the per-gh total agg over
+    * the collapsed frame, and their join are all gh-clustered. Hot
+    * boilerplate grams collapse to one row per containing doc BEFORE the
+    * join, so skew is bounded by doc count per gram, not occurrence count;
+    * the shuffle key is a fixed-width 64-bit chain hash, never gram text.
+    */
+  def q74(spark: SparkSession, dir: String): DataFrame =
+    spanDupProfile(Tables.documents(spark, dir))
+
+  /** The q74 core over any (doc_id, text) frame — planted-corpus specs run
+    * it directly.
+    */
+  def spanDupProfile(docs: DataFrame): DataFrame = {
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val grams = docs
+      // explicit isnotnull(doc_id): the final restore join pushes this
+      // filter into the multiplicity branch anyway; stating it on BOTH
+      // branches makes their subtrees canonical-equal up through the gh
+      // exchange, so ReuseExchange plans ONE scan+tokenize+explode+shuffle
+      // instead of two (PlanSpec pins this)
+      .filter(col("doc_id").isNotNull)
+      // spread the tokenize+hash CPU across cores even for a one-split file
+      .repartition(cores, col("doc_id"))
+      .select(col("doc_id"),
+        explode(sketch.gramHashes(
+          sketch.tokenHashes(col("text")), SpanTokens)).as("gh"))
+      .repartition(cores, col("gh"))
+    // multiplicity of each gram within each doc — gh-clustered, so the two
+    // aggs and the join below need no additional exchange
+    val perDocGram = grams.groupBy(col("gh"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+    val totals = perDocGram.groupBy(col("gh")).agg(sum(col("k")).as("c"))
+    val per = perDocGram.join(totals, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_windows"),
+        sum(when(col("c") > 1, col("k")).otherwise(0L)).as("dup_windows"))
+    // docs shorter than SpanTokens have no windows at all: restore them via
+    // an ids-only (column-pruned) left join so every doc_id appears
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        round(coalesce(col("dup_windows"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_windows"), lit(0L)), lit(1L)), 4)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q74_span_dedup", q74,
+      Some(s"""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+${SpanTokens - 1}], ' ') AS gram
+        |  FROM d, unnest(generate_series(1, len(toks) - ${SpanTokens - 1})) AS t(i)
+        |  WHERE len(toks) >= $SpanTokens),
+        |c AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+        |per AS (
+        |  SELECT g.doc_id, COUNT(*) AS nw,
+        |    SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS dw
+        |  FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.nw, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(per.dw, 0) AS BIGINT) AS dup_windows,
+        |  round(CAST(coalesce(per.dw, 0) AS DOUBLE) /
+        |    greatest(coalesce(per.nw, 0), 1), 4) AS dup_ratio
+        |FROM d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q56_dup_clusters", q56,
       Some(s"""WITH RECURSIVE
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

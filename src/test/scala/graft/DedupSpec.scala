@@ -85,6 +85,60 @@ class DedupSpec extends AnyFunSuite {
       s"unrelated docs flagged as near-dups: $unrelatedHits")
   }
 
+  test("span dedup: planted shared/repeated spans produce exact window counts") {
+    import spark.implicits._
+    // n = Dedup.SpanTokens (8). Hand-built corpus:
+    //   doc 0: tokens a0..a19 (20 toks, 13 windows) — shares its first 10
+    //          tokens with doc 1, so windows starting at 0,1,2 (3 windows)
+    //          also occur in doc 1.
+    //   doc 1: a0..a9 ++ b0..b9 — windows 0,1,2 duplicated with doc 0.
+    //   doc 2: c0..c7 repeated twice plus a tail c0..c7 again? -> built as
+    //          (c0..c7) * 2: 16 toks, 9 windows; window 0 (c0..c7) appears
+    //          at positions 0 and 8 -> those 2 windows are dups, the 7
+    //          straddling windows are unique.
+    //   doc 3: 7 tokens -> 0 windows.
+    //   doc 4: all-unique tokens, no overlap -> 0 dup windows.
+    val a = (0 until 20).map(i => s"a$i")
+    val b = (0 until 10).map(i => s"b$i")
+    val c = (0 until 8).map(i => s"c$i")
+    val docs = Seq(
+      (0L, a.mkString(" ")),
+      (1L, (a.take(10) ++ b).mkString(" ")),
+      (2L, (c ++ c).mkString(" ")),
+      (3L, (0 until 7).map(i => s"d$i").mkString(" ")),
+      (4L, (0 until 30).map(i => s"e$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupProfile(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(0L) === ((13L, 3L, 0.2308)))
+    assert(got(1L) === ((13L, 3L, 0.2308)))
+    assert(got(2L) === ((9L, 2L, 0.2222)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+    assert(got(4L) === ((23L, 0L, 0.0)))
+  }
+
+  test("span dedup matches a plain-Scala model on the random corpus") {
+    import spark.implicits._
+    val n = Dedup.SpanTokens
+    val model: Map[Long, (Long, Long)] = {
+      val grams = corpus.flatMap { case (id, text) =>
+        text.split(" ").sliding(n).filter(_.size == n)
+          .map(w => (id, w.mkString(" ")))
+      }
+      val counts = grams.groupBy(_._2).map { case (g, occ) => g -> occ.size }
+      corpus.map { case (id, _) =>
+        val mine = grams.filter(_._1 == id)
+        id -> (mine.size.toLong, mine.count(g => counts(g._2) > 1).toLong)
+      }.toMap
+    }
+    val got = Dedup.spanDupProfile(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === model)
+    // the planted near-copies guarantee shared spans exist
+    assert(model.values.map(_._2).sum > 0, "corpus should contain dup spans")
+  }
+
   test("connected components resolve transitive near-dup chains to min-id reps") {
     import spark.implicits._
     // chain 1-2-3 (1~3 NOT paired — transitivity must come from the CC),

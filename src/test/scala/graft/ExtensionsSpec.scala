@@ -38,6 +38,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(sql.head.getDouble(3) - 10.0 / 14.0) < 1e-12)
   }
 
+  test("SQL gram_hashes agrees with the Column API and keeps positional dups") {
+    import spark.implicits._
+    Seq((1L, "x y x y x y x y"), (2L, "a b"))
+      .toDF("id", "text").createOrReplaceTempView("gram_docs")
+    val viaSql = spark.sql(
+      """SELECT id, gram_hashes(token_xxh64(text), 3) AS g
+        |FROM gram_docs ORDER BY id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val viaColumn = spark.table("gram_docs")
+      .select(col("id"), graft.functions.expressions.sketch
+        .gramHashes(graft.functions.expressions.sketch
+          .tokenHashes(col("text")), 3).as("g"))
+      .orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(viaSql === viaColumn)
+    val doc1 = viaSql.head._2
+    // "x y x" at positions 0,2,4 and "y x y" at 1,3,5 — positional
+    // multiplicity is the whole point vs shingle_hashes
+    assert(doc1.size === 6)
+    assert(doc1.distinct.size === 2)
+    assert(doc1(0) === doc1(2) && doc1(2) === doc1(4))
+    // doc shorter than n -> empty, not null
+    assert(viaSql(1)._2.isEmpty)
+  }
+
   test("SQL bloom_might_contain agrees with the Column API") {
     import graft.functions.expressions.bloom
     import spark.implicits._

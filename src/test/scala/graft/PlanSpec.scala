@@ -165,6 +165,18 @@ class PlanSpec extends AnyFunSuite {
       "corpus tokenized more than once")
   }
 
+  test("q74: span totals reuse the gram exchange — one scan, one wide gram shuffle") {
+    // The gram-totals branch must plan a ReusedExchange over the
+    // multiplicity branch's gh exchange (both subtrees are written
+    // canonical-equal for exactly this), not a second
+    // scan+tokenize+explode+shuffle. AQE does exchange reuse at runtime, so
+    // execute first and assert on the final adaptive plan.
+    val df = graft.operators.Dedup.q74(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("ReusedExchange"), p.take(1500))
+  }
+
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
     // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
     // back into these projections would silently drop the whole stage out of
