@@ -14,7 +14,13 @@ object Bench {
     // the first measured query of each table family.
     Seq("lineitem", "orders", "documents", "embeddings", "events")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // SPARK_GRAFT_BENCH_ONLY=q56,q74,... runs a subset (exact name or
+    // qNN-prefix match) — the knob the targeted scale-up smokes use; unset
+    // runs the full inventory (what the driver does).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(p => n == p || n.startsWith(p + "_"))))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val runCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
     // Min of up to six runs per query: run 1 pays plan codegen and queues C2

@@ -345,6 +345,57 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** q75: mixture-weight application — the sampler that closes q59's loop.
+    * q59 computes the temperature-scaled target mixture (p_l ∝ √share_l);
+    * q75 turns it into per-language keep rates and a deterministic per-doc
+    * keep/drop verdict. Downsample-only: rate_l = c · p_l / share_l with c
+    * chosen so the most under-represented language keeps everything
+    * (max rate = 1) — upsampling is a repeat-factor at training time, not a
+    * row operation here.
+    *
+    * The keep decision must be reproducible across engines and runs, so the
+    * per-doc uniform is content-keyed, not RNG: the first 8 hex chars of
+    * md5(doc_id) as a 32-bit integer, kept iff below floor(rate · 2^32).
+    * Rates reuse q59's bit-identical arithmetic (exact longs → division →
+    * correctly-rounded sqrt, fixed-point Z) so the oracle computes the SAME
+    * doubles and therefore the same thresholds — the boundary doc cannot
+    * flip between engines.
+    *
+    * Shape for 100 TB: one map-side-combinable per-language aggregate, a
+    * language-cardinality window, a broadcast of the ~|languages| rate rows
+    * back onto the corpus, and a per-row hash compare — no corpus shuffle
+    * at all (the gate's orderBy is presentation).
+    */
+  def q75(spark: SparkSession, dir: String): DataFrame =
+    mixtureSample(Tables.documents(spark, dir))
+
+  /** The q75 core over any (doc_id, lang, text) frame — planted-corpus
+    * specs run it directly.
+    */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    val rates = docs
+      .groupBy(col("lang"))
+      .agg(sum(text.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+      .withColumn("sw", sqrt(col("share")))
+      .withColumn("z",
+        sum(graft.functions.num.fixed4(col("sw"))).over(w).cast("double")
+          / lit(10000))
+      .withColumn("ratio", col("sw") / col("z") / col("share"))
+      .withColumn("r", col("ratio") / max(col("ratio")).over(w))
+      .select(col("lang"),
+        floor(col("r") * lit(4294967296L)).cast("long").as("thr"),
+        floor(col("r") * lit(1000000)).cast("long").as("rate_e6"))
+    docs
+      .join(broadcast(rates), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("rate_e6"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") < col("thr")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q63: cleaned-corpus label profile — the post-cleaning sanity check a
     * curation run does before training: join the quality-filtered corpus
     * (q44's gates + content dedup) to its embedding labels and profile the
@@ -435,6 +486,28 @@ object Pipeline {
         |  CAST(FLOOR(share * 1000000) AS BIGINT) AS share_e6,
         |  CAST(FLOOR(sw / z.z * 1000000) AS BIGINT) AS weight_e6
         |FROM w, z ORDER BY lang""".stripMargin)),
+    QueryDef("q75_mixture_sample", q75,
+      Some(s"""WITH per AS (
+        |  SELECT lang,
+        |    CAST(SUM(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                                  t -> t <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |s AS (
+        |  SELECT *, CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per) AS share
+        |  FROM per),
+        |w AS (SELECT *, sqrt(share) AS sw FROM s),
+        |z AS (SELECT ${graft.functions.num.sqlDsum("sw")} AS z FROM w),
+        |rt AS (SELECT lang, sw / z.z / share AS ratio FROM w, z),
+        |m AS (SELECT MAX(ratio) AS mx FROM rt),
+        |t AS (SELECT lang,
+        |        CAST(FLOOR(ratio / m.mx * 4294967296) AS BIGINT) AS thr,
+        |        CAST(FLOOR(ratio / m.mx * 1000000) AS BIGINT) AS rate_e6
+        |      FROM rt, m)
+        |SELECT d.doc_id, d.lang, t.rate_e6,
+        |  (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |    < t.thr) AS kept
+        |FROM documents d JOIN t USING (lang)
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q57_decontaminate", q57, Some(decontOracleSql)),
     // q66 computes q57's EXACT result behind the Bloom prescreen (no false
     // negatives + exact verify join), so the oracle is shared verbatim.

@@ -169,6 +169,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc(1007L).length === 8)          // 2055 → deep multi-chunk
   }
 
+  test("mixture sampler rebalances toward the sqrt-tempered target, downsample-only") {
+    import spark.implicits._
+    // 90/10 token split over two languages, equal-length docs. sqrt temper:
+    // p_a ∝ √.9, p_b ∝ √.1 → p=(.75, .25). Downsample-only rates:
+    // ratio_a = .75/.9 = .833, ratio_b = .25/.1 = 2.5, c = 1/2.5 →
+    // r_a = 1/3, r_b = 1 — the minority language must keep EVERYTHING.
+    val docs = ((0 until 900).map(i => (i.toLong, "aa", "tok " * 10)) ++
+      (900 until 1000).map(i => (i.toLong, "bb", "tok " * 10)))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.operators.Pipeline.mixtureSample(docs).collect()
+    val byLang = got.groupBy(_.getString(1))
+    val rateA = byLang("aa").head.getLong(2)
+    val rateB = byLang("bb").head.getLong(2)
+    assert(rateB === 1000000L, s"minority lang must keep all, rate_e6=$rateB")
+    assert(math.abs(rateA - 333333L) <= 1, s"rate_a should be ~1/3, got $rateA")
+    val keptA = byLang("aa").count(_.getBoolean(3))
+    assert(byLang("bb").forall(_.getBoolean(3)), "minority doc dropped")
+    // md5-uniform keep at r=1/3 over 900 docs: expect ~300, allow 3.5 sigma
+    assert(math.abs(keptA - 300) < 50, s"kept $keptA of 900 at rate 1/3")
+    // determinism: the verdicts are content-keyed, not RNG
+    val again = graft.operators.Pipeline.mixtureSample(docs).collect()
+    assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("stratified sample takes at most K per language, deterministically") {
     val a = Pipeline.q51(spark, "/root/testdata/sf0.001").collect()
     val b = Pipeline.q51(spark, "/root/testdata/sf0.001").collect()
