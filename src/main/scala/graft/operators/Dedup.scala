@@ -51,7 +51,14 @@ object Dedup {
   /** Candidate near-dup pairs from banded LSH + exact Jaccard verification.
     * Input: (doc_id, text); output: (a_id, b_id, jaccard >= threshold).
     */
-  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    nearDupPairsUnsorted(docs, threshold).orderBy(col("a_id"), col("b_id"))
+
+  /** The pair pipeline without the presentation sort — composition inside
+    * q76's verdict consumes the pairs as a join input, where a sort is
+    * wasted work.
+    */
+  def nearDupPairsUnsorted(docs: DataFrame, threshold: Double): DataFrame = {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
     // shingle-hash computation is the CPU hot spot: spread it over all cores
     // even when the input is a single small file/split (hash partitioning by
@@ -95,7 +102,6 @@ object Dedup {
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Q21 over the documents table (rows-only for the driver; recall is
@@ -329,13 +335,110 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- End-to-end dedup verdict (q76) -------------------------------------
+
+  /** q76: the per-document dedup VERDICT a curation run actually ships —
+    * every doc_id gets (rep_id, kept, reason), composed from the family's
+    * production pieces end-to-end:
+    *   1. exact stage (q18's key): group on md5(text), keeper = min doc_id;
+    *      non-keepers drop with reason 'exact';
+    *   2. near-dup stage over the exact survivors only: banded MinHash-LSH
+    *      candidates verified by exact Jaccard (q21's pipeline, threshold
+    *      0.8) — never all-pairs;
+    *   3. cluster resolution (q56's pointer-jumped component-min): each
+    *      component keeps its min doc_id; other members drop with reason
+    *      'near';
+    *   4. every doc maps to its FINAL representative transitively: an exact
+    *      copy of a near-dup loser points at the cluster rep that actually
+    *      survives, not at its dropped exact keeper.
+    *
+    * Shape for 100 TB: one md5 hash shuffle (exact stage), ids-only banded
+    * joins for candidates, CC over edge-incident keepers only (a few
+    * percent of the corpus at production dup rates), then two id-to-id
+    * joins to fan the verdict back out. No stage touches raw text twice.
+    *
+    * The oracle mirrors the near-dup graph with exact all-pairs Jaccard +
+    * a recursive-CTE component-min — at fixture scale LSH recall at
+    * j >= 0.8 is total (planted dups sit far above the band threshold), so
+    * the graphs coincide; divergence would surface as a hash mismatch.
+    */
+  def q76(spark: SparkSession, dir: String): DataFrame =
+    dedupVerdict(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      threshold = 0.8)
+
+  /** The q76 core over any (doc_id, text) frame — planted-corpus specs run
+    * it directly.
+    */
+  def dedupVerdict(docs: DataFrame, threshold: Double): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"))
+    val keepers = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val doc2keeper = keyed.join(keepers, Seq("h"))
+      .select(col("doc_id"), col("keeper"))
+    // near-dup runs on the exact survivors only: exact copies of a keeper
+    // would land in the same LSH buckets and re-verify the same Jaccard
+    // without changing any component
+    val keeperDocs = docs
+      .join(keepers.select(col("keeper").as("doc_id")), Seq("doc_id"))
+    val pairs = nearDupPairsUnsorted(keeperDocs, threshold)
+      .select(col("a_id"), col("b_id"))
+    val comp = connectedComponents(
+      keepers.select(col("keeper").as("v")), pairs)
+    doc2keeper.join(comp, doc2keeper("keeper") === comp("v"))
+      .select(col("doc_id"), col("lab").as("rep_id"),
+        (col("doc_id") === col("lab")).as("kept"),
+        when(col("doc_id") === col("lab"), lit("kept"))
+          .when(col("doc_id") =!= col("keeper"), lit("exact"))
+          .otherwise(lit("near")).as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q76_dedup_verdict", q76,
+      Some(s"""WITH RECURSIVE k AS (
+        |  SELECT md5(text) AS h, MIN(doc_id) AS keeper
+        |  FROM documents GROUP BY 1),
+        |dk AS (
+        |  SELECT d.doc_id, k.keeper FROM documents d
+        |  JOIN k ON md5(d.text) = k.h),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IN (SELECT keeper FROM k)),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |cc(v, lab) AS (
+        |  SELECT keeper, keeper FROM k
+        |  UNION
+        |  SELECT edges.d, cc.lab FROM cc JOIN edges ON edges.s = cc.v),
+        |rep AS (SELECT v, MIN(lab) AS rep FROM cc GROUP BY v)
+        |SELECT dk.doc_id, rep.rep AS rep_id,
+        |  (dk.doc_id = rep.rep) AS kept,
+        |  CASE WHEN dk.doc_id = rep.rep THEN 'kept'
+        |       WHEN dk.doc_id <> dk.keeper THEN 'exact'
+        |       ELSE 'near' END AS reason
+        |FROM dk JOIN rep ON rep.v = dk.keeper
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q74_span_dedup", q74,
       Some(s"""WITH d AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
         |                t -> t <> '') AS toks
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL),
         |g AS (
         |  SELECT doc_id, array_to_string(toks[i:i+${SpanTokens - 1}], ' ') AS gram
         |  FROM d, unnest(generate_series(1, len(toks) - ${SpanTokens - 1})) AS t(i)
@@ -345,12 +448,12 @@ object Dedup {
         |  SELECT g.doc_id, COUNT(*) AS nw,
         |    SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS dw
         |  FROM g JOIN c USING (gram) GROUP BY g.doc_id)
-        |SELECT d.doc_id,
+        |SELECT documents.doc_id,
         |  CAST(coalesce(per.nw, 0) AS BIGINT) AS n_windows,
         |  CAST(coalesce(per.dw, 0) AS BIGINT) AS dup_windows,
         |  round(CAST(coalesce(per.dw, 0) AS DOUBLE) /
         |    greatest(coalesce(per.nw, 0), 1), 4) AS dup_ratio
-        |FROM d LEFT JOIN per USING (doc_id)
+        |FROM documents LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q56_dup_clusters", q56,
       Some(s"""WITH RECURSIVE

@@ -377,6 +377,12 @@ object Pipeline {
     val rates = docs
       .groupBy(col("lang"))
       .agg(sum(text.tokenCount(col("text"))).as("n_tokens"))
+      // a zero-token language has share 0, making ratio = sw/z/share a 0/0
+      // whose result differs per engine (Spark Divide -> NULL, DuckDB ->
+      // NaN/Inf) and would poison max(ratio); exclude it from the mixture
+      // entirely (its docs carry no trainable tokens) — the oracle filters
+      // identically, and the join then drops its docs in both engines
+      .filter(col("n_tokens") > 0)
       .withColumn("share",
         col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
       .withColumn("sw", sqrt(col("share")))
@@ -493,8 +499,11 @@ object Pipeline {
         |                                  t -> t <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY lang),
         |s AS (
+        |  -- zero-token languages are excluded from the mixture (Spark core
+        |  -- filters identically); the share denominator is unaffected since
+        |  -- they contribute 0 tokens
         |  SELECT *, CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per) AS share
-        |  FROM per),
+        |  FROM per WHERE n_tokens > 0),
         |w AS (SELECT *, sqrt(share) AS sw FROM s),
         |z AS (SELECT ${graft.functions.num.sqlDsum("sw")} AS z FROM w),
         |rt AS (SELECT lang, sw / z.z / share AS ratio FROM w, z),

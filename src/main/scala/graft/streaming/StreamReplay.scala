@@ -23,12 +23,15 @@ object StreamReplay {
   private val runSeqs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
-  // (schema, isDirectory) per events path: the batch footer read + FS stat
-  // that seed the file-stream source are immutable per fixture, but a
-  // resident session (bench settle runs × 5 replay queries) was paying them
-  // on every invocation
+  // schema per (events path, mtime): the batch footer read that seeds the
+  // file-stream source is immutable per fixture version, but a resident
+  // session (bench settle runs × 5 replay queries) was paying it on every
+  // invocation. Keying on modification time fails safe if a fixture is
+  // regenerated at the same path within a resident JVM (e.g. target/sf1
+  // rebuilt between bench runs) — the cheap per-call FS stat below supplies
+  // both the mtime and the directory/file layout.
   private val sourceMeta = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.types.StructType, Boolean)]()
+    (String, Long), org.apache.spark.sql.types.StructType]()
 
   /** The `events` table as a REAL file-stream source. File-stream sources
     * need an explicit schema: one metadata-only batch read supplies it (ts
@@ -43,13 +46,13 @@ object StreamReplay {
     */
   private def replayEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val (schema, isDir) = sourceMeta.computeIfAbsent(path, { p =>
-      val s = spark.read.parquet(p).schema
-      val hPath = new org.apache.hadoop.fs.Path(p)
-      val d = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-        .getFileStatus(hPath).isDirectory
-      (s, d)
-    })
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val status = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hPath)
+    val isDir = status.isDirectory
+    val schema = sourceMeta.computeIfAbsent(
+      (path, status.getModificationTime),
+      _ => spark.read.parquet(path).schema)
     val src =
       if (isDir) spark.readStream.schema(schema).parquet(path)
       else spark.readStream.schema(schema)

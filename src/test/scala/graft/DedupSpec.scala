@@ -190,4 +190,40 @@ class DedupSpec extends AnyFunSuite {
         s"shingle-hash drift for doc ${r.getLong(0)}")
     }
   }
+
+  /** q76 end-to-end verdict on a planted corpus where every doc's fate is
+    * known by construction: exact copies drop with reason 'exact', near-dup
+    * cluster losers with 'near', and an exact copy of a near-dup LOSER must
+    * point at the cluster rep that survives (transitive rep mapping), not
+    * at its own dropped exact keeper.
+    */
+  test("dedup verdict: planted exact/near/transitive fates all resolve") {
+    import spark.implicits._
+    val base = corpus.toMap // 0-9 bases, 10-19 near-copies, 20-29 unrelated
+    val planted = corpus ++ Seq(
+      100L -> base(0L), // exact copy of base 0 (cluster rep)
+      101L -> base(10L), // exact copy of near-dup 10 (a cluster LOSER)
+      102L -> base(25L), // exact copy of unrelated 25 (a plain keeper)
+      103L -> base(25L)) // second copy of 25
+    val got = Dedup.dedupVerdict(planted.toDF("doc_id", "text"), 0.8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getString(3))))
+      .toMap
+    // bases 0-9 win their near-dup clusters (min id); 10-19 lose to base i-10
+    for (i <- 0L until 10L) {
+      assert(got(i) === ((i, true, "kept")), s"base $i")
+      assert(got(i + 10) === ((i, false, "near")), s"near-copy ${i + 10}")
+    }
+    // unrelated 20-29 are singleton keeps
+    for (i <- 20L until 30L)
+      assert(got(i) === ((i, true, "kept")), s"unrelated $i")
+    // exact copy of a kept rep: dropped 'exact', rep = the rep itself
+    assert(got(100L) === ((0L, false, "exact")))
+    // exact copy of near-dup loser 10: its exact keeper (10) is itself
+    // dropped — the verdict must chain through to surviving rep 0
+    assert(got(101L) === ((0L, false, "exact")))
+    // exact copies of a plain keeper
+    assert(got(102L) === ((25L, false, "exact")))
+    assert(got(103L) === ((25L, false, "exact")))
+  }
 }

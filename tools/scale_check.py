@@ -45,6 +45,11 @@ def main():
     factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     limit = factor * SLACK
     bad, anchors, rows = [], [], []
+    # a query present in only one run escapes the ratio loop below — flag it
+    # explicitly in both directions so renames/new queries can't silently
+    # skip the superlinear and error checks
+    for q in sorted(set(big["queries"]) - set(small["queries"])):
+        bad.append((q, None, big["queries"][q], "only in big run (rename/new?)"))
     for q, t0 in sorted(small["queries"].items()):
         t1 = big["queries"].get(q)
         if t1 is None or t1 < 0:
@@ -76,9 +81,11 @@ def main():
     if big.get("n_err", 0):
         bad.append(("(bench)", None, None, f"{big['n_err']} errors in big run"))
     if bad:
-        print("\nSUPERLINEAR / ERRORED (non-anchor):")
+        print("\nSUPERLINEAR / ERRORED / UNMATCHED (non-anchor):")
         for q, t0, t1, why in bad:
-            print(f"  {q}: {why} ({t0} -> {t1})")
+            shown = [f"{t:.2f}s" for t in (t0, t1) if t is not None]
+            times = f" ({' -> '.join(shown)})" if shown else ""
+            print(f"  {q}: {why}{times}")
         sys.exit(1)
     print("\n== PASS: no non-anchor query scales superlinearly")
 
