@@ -129,15 +129,28 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
     val fp = docs.repartition(cores, col("doc_id"))
-      .select(col("doc_id"),
+      .select(col("doc_id").as("id"),
         // native tokenize+hash feeding the native simhash — one codegen'd
         // projection, no interpreted lambda dispatch per token
         sketch.simhash64(sketch.tokenHashes(col("text"))).as("fp"))
+    hammingPairs64(fp, maxHamming).orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Pigeonhole Hamming pair join over ANY 64-bit fingerprint frame
+    * (columns `id`, `fp`) — shared by SimHash (q22) and the perceptual
+    * image hash (q77): a pair within Hamming distance 3 shares at least one
+    * of the 4 exact 16-bit chunks, so candidates come from a chunk-equality
+    * join, verified by bit_count(xor). Output: (a_id, b_id, hamming),
+    * unsorted.
+    */
+  def hammingPairs64(fp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4,
+      s"4-chunk pigeonhole guarantees recall only below Hamming 4 (got $maxHamming)")
     // chunk key = (chunk#, 16 fp bits) packed into one long. A plain long
     // (not a struct) so a null fingerprint (token-less doc) propagates to a
     // null key and drops out of the equi-join — struct keys would treat
-    // null fields as equal and pair all token-less docs at "hamming 0".
-    val chunked = fp.select(col("doc_id"), col("fp"),
+    // null fields as equal and pair all null-payload rows at "hamming 0".
+    val chunked = fp.select(col("id"), col("fp"),
       explode(array((0 until 4).map(i =>
         lit(i.toLong << 16).bitwiseOR(
           shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL)))): _*))
@@ -146,15 +159,14 @@ object Dedup {
     // (bit_count over two longs) is cheaper than a dedupe-then-refetch
     // round trip, so the 8-byte fingerprint rides along the chunk join and
     // duplicate pairs are dropped after scoring.
-    val a = chunked.select(col("chunk"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
-    val b = chunked.select(col("chunk"), col("doc_id").as("b_id"), col("fp").as("b_fp"))
+    val a = chunked.select(col("chunk"), col("id").as("a_id"), col("fp").as("a_fp"))
+    val b = chunked.select(col("chunk"), col("id").as("b_id"), col("fp").as("b_fp"))
     a.join(b, Seq("chunk"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   def q22(spark: SparkSession, dir: String): DataFrame =
@@ -207,6 +219,14 @@ object Dedup {
     * edges, and a fixpoint under neighbor-min forces labels constant per
     * component, pinned at the minimum id.
     */
+  /** Diagnostic only: round count of the most recent connectedComponents
+    * materialization in this JVM. Measurement probes (tools/skew_probe
+    * .scala) read it to assert the pointer-jumped loop closes a
+    * diameter-d component in O(log d) rounds; not part of the query
+    * surface.
+    */
+  @volatile var lastCcRounds: Int = -1
+
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       maxRounds: Int = 25): DataFrame = {
     val edges = pairs
@@ -240,6 +260,7 @@ object Dedup {
       round += 1
     }
     require(done, s"connectedComponents did not converge in $maxRounds rounds")
+    lastCcRounds = round
     ids.join(labels, Seq("v"), "left")
       .select(col("v"), coalesce(col("lab"), col("v")).as("lab"))
   }

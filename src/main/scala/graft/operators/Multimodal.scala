@@ -144,6 +144,132 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame")
   }
 
+  // ---- Perceptual image hash (q77) ----------------------------------------
+
+  /** dHash grid geometry: 9 columns × 8 rows of box-filtered luminance →
+    * 8 adjacent-pair comparisons per row = 64 bits.
+    */
+  val GridW = 9
+  val GridH = 8
+
+  /** 64-bit dHash over a GridW×GridH luminance grid (row-major): bit k is
+    * set when cell (r, c+1) is brighter than cell (r, c) — the classic
+    * difference hash, invariant to global brightness/contrast shifts and
+    * stable under small local perturbations.
+    */
+  def dhash64(grid: Array[Float]): Long = {
+    var h = 0L
+    var bit = 0
+    var r = 0
+    while (r < GridH) {
+      var c = 0
+      while (c < GridW - 1) {
+        if (grid(r * GridW + c + 1) > grid(r * GridW + c)) h |= 1L << bit
+        bit += 1
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** REAL pixel path: box-filtered GridW×GridH grayscale from a decodable
+    * image (javax.imageio), each cell the mean luminance of its pixel
+    * block — the downsample step of a production dHash. Spec-driven on
+    * planted PNGs; the registered q77 uses `gridStub` because the fixture
+    * payloads are text-derived.
+    */
+  def gridFromImage(media: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Float](GridW * GridH)
+    var r = 0
+    while (r < GridH) {
+      var c = 0
+      while (c < GridW) {
+        val (x0, x1) = (c * w / GridW, math.max((c + 1) * w / GridW, c * w / GridW + 1))
+        val (y0, y1) = (r * h / GridH, math.max((r + 1) * h / GridH, r * h / GridH + 1))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        out(r * GridW + c) = sum.toFloat / ((x1 - x0) * (y1 - y0))
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** STUB grid — the payload's bytes laid row-major into GridW×GridH cells,
+    * each cell the mean of its byte range: deterministic, codec-free, same
+    * output contract as `gridFromImage`. Swappable exactly like decodeStub.
+    */
+  def gridStub(media: Array[Byte]): Array[Float] = {
+    val cells = GridW * GridH
+    val out = new Array[Float](cells)
+    val n = media.length
+    if (n == 0) return out
+    var i = 0
+    while (i < cells) {
+      val lo = i * n / cells
+      val hi = math.max((i + 1) * n / cells, lo + 1)
+      var sum = 0L
+      var j = lo
+      while (j < math.min(hi, n)) {
+        sum += media(j) & 0xff
+        j += 1
+      }
+      out(i) = sum.toFloat / math.max(math.min(hi, n) - lo, 1)
+      i += 1
+    }
+    out
+  }
+
+  /** Per-asset 64-bit perceptual hash, computed in the same
+    * mapPartitions batch shape as extractFeatures (decoder init once per
+    * partition). Output columns (`id`, `fp`) feed Dedup.hammingPairs64
+    * directly.
+    */
+  def perceptualHashes(media: Dataset[MediaRow],
+      grid: Array[Byte] => Array[Float] = gridStub): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.media != null).map(r => (r.media_id, dhash64(grid(r.media))))
+    }.toDF("id", "fp")
+  }
+
+  /** q77: perceptual near-dup profile over the media column — every asset's
+    * dHash plus how many other assets sit within Hamming distance 3
+    * (candidates from the 4-chunk pigeonhole join, never all-pairs). The
+    * image analogue of q22's SimHash pass; real-pixel dHash is
+    * property-checked on planted perturbed PNGs in MultimodalSpec.
+    *
+    * Shape for 100 TB: hash in the scan pass (8 bytes/asset leaves the
+    * scan), ids+fingerprint-only chunk join, per-id count — payload bytes
+    * never shuffle.
+    */
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    val fp = perceptualHashes(mediaTable(spark, dir))
+    val pairs = Dedup.hammingPairs64(fp, maxHamming = 3)
+    val deg = pairs.select(col("a_id").as("id"))
+      .unionAll(pairs.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_neighbors"))
+    fp.join(deg, Seq("id"), "left")
+      .select(col("id").as("media_id"), col("fp").as("phash"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+      .orderBy(col("media_id"))
+  }
+
   /** Metadata/bytes query over the binary column — md5/length/prefix are
     * computed without any decode, oracle-checked against DuckDB blob
     * functions.
@@ -180,6 +306,10 @@ object Multimodal {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // no SQL oracle: dHash + Hamming banding are not SQL-expressible in the
+    // oracle engine (q21/q22 precedent) — real-pixel behavior is
+    // property-checked on planted PNGs in MultimodalSpec
+    QueryDef("q77_image_neardup", q77, None),
     QueryDef("q28_multimodal_meta", q28,
       Some("""SELECT doc_id AS media_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

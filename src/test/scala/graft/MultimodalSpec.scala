@@ -66,6 +66,65 @@ class MultimodalSpec extends AnyFunSuite {
     a.values.foreach(bytes => assert(bytes.length <= 64))
   }
 
+  /** Perceptual near-dup on REAL planted PNGs: a textured base image, a
+    * slightly-perturbed copy (few pixels nudged — dHash must stay within
+    * Hamming 3, pairing them), an unrelated texture and the inverted base
+    * (far in dHash space — must NOT pair with base). Runs the actual
+    * pipeline (gridFromImage → dhash64 → hammingPairs64).
+    */
+  test("perceptual hash pairs planted near-dup PNGs, not unrelated ones") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    val W = 72
+    val H = 64
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until H; x <- 0 until W) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // deterministic texture with strong cell-to-cell gradients so the
+    // dHash bits are well-defined (no near-tie cells a perturbation flips)
+    val base = (x: Int, y: Int) => ((x * 13 + y * 31) % 17) * 15
+    val perturbed = (x: Int, y: Int) =>
+      if (x < 3 && y < 3) base(x, y) + 8 else base(x, y) // few pixels nudged
+    val unrelated = (x: Int, y: Int) => ((x * 7 + y * 3) % 23) * 11
+    val inverted = (x: Int, y: Int) => 255 - base(x, y)
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(0L, png(base), W, H, "png"),
+      MediaRow(1L, png(perturbed), W, H, "png"),
+      MediaRow(2L, png(unrelated), W, H, "png"),
+      MediaRow(3L, png(inverted), W, H, "png")).toDS()
+    val fp = Multimodal.perceptualHashes(media, Multimodal.gridFromImage)
+    val pairs = operators.Dedup.hammingPairs64(fp, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"perturbed copy must pair with base: $pairs")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((0L, 3L)),
+      s"unrelated/inverted must not pair with base: $pairs")
+    // determinism: same inputs, same hashes
+    val h1 = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.perceptualHashes(media, Multimodal.gridFromImage)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 === h2)
+    // inverted image flips every well-defined comparison: Hamming(base,
+    // inverted) is near 64
+    assert(java.lang.Long.bitCount(h1(0L) ^ h1(3L)) > 32)
+  }
+
+  test("q77 profile covers every asset with banded neighbor counts") {
+    val got = Multimodal.q77(spark, dir).collect()
+    assert(got.length === 500)
+    // symmetric counts: sum of n_neighbors is even (each pair counted twice)
+    val total = got.map(_.getLong(2)).sum
+    assert(total % 2 === 0)
+  }
+
   test("frame sampling yields n frames of bounded size per asset") {
     val frames = Multimodal.sampleFrames(
       Multimodal.mediaTable(spark, dir), frameBytes = 32, nFrames = 4)
