@@ -61,6 +61,17 @@ object StreamReplay {
       .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
   }
 
+  /** Stateful-operator partition count for the replays. Each micro-batch
+    * pays a fixed commit cost PER state-store instance (= shuffle
+    * partitions × stateful operators: q73's dual join state at 32
+    * partitions spent 7.3 s where 8 partitions spend 2.6 s on identical
+    * data — measured, settled, same session). The replay fixture's state is
+    * tiny, so fewer, fuller stores win; at cluster scale this is the same
+    * sizing decision as the batch shuffle knob — partitions proportional to
+    * state volume, not a constant.
+    */
+  val StatePartitions = 8
+
   private def drain(df: DataFrame, sinkPrefix: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     // a memory sink registers a temp view per run; drop the previous run's
@@ -71,14 +82,20 @@ object StreamReplay {
     val prev = seq.get()
     if (prev > 0) spark.catalog.dropTempView(s"${sinkPrefix}_$prev")
     val sink = s"${sinkPrefix}_${seq.incrementAndGet()}"
-    val query = df.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try query.awaitTermination()
-    finally query.stop()
+    // partition count binds at query start; restore after the (synchronous)
+    // drain so batch plans in the same session keep the session sizing
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try {
+      val query = df.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination()
+      finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     spark.table(sink)
   }
 
