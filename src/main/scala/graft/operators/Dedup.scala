@@ -54,54 +54,89 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame =
     nearDupPairsUnsorted(docs, threshold).orderBy(col("a_id"), col("b_id"))
 
-  /** The pair pipeline without the presentation sort — composition inside
-    * q76's verdict consumes the pairs as a join input, where a sort is
-    * wasted work.
+  /** (doc_id, sh): hashed 3-shingle sets, computation spread over all cores.
+    * Shingle-hash computation is the CPU hot spot: spread it over all cores
+    * even when the input is a single small file/split (hash partitioning by
+    * key, not round-robin, so the layout is deterministic). No
+    * size()-filter here — it would be pushed below the exchange and
+    * re-evaluate the whole shingle expression in the (serial) scan stage;
+    * docs with no shingles get a null band-key array, which explode drops.
+    * Tokenize+hash+chain fully native: the cleanTokens HOF form is
+    * CodegenFallback and de-optimizes the whole projection (equality with
+    * the HOF form asserted in DedupSpec).
     */
-  def nearDupPairsUnsorted(docs: DataFrame, threshold: Double): DataFrame = {
+  private def shingledDocs(docs: DataFrame): DataFrame = {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
-    // shingle-hash computation is the CPU hot spot: spread it over all cores
-    // even when the input is a single small file/split (hash partitioning by
-    // key, not round-robin, so the layout is deterministic). No
-    // size()-filter here — it would be pushed below the exchange and
-    // re-evaluate the whole shingle expression in the (serial) scan stage;
-    // docs with no shingles get a null band-key array, which explode drops.
-    val shingled = docs
+    docs
       .repartition(cores, col("doc_id"))
       .select(
         col("doc_id"),
-        // tokenize+hash+chain fully native: the cleanTokens HOF form is
-        // CodegenFallback and de-optimizes the whole projection (equality
-        // with the HOF form asserted in DedupSpec)
         sketch.shingleFromHashes(sketch.tokenHashes(col("text")), 3).as("sh"))
-    // one row per (band, doc). Band keys come from ONE native-expression
-    // evaluation per row (minima + per-band mixing in one pass) — slicing a
-    // materialized signature in a later projection re-evaluates it per band
-    // after CollapseProject inlining. Only ids travel through the band join;
-    // a true near-dup collides in most of its 8 bands, so deduping pairs
-    // BEFORE fetching shingles and scoring avoids recomputing the Jaccard
-    // (and shipping the arrays) once per shared band.
-    val banded = shingled.select(
+  }
+
+  /** One row per (band_key, doc). Band keys come from ONE native-expression
+    * evaluation per row (minima + per-band mixing in one pass) — slicing a
+    * materialized signature in a later projection re-evaluates it per band
+    * after CollapseProject inlining.
+    */
+  private def bandedKeys(shingled: DataFrame): DataFrame =
+    shingled.select(
       col("doc_id"),
       explode(sketch.minhashBandKeys(col("sh"),
         MinhashK, Bands, MinhashSeed)).as("band_key"))
+
+  /** Attach shingle sets to candidate (a_id, b_id) pairs and keep those at
+    * or above the exact-Jaccard threshold. Jaccard over hashed shingles:
+    * identical to string-shingle Jaccard up to 2^-64-scale collisions, at a
+    * fraction of the compare cost.
+    */
+  private def verifyJaccard(pairs: DataFrame, aSh: DataFrame, bSh: DataFrame,
+      threshold: Double): DataFrame =
+    pairs
+      .join(aSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        Seq("a_id"))
+      .join(bSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** The pair pipeline without the presentation sort — composition inside
+    * q76's verdict consumes the pairs as a join input, where a sort is
+    * wasted work. Only ids travel through the band join; a true near-dup
+    * collides in most of its 8 bands, so deduping pairs BEFORE fetching
+    * shingles and scoring avoids recomputing the Jaccard (and shipping the
+    * arrays) once per shared band.
+    */
+  def nearDupPairsUnsorted(docs: DataFrame, threshold: Double): DataFrame = {
+    val shingled = shingledDocs(docs)
+    val banded = bandedKeys(shingled)
     val pairs = banded.select(col("band_key"), col("doc_id").as("a_id"))
       .join(banded.select(col("band_key"), col("doc_id").as("b_id")),
         Seq("band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    pairs
-      .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
-        Seq("a_id"))
-      .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
-        Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
-        // Jaccard over hashed shingles: identical to string-shingle Jaccard
-        // up to 2^-64-scale collisions, at a fraction of the compare cost
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(pairs, shingled, shingled, threshold)
+  }
+
+  /** CROSS-frame near-dup candidates: batch docs (a side) against corpus
+    * docs (b side) — the incremental-ingestion shape (q78), where the
+    * corpus side at scale is a precomputed ids+bands index and the corpus
+    * is NEVER self-joined. Output (a_id, b_id, jaccard) with a_id from
+    * `a`, b_id from `b`.
+    */
+  def crossNearDupPairs(a: DataFrame, b: DataFrame,
+      threshold: Double): DataFrame = {
+    val aSh = shingledDocs(a)
+    val bSh = shingledDocs(b)
+    val pairs = bandedKeys(aSh).select(col("band_key"), col("doc_id").as("a_id"))
+      .join(bandedKeys(bSh).select(col("band_key"), col("doc_id").as("b_id")),
+        Seq("band_key"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    verifyJaccard(pairs, aSh, bSh, threshold)
   }
 
   /** Q21 over the documents table (rows-only for the driver; recall is
@@ -415,7 +450,149 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Incremental ingestion dedup (q78) ----------------------------------
+
+  /** q78: incremental dedup — the shape a LIVE pipeline runs on every new
+    * ingestion batch, where re-deduping the whole corpus (q76) is not an
+    * option. Each NEW doc gets a verdict against (1) the existing corpus,
+    * then (2) the batch itself, in strict priority order:
+    *   exact_corpus — md5 matches an existing doc (matched = min such id);
+    *   near_corpus  — LSH+Jaccard >= 0.8 vs an existing doc (matched = min);
+    *   exact_batch  — md5 matches an earlier doc in the batch (matched =
+    *                  the batch keeper);
+    *   near_batch   — near-dup cluster loser within the batch (matched =
+    *                  the component rep, via the pointer-jumped CC);
+    *   kept         — genuinely novel (matched = NULL).
+    *
+    * Shape for 100 TB: the EXISTING side reduces to (md5, min id) keys and
+    * (band_key, id) rows — precisely the index a production pipeline keeps
+    * materialized between batches; the corpus text is scanned once, never
+    * self-joined, and nothing about the corpus is recomputed per batch
+    * beyond reading that index. The batch (orders of magnitude smaller)
+    * drives every join.
+    *
+    * Fixture split: doc_id % 5 == 0 is the arriving batch (20%), the rest
+    * is the existing corpus. Oracle mirrors with exact all-pairs Jaccard
+    * (batch×corpus and batch×batch only) + the recursive-CTE component-min,
+    * in the same priority order.
+    */
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    incrementalDedup(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      threshold = 0.8)
+  }
+
+  /** The q78 core over (existing, batch) frames of (doc_id, text). */
+  def incrementalDedup(existing: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    // corpus index: ids+hash only — at scale this is precomputed state
+    val exKeys = existing
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("ex_id"))
+    val bk = batch.select(col("doc_id"), col("text"),
+      md5(col("text").cast("binary")).as("h"))
+    // 1. exact vs corpus
+    val m1 = bk.join(exKeys, Seq("h"))
+      .select(col("doc_id"), col("ex_id").as("matched_id"),
+        lit("exact_corpus").as("reason"))
+    val r1 = bk.join(exKeys, Seq("h"), "left_anti")
+    // 2. near vs corpus (batch side drives; min matching corpus id)
+    val m2 = crossNearDupPairs(
+        r1.select(col("doc_id"), col("text")),
+        existing, threshold)
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(min(col("b_id")).as("matched_id"))
+      .select(col("doc_id"), col("matched_id"), lit("near_corpus").as("reason"))
+    val r2 = r1.join(m2.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // 3. exact within the batch remainder
+    val bKeep = r2.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val m3 = r2.join(bKeep, Seq("h"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("keeper").as("matched_id"),
+        lit("exact_batch").as("reason"))
+    val r3 = r2.join(bKeep, r2("doc_id") === bKeep("keeper"))
+      .select(r2("doc_id"), r2("text"))
+    // 4. near-dup clusters within the batch keepers (q56's CC, min-id rep)
+    val comp = connectedComponents(
+      r3.select(col("doc_id").as("v")),
+      nearDupPairsUnsorted(r3, threshold).select(col("a_id"), col("b_id")))
+    val m4 = comp.filter(col("lab") =!= col("v"))
+      .select(col("v").as("doc_id"), col("lab").as("matched_id"),
+        lit("near_batch").as("reason"))
+    val verdicts = m1.unionByName(m2).unionByName(m3).unionByName(m4)
+    bk.select(col("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("reason"), lit("kept")).as("reason"),
+        col("matched_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q78_incremental_dedup", q78,
+      Some(s"""WITH RECURSIVE ex AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |b AS (
+        |  SELECT doc_id, text, md5(text) AS h FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |exk AS (SELECT md5(text) AS h, MIN(doc_id) AS ex_id FROM ex GROUP BY 1),
+        |m1 AS (SELECT b.doc_id, exk.ex_id AS matched_id FROM b JOIN exk USING (h)),
+        |r1 AS (SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_id FROM m1)),
+        |shb AS (
+        |  SELECT doc_id, h,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) - 2),
+        |      i -> array_to_string(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')[i:i+2], ' ')))
+        |      AS sh
+        |  FROM r1),
+        |she AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) - 2),
+        |      i -> array_to_string(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')[i:i+2], ' ')))
+        |      AS sh
+        |  FROM ex),
+        |m2 AS (
+        |  SELECT r.doc_id, MIN(e.doc_id) AS matched_id
+        |  FROM shb r, she e
+        |  WHERE CAST(len(list_intersect(r.sh, e.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(r.sh, e.sh))) >= 0.8
+        |  GROUP BY r.doc_id),
+        |r2 AS (SELECT * FROM shb WHERE doc_id NOT IN (SELECT doc_id FROM m2)),
+        |bkeep AS (SELECT h, MIN(doc_id) AS keeper FROM r2 GROUP BY h),
+        |m3 AS (
+        |  SELECT r2.doc_id, bkeep.keeper AS matched_id
+        |  FROM r2 JOIN bkeep USING (h) WHERE r2.doc_id <> bkeep.keeper),
+        |r3 AS (SELECT r2.* FROM r2 JOIN bkeep ON r2.doc_id = bkeep.keeper),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id
+        |  FROM r3 a, r3 b2
+        |  WHERE a.doc_id < b2.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b2.sh))) >= 0.8),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |cc(v, lab) AS (
+        |  SELECT doc_id, doc_id FROM r3
+        |  UNION
+        |  SELECT edges.d, cc.lab FROM cc JOIN edges ON edges.s = cc.v),
+        |rep AS (SELECT v, MIN(lab) AS rep FROM cc GROUP BY v),
+        |m4 AS (
+        |  SELECT v AS doc_id, rep AS matched_id FROM rep WHERE rep <> v),
+        |verdicts AS (
+        |  SELECT doc_id, matched_id, 'exact_corpus' AS reason FROM m1
+        |  UNION ALL SELECT doc_id, matched_id, 'near_corpus' FROM m2
+        |  UNION ALL SELECT doc_id, matched_id, 'exact_batch' FROM m3
+        |  UNION ALL SELECT doc_id, matched_id, 'near_batch' FROM m4)
+        |SELECT b.doc_id, coalesce(v.reason, 'kept') AS reason, v.matched_id
+        |FROM b LEFT JOIN verdicts v USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q76_dedup_verdict", q76,
       Some(s"""WITH RECURSIVE k AS (
         |  SELECT md5(text) AS h, MIN(doc_id) AS keeper

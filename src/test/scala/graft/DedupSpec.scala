@@ -226,4 +226,50 @@ class DedupSpec extends AnyFunSuite {
     assert(got(102L) === ((25L, false, "exact")))
     assert(got(103L) === ((25L, false, "exact")))
   }
+
+  /** q78 incremental dedup: every verdict class planted with a known
+    * outcome, including the priority rule (near_corpus beats exact_batch —
+    * both copies of a corpus-near doc report the corpus match, not each
+    * other).
+    */
+  test("incremental dedup: planted batch fates resolve in priority order") {
+    import spark.implicits._
+    val base = corpus.toMap
+    val rnd = new Random(42)
+    def novel() = Seq.fill(80)(s"z${rnd.nextInt(50)}").mkString(" ")
+    val nearOf7 = {
+      val t = base(7L).split(" ")
+      t(20) = "xx"; t(60) = "yy"
+      t.mkString(" ")
+    }
+    val novelDup = novel()
+    val novelPair = novel()
+    val novelNear = {
+      val t = novelPair.split(" ")
+      t(15) = "aa"; t(50) = "bb"
+      t.mkString(" ")
+    }
+    val existing = corpus.toDF("doc_id", "text")
+    val batchRows = Seq(
+      200L -> base(5L), // exact copy of existing 5
+      201L -> nearOf7, // near existing 7 (and its near-copy 17)
+      202L -> novelDup, // novel, keeper of the in-batch exact pair
+      203L -> novelDup, // exact copy of 202
+      204L -> novelPair, // novel near-dup pair rep
+      205L -> novelNear, // near_batch loser to 204
+      206L -> novel() // genuinely novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(existing, batchRows, 0.8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(got(200L) === (("exact_corpus", 5L)))
+    assert(got(201L) === (("near_corpus", 7L)))
+    assert(got(202L) === (("kept", -1L)))
+    assert(got(203L) === (("exact_batch", 202L)))
+    assert(got(204L) === (("kept", -1L)))
+    assert(got(205L) === (("near_batch", 204L)))
+    assert(got(206L) === (("kept", -1L)))
+  }
 }

@@ -177,6 +177,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), p.take(1500))
   }
 
+  test("q77: Hamming band join is an equi-join on chunk, never a cross product") {
+    // the pigeonhole self-join must key on the packed chunk long: a refactor
+    // that turns the Hamming predicate into the JOIN condition would plan
+    // BroadcastNestedLoopJoin/Cartesian — all-pairs at corpus scale
+    val p = plan(graft.operators.Multimodal.q77(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("chunk"), p.take(500))
+  }
+
+  test("q76: verdict stages join on ids/hashes, never a cross product") {
+    // exact stage keys on md5, candidates on LSH band keys, verdict fan-out
+    // on ids — any cross product means a stage regressed to all-pairs
+    val p = plan(graft.operators.Dedup.q76(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
     // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
     // back into these projections would silently drop the whole stage out of
