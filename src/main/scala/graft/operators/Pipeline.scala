@@ -402,6 +402,48 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q79: source-mix report — the per-source profile a curation run reviews
+    * before training and feeds into per-source sampling decisions: doc
+    * count, token mass and its corpus share, and the within-source exact-dup
+    * rate (a high one flags a crawl that should be deduped or down-weighted
+    * at the source level before anything touches the mixture). One
+    * map-side-combinable aggregate over the corpus (distinct-md5 counted
+    * per source via a two-level agg, not count(distinct) — the same partial
+    * shape at 100 TB), then arithmetic on the source-cardinality table.
+    * Fixed-point e6 integers for the ratios (q59's cross-engine rule: hash
+    * BIGINTs, never floats).
+    */
+  def q79(spark: SparkSession, dir: String): DataFrame =
+    sourceMix(Tables.documents(spark, dir))
+
+  /** The q79 core over any (source, text) frame — planted-corpus specs run
+    * it directly.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    docs
+      .select(col("source"), md5(col("text").cast("binary")).as("h"),
+        text.tokenCount(col("text")).as("n_tokens"))
+      // level 1: per (source, text-hash) — collapses exact copies and their
+      // token mass map-side before anything source-wide aggregates
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("copies"), sum(col("n_tokens")).as("tok"))
+      // level 2: per source
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_unique_texts"),
+        sum(col("tok")).as("n_tokens"))
+      .withColumn("token_share_e6",
+        floor(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w)
+          * lit(1000000)).cast("long"))
+      .withColumn("dup_ratio_e6",
+        floor((col("n_docs") - col("n_unique_texts")).cast("double")
+          / col("n_docs") * lit(1000000)).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_unique_texts"),
+        col("n_tokens"), col("token_share_e6"), col("dup_ratio_e6"))
+      .orderBy(col("source"))
+  }
+
   /** q63: cleaned-corpus label profile — the post-cleaning sanity check a
     * curation run does before training: join the quality-filtered corpus
     * (q44's gates + content dedup) to its embedding labels and profile the
@@ -517,6 +559,22 @@ object Pipeline {
         |    < t.thr) AS kept
         |FROM documents d JOIN t USING (lang)
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q79_source_mix", q79,
+      Some("""WITH g AS (
+        |  SELECT source, md5(text) AS h, COUNT(*) AS copies,
+        |    CAST(SUM(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                                  t -> t <> '')) AS BIGINT)) AS BIGINT) AS tok
+        |  FROM documents GROUP BY source, h),
+        |s AS (
+        |  SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs,
+        |    COUNT(*) AS n_unique_texts, CAST(SUM(tok) AS BIGINT) AS n_tokens
+        |  FROM g GROUP BY source)
+        |SELECT source, n_docs, n_unique_texts, n_tokens,
+        |  CAST(FLOOR(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM s)
+        |    * 1000000) AS BIGINT) AS token_share_e6,
+        |  CAST(FLOOR(CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs
+        |    * 1000000) AS BIGINT) AS dup_ratio_e6
+        |FROM s ORDER BY source""".stripMargin)),
     QueryDef("q57_decontaminate", q57, Some(decontOracleSql)),
     // q66 computes q57's EXACT result behind the Bloom prescreen (no false
     // negatives + exact verify join), so the oracle is shared verbatim.

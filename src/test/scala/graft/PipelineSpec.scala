@@ -203,4 +203,25 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(a.nonEmpty)
   }
+
+  test("source mix: within-source dup rate counts exact copies only") {
+    // srcA: 4 docs, 2 byte-identical -> 3 unique, dup_ratio 25%;
+    // srcB: 2 distinct docs -> 0%. 17 corpus tokens total (12 + 5).
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma", "srcA"),
+      (2L, "alpha beta gamma", "srcA"),
+      (3L, "delta epsilon", "srcA"),
+      (4L, "zeta eta theta iota", "srcA"),
+      (5L, "one two three", "srcB"),
+      (6L, "four five", "srcB")).toDF("doc_id", "text", "source")
+    val got = Pipeline.sourceMix(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // token_share_e6 = floor(tok/17 * 1e6); dup_ratio_e6 = floor(dups/n * 1e6)
+    assert(got("srcA") === ((4L, 3L, 12L,
+      math.floor(12.0 / 17 * 1e6).toLong, 250000L)))
+    assert(got("srcB") === ((2L, 2L, 5L,
+      math.floor(5.0 / 17 * 1e6).toLong, 0L)))
+  }
 }
