@@ -487,17 +487,24 @@ object Dedup {
   /** The q78 core over (existing, batch) frames of (doc_id, text). */
   def incrementalDedup(existing: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
-    // corpus index: ids+hash only — at scale this is precomputed state
+    // corpus index: ids+hash only — at scale this is PRECOMPUTED state a
+    // pipeline keeps between batches; the eager checkpoint is that
+    // materialization (and stops every downstream branch from re-running
+    // the corpus scan through its own lineage)
     val exKeys = existing
       .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("ex_id"))
+      .localCheckpoint()
+    // the batch frame feeds FIVE consumers (m1, r1, and the final fan-out);
+    // without materialization each re-executes scan+md5 through lineage
     val bk = batch.select(col("doc_id"), col("text"),
       md5(col("text").cast("binary")).as("h"))
+      .localCheckpoint()
     // 1. exact vs corpus
     val m1 = bk.join(exKeys, Seq("h"))
       .select(col("doc_id"), col("ex_id").as("matched_id"),
         lit("exact_corpus").as("reason"))
-    val r1 = bk.join(exKeys, Seq("h"), "left_anti")
+    val r1 = bk.join(exKeys, Seq("h"), "left_anti").localCheckpoint()
     // 2. near vs corpus (batch side drives; min matching corpus id)
     val m2 = crossNearDupPairs(
         r1.select(col("doc_id"), col("text")),
@@ -506,6 +513,7 @@ object Dedup {
       .agg(min(col("b_id")).as("matched_id"))
       .select(col("doc_id"), col("matched_id"), lit("near_corpus").as("reason"))
     val r2 = r1.join(m2.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     // 3. exact within the batch remainder
     val bKeep = r2.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     val m3 = r2.join(bKeep, Seq("h"))
