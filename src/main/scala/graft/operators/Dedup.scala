@@ -427,9 +427,14 @@ object Dedup {
     * it directly.
     */
   def dedupVerdict(docs: DataFrame, threshold: Double): DataFrame = {
+    // keyed feeds keepers + doc2keeper, keepers feeds three consumers —
+    // materialize both (ids+hash only, tiny) so no branch re-runs the
+    // corpus scan+md5 through lineage (same fix measured on q78)
     val keyed = docs.select(col("doc_id"),
       md5(col("text").cast("binary")).as("h"))
+      .localCheckpoint()
     val keepers = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      .localCheckpoint()
     val doc2keeper = keyed.join(keepers, Seq("h"))
       .select(col("doc_id"), col("keeper"))
     // near-dup runs on the exact survivors only: exact copies of a keeper

@@ -402,6 +402,55 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide line occurrence threshold: a line appearing this many
+    * times or more is boilerplate and removed from EVERY document.
+    */
+  val LineDupAt = 2
+
+  /** q80: line-level corpus dedup — the CCNet/RefinedWeb cleaning step
+    * between doc-level dedup (q18/q76) and span profiling (q74): count each
+    * LINE's occurrences corpus-wide and strip every occurrence of lines
+    * appearing >= LineDupAt times (navigation chrome, cookie banners,
+    * license boilerplate), reassembling the surviving lines in original
+    * order. Unlike q74 (which profiles duplicated spans) this MUTATES the
+    * corpus — the output is the cleaned text plus kept/total line counts.
+    *
+    * Shape for 100 TB: one explode + one line-keyed count shuffle + one
+    * line-keyed join back + one doc-keyed reassembly shuffle. Lines shuffle
+    * as strings here for oracle parity; production swaps the group/join key
+    * to a 64/128-bit line hash (same plan, fixed-width keys). The fixture's
+    * docs are single-line, so the oracle row degenerates to doc-level
+    * behavior (q61 precedent) — the multi-line semantics are
+    * planted-corpus spec-checked.
+    */
+  def q80(spark: SparkSession, dir: String): DataFrame =
+    lineDedup(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q80 core over any (doc_id, text) frame. */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      split(col("text"), "\n", -1).as("ls"))
+    val lines = base.select(col("doc_id"),
+      posexplode(col("ls")).as(Seq("idx", "line")))
+    val counts = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("c"))
+    val kept = lines.join(counts, Seq("line"))
+      .filter(col("c") < LineDupAt)
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("idx"), col("line")))),
+            p => p.getField("line")),
+          "\n").as("cleaned"))
+    base.select(col("doc_id"), size(col("ls")).as("n_lines"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q79: source-mix report — the per-source profile a curation run reviews
     * before training and feeds into per-source sampling decisions: doc
     * count, token mass and its corpus share, and the within-source exact-dup
@@ -558,6 +607,26 @@ object Pipeline {
         |  (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |    < t.thr) AS kept
         |FROM documents d JOIN t USING (lang)
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q80_line_dedup", q80,
+      Some(s"""WITH raw AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS idx
+        |  FROM raw),
+        |c AS (SELECT line, COUNT(*) AS c FROM l GROUP BY line),
+        |k AS (SELECT l.doc_id, l.idx, l.line
+        |      FROM l JOIN c USING (line) WHERE c.c < $LineDupAt),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY idx) AS cleaned
+        |  FROM k GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, chr(10))) AS INT) AS n_lines,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(agg.cleaned, '') AS cleaned
+        |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q79_source_mix", q79,
       Some("""WITH g AS (

@@ -224,4 +224,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("srcB") === ((2L, 2L, 5L,
       math.floor(5.0 / 17 * 1e6).toLong, 0L)))
   }
+
+  test("line dedup strips corpus-duplicated lines, keeps order, empties boilerplate-only docs") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"unique alpha\n$boiler\nunique beta"),
+      (2L, s"$boiler\nanother original line"),
+      (3L, boiler), // boilerplate-only -> cleaned empty
+      (4L, "standalone doc with one line"),
+      (5L, "repeated inside one doc\nrepeated inside one doc\ntail line"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.lineDedup(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3, 2L, "unique alpha\nunique beta")))
+    assert(got(2L) === ((2, 1L, "another original line")))
+    assert(got(3L) === ((1, 0L, ""))) // every line was boilerplate
+    assert(got(4L) === ((1, 1L, "standalone doc with one line")))
+    // within-doc repetition counts toward the corpus threshold too
+    assert(got(5L) === ((3, 1L, "tail line")))
+  }
 }
