@@ -305,7 +305,70 @@ object TextAnalysis {
       .select(col("e._1").as("probe"), col("e._2").as("est_count"))
   }
 
+  /** Corpus vocabulary size for the OOV signal — small enough that the
+    * fixture's 31-token vocabulary leaves a real out-of-vocab tail.
+    */
+  val VocabK = 16
+
+  /** q81: out-of-vocabulary rate — per doc, the fraction of tokens outside
+    * the corpus's own top-VocabK vocabulary (count-desc, token-asc
+    * tie-break, so the cutoff is deterministic cross-engine). A cheap
+    * quality/contamination signal: gibberish, code-in-prose, and
+    * wrong-language docs all spike it.
+    *
+    * Shape for 100 TB: vocab = one two-phase token count + top-k (tiny),
+    * then BROADCAST back over the token stream — the corpus never shuffles
+    * for the membership join; the per-doc rollup is the only wide exchange.
+    */
+  def q81(spark: SparkSession, dir: String): DataFrame =
+    oovRate(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      VocabK)
+
+  /** The q81 core over any (doc_id, text) frame with a parametrized k. */
+  def oovRate(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(graft.functions.text.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(k)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    val per = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        floor(coalesce(col("n_oov"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)) * lit(1000000))
+          .cast("long").as("oov_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q81_oov_rate", q81,
+      Some(s"""WITH t0 AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tok FROM t0 WHERE tok <> ''),
+        |v AS (SELECT tok FROM (
+        |  SELECT tok, COUNT(*) AS n FROM tt GROUP BY tok
+        |  ORDER BY n DESC, tok LIMIT $VocabK)),
+        |per AS (
+        |  SELECT tt.doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM tt LEFT JOIN v ON tt.tok = v.tok
+        |  GROUP BY tt.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(FLOOR(CAST(coalesce(per.n_oov, 0) AS DOUBLE) /
+        |    greatest(coalesce(per.n_tokens, 0), 1) * 1000000) AS BIGINT) AS oov_e6
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q64_heavy_hitters", q64, None),
     QueryDef("q65_cms_counts", q65, None),
     QueryDef("q58_repetition_signals", q58,

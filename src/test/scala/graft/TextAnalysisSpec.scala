@@ -107,4 +107,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** q81 OOV on a planted corpus with a deliberate tie at the vocab cutoff:
+    * counts aa=3, bb=2, cc=2, dd=1 with k=2 — bb beats cc on the token-asc
+    * tie-break, so cc and dd are out-of-vocab everywhere.
+    */
+  test("OOV rate: deterministic vocab cutoff incl. tie-break, token-less docs restored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "aa bb cc"), // 1 oov of 3
+      (2L, "aa bb"), // 0 oov
+      (3L, "aa cc dd"), // 2 oov of 3
+      (4L, "...")) // tokenless: restored with 0/0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(df, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((3L, 1L, 333333L)))
+    assert(got(2L) === ((2L, 0L, 0L)))
+    assert(got(3L) === ((3L, 2L, 666666L)))
+    assert(got(4L) === ((0L, 0L, 0L)))
+  }
 }
