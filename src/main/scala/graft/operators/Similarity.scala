@@ -60,6 +60,57 @@ object Similarity {
         vecexprs.cosineSim(col("pv"), col("v")).as("c")))
   }
 
+  /** Probe stride for the bitext anchor — bounded like q20/q23's probe sets
+    * so the exact form never goes quadratic.
+    */
+  val BitextProbeEvery = 25
+
+  /** q82: margin-based cross-lingual candidate mining — the CCMatrix/LASER
+    * alignment criterion over the embedding column: for each English probe
+    * doc, the best non-English neighbor by cosine plus its MARGIN over the
+    * runner-up (absolute margin; a thin one means the "translation" is not
+    * distinctive and gets dropped by the alignment gate downstream).
+    *
+    * Exact anchor with a bounded probe set (doc_id % BitextProbeEvery,
+    * broadcast); the production-scale candidate generator is q25's
+    * multi-probe LSH / q39's IVF over the same vectors — the ranking+margin
+    * tail here is what those candidates feed.
+    */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(Tables.embeddings(spark, dir),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("id"), col("lang"),
+        vectors.toDouble(col("embedding")).as("v"))
+    bitextMargin(e.filter(pmod(col("id"), lit(BitextProbeEvery)) === 0))(e)
+  }
+
+  /** The q82 ranking+margin tail over any (id, lang, v) frames: `probes`
+    * supplies the English side, `candidates` everything else — planted
+    * specs run it directly; q25/q39 candidate generators feed the same
+    * tail at scale.
+    */
+  def bitextMargin(probeSrc: DataFrame)(candidateSrc: DataFrame): DataFrame = {
+    val probes = probeSrc.filter(col("lang") === "en")
+      .select(col("id").as("probe_id"), col("v").as("pv"))
+    val ranked = candidateSrc.filter(col("lang") =!= "en")
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("id").as("cand_id"),
+        vecexprs.cosineSim(col("pv"), col("v")).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("c").desc, col("cand_id"))))
+      .filter(col("rnk") <= 2)
+    ranked.groupBy(col("probe_id"))
+      .agg(max(when(col("rnk") === 1, col("cand_id"))).as("best_id"),
+        max(when(col("rnk") === 1, col("c"))).as("c1"),
+        max(when(col("rnk") === 2, col("c"))).as("c2"))
+      .select(col("probe_id"), col("best_id"),
+        round(col("c1"), ScoreDp).as("best_score"),
+        round(col("c1") - col("c2"), ScoreDp).as("margin"))
+      .orderBy(col("probe_id"))
+  }
+
   // ---- ANN: random-hyperplane LSH ----------------------------------------
 
   /** Number of hyperplanes = bucket bits. Sized so buckets hold ~corpus/2^P
@@ -269,6 +320,27 @@ object Similarity {
     }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q82_bitext_margin", q82,
+      Some(s"""WITH e AS (
+        |  SELECT d.doc_id AS id, d.lang, CAST(emb.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings emb ON d.doc_id = emb.vec_id),
+        |p AS (SELECT id AS probe_id, v AS pv FROM e
+        |      WHERE lang = 'en' AND id % $BitextProbeEvery = 0),
+        |pairs AS (
+        |  SELECT probe_id, id AS cand_id, list_cosine_similarity(pv, v) AS c
+        |  FROM e, p WHERE e.lang <> 'en'),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY c DESC, cand_id) AS INTEGER) AS rnk
+        |  FROM pairs),
+        |top AS (
+        |  SELECT probe_id,
+        |    MAX(CASE WHEN rnk = 1 THEN cand_id END) AS best_id,
+        |    MAX(CASE WHEN rnk = 1 THEN c END) AS c1,
+        |    MAX(CASE WHEN rnk = 2 THEN c END) AS c2
+        |  FROM r WHERE rnk <= 2 GROUP BY probe_id)
+        |SELECT probe_id, best_id, round(c1, 6) AS best_score,
+        |  round(c1 - c2, 6) AS margin
+        |FROM top ORDER BY probe_id""".stripMargin)),
     QueryDef("q20_cosine_topk", q20,
       Some("""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -123,4 +123,29 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (found & truth).size.toDouble / truth.size
     assert(recall >= 0.9, s"production-threshold recall $recall below 0.9")
   }
+
+  /** q82 bitext margin on a planted frame with hand-computable cosines:
+    * probe [1,0,0]; fr candidates at cosine 1.0, 0.8 and 0.0 — best must be
+    * the exact match with margin 1.0 - 0.8 = 0.2; the en candidate and the
+    * out-of-stride probe must not appear.
+    */
+  test("bitext margin ranks the planted best translation with the exact margin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (0L, "en", Seq(1.0, 0.0, 0.0)), // probe
+      (10L, "fr", Seq(1.0, 0.0, 0.0)), // cos 1.0 -> best
+      (11L, "fr", Seq(0.8, 0.6, 0.0)), // cos 0.8 -> runner-up
+      (12L, "fr", Seq(0.0, 0.0, 1.0)), // cos 0.0
+      (13L, "en", Seq(1.0, 0.0, 0.0)), // en: never a candidate
+      (14L, "de", Seq(0.6, 0.8, 0.0))) // cos 0.6 -> third
+      .toDF("id", "lang", "v")
+    val got = Similarity.bitextMargin(rows.filter(col("id") === 0L))(rows)
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 1.0)
+    assert(math.abs(r.getDouble(3) - 0.2) < 1e-9, s"margin ${r.getDouble(3)}")
+  }
 }
