@@ -20,8 +20,12 @@ import sys
 # Deliberate exact anchors documented in README (scale twin in parentheses):
 # q48 exact all-pairs cosine (twin q24 LSH), q23 exact n-gram Jaccard probes
 # (twin q21 MinHash-LSH), q31 exact sort percentiles (twin q52 GK),
-# q71 exact percentile_disc winsorization (twin q71b sketch caps).
-ANCHORS = {"q48": "q24", "q23": "q21", "q31": "q52", "q71": "q71b"}
+# q71 exact percentile_disc winsorization (twin q71b sketch caps),
+# q82 exact bitext margins over a %-stride probe set that grows with the
+# corpus — probes x candidates is quadratic by construction (twin: q25/q39
+# ANN candidate generation feeding the same ranking tail).
+ANCHORS = {"q48": "q24", "q23": "q21", "q31": "q52", "q71": "q71b",
+           "q82": "q25"}
 SLACK = 1.3  # box noise band observed across rounds 3-6
 
 
