@@ -56,6 +56,41 @@ object Pipeline {
       .select(col("doc_id"), col("bucket_hex"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** q83: split-leakage audit — the check a training run does before
+    * trusting its heldout numbers: near-dup pairs (MinHash-LSH candidates,
+    * exact-Jaccard verified at 0.8, q21's pipeline) that CROSS q45's
+    * train/heldout boundary. Exact duplicates cannot cross by construction
+    * (q45 keys the split on md5(text), so byte-identical docs co-locate);
+    * near-dups can — a heldout doc that is a near-copy of a training doc
+    * silently inflates eval scores, and this query names each offending
+    * pair. Empty output = clean split.
+    *
+    * Shape for 100 TB: the pair generator is the banded LSH join (ids-only
+    * shuffles); the split labels join back by id; no new wide exchange
+    * beyond q21's own.
+    */
+  def q83(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q83 core over any (doc_id, text) frame — planted-corpus specs run
+    * it directly against a plain-Scala model.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val splits = docs
+      .select(col("doc_id"),
+        when(substring(md5(col("text").cast("binary")), 1, 1).isin("0", "1"),
+          "heldout").otherwise("train").as("split"))
+    Dedup.nearDupPairsUnsorted(docs, 0.8)
+      .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")),
+        Seq("a_id"))
+      .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")),
+        Seq("b_id"))
+      .filter(col("a_split") =!= col("b_split"))
+      .select(col("a_id"), col("b_id"), col("a_split"), col("b_split"),
+        col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** q49: PII-style redaction scrub — emails, URLs, long digit runs replaced
     * by typed placeholders, with per-doc match counts. Pure per-row regexp
     * expressions (codegen'd, no shuffle): the canonical pre-training scrub
@@ -608,6 +643,27 @@ object Pipeline {
         |    < t.thr) AS kept
         |FROM documents d JOIN t USING (lang)
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q83_split_leakage", q83,
+      Some("""WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(text), 1, 1) IN ('0', '1')
+        |         THEN 'heldout' ELSE 'train' END AS split,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) - 2),
+        |      i -> array_to_string(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')[i:i+2], ' ')))
+        |      AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  a.split AS a_split, b.split AS b_split,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND a.split <> b.split
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin)),
     QueryDef("q80_line_dedup", q80,
       Some(s"""WITH raw AS (
         |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),

@@ -225,6 +225,41 @@ class PipelineSpec extends AnyFunSuite {
       math.floor(5.0 / 17 * 1e6).toLong, 0L)))
   }
 
+  /** q83 against a plain-Scala model: generate a seeded corpus with planted
+    * near-dup pairs, compute the EXPECTED crossing pairs in the JVM (exact
+    * 3-gram Jaccard + md5-nibble split, the same definitions the engine
+    * uses), and require the engine to find exactly that set.
+    */
+  test("split leakage audit matches a plain-Scala model on planted near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc() = Seq.fill(90)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 12).map(i => i.toLong -> doc())
+    val nears = bases.map { case (id, t) =>
+      val a = t.split(" "); a(7) = "zz"
+      (id + 100) -> a.mkString(" ")
+    }
+    val corpus = bases ++ nears
+    def split(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+      val hex = "%02x".format(md(0) & 0xff)
+      if (hex(0) == '0' || hex(0) == '1') "heldout" else "train"
+    }
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus if a < b
+      ga = grams(ta); gb = grams(tb)
+      j = (ga & gb).size.toDouble / (ga | gb).size
+      if j >= 0.8 && split(ta) != split(tb)
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "seed must plant at least one crossing pair")
+    val got = Pipeline.splitLeakage(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("line dedup strips corpus-duplicated lines, keeps order, empties boilerplate-only docs") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter"
