@@ -83,19 +83,25 @@ object StreamReplay {
     if (prev > 0) spark.catalog.dropTempView(s"${sinkPrefix}_$prev")
     val sink = s"${sinkPrefix}_${seq.incrementAndGet()}"
     // partition count binds at query start; restore after the (synchronous)
-    // drain so batch plans in the same session keep the session sizing
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
-    try {
-      val query = df.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try query.awaitTermination()
-      finally query.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    // drain so batch plans in the same session keep the session sizing.
+    // Serialized on this object: suites run sequentially today (forked JVM,
+    // testForkedParallel off), but a concurrent drain would race the
+    // session-global conf save/restore — the lock closes that class of bug
+    // outright (drains are sub-second-to-seconds; contention is irrelevant).
+    StreamReplay.synchronized {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      try {
+        val query = df.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try query.awaitTermination()
+        finally query.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     spark.table(sink)
   }
 
