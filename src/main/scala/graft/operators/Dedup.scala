@@ -391,6 +391,59 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q84: span-cut cleaning — the ACTION to q74's profile (the
+    * exact-substring-dedup step of the dedup literature): every 8-token
+    * window occurring ≥2× corpus-wide is cut from every document (covered
+    * token positions removed, overlapping windows merging naturally), and
+    * the surviving tokens are reassembled in order. Output per doc: token
+    * counts before/after and the cleaned text.
+    *
+    * Shape for 100 TB: q74's positional gram pipeline (ONE codegen'd
+    * tokenize+chain pass, one wide shuffle on the 64-bit gram key) plus a
+    * doc-keyed rollup of flagged start positions; the final cut is a
+    * per-row expression over (tokens, starts) — no extra corpus shuffle.
+    * The exists() scan per token is O(flagged starts) with starts bounded
+    * by doc length; fine for the corpus-cleaning pass it is.
+    */
+  def q84(spark: SparkSession, dir: String): DataFrame =
+    spanCut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q84 core over any (doc_id, text) frame. */
+  def spanCut(docs: DataFrame): DataFrame = {
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val grams = docs
+      .filter(col("doc_id").isNotNull)
+      .repartition(cores, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(sketch.gramHashes(
+          sketch.tokenHashes(col("text")), SpanTokens)).as(Seq("pos", "gh")))
+      .repartition(cores, col("gh"))
+    // per-(gh,doc) multiplicity first (map-side combine bounds hot grams by
+    // doc count), then corpus totals — q74's exact shape
+    val perDocGram = grams.groupBy(col("gh"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+    val dupGh = perDocGram.groupBy(col("gh")).agg(sum(col("k")).as("c"))
+      .filter(col("c") >= 2).select(col("gh"))
+    val flagged = grams.join(dupGh, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    docs.join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.text.cleanTokens(col("text")).as("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        filter(zip_with(col("toks"),
+            sequence(lit(0), greatest(size(col("toks")), lit(1)) - 1),
+            (t, i) => when(!exists(col("starts"),
+              s => i >= s && i < s + lit(SpanTokens)), t)),
+          x => x.isNotNull).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_cut"),
+        array_join(col("kept"), " ").as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- End-to-end dedup verdict (q76) -------------------------------------
 
   /** q76: the per-document dedup VERDICT a curation run actually ships —
@@ -544,6 +597,35 @@ object Dedup {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q84_span_cut", q84,
+      Some(s"""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(toks[i:i+${SpanTokens - 1}], ' ') AS gram
+        |  FROM d, unnest(generate_series(1, len(toks) - ${SpanTokens - 1})) AS t(i)
+        |  WHERE len(toks) >= $SpanTokens),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |f AS (SELECT g.doc_id, list_sort(list(g.pos)) AS starts
+        |      FROM g JOIN c USING (gram) GROUP BY g.doc_id),
+        |o AS (
+        |  SELECT d.doc_id, len(d.toks) AS n_tokens,
+        |    list_transform(
+        |      list_filter(generate_series(1, len(d.toks)),
+        |        i -> len(list_filter(coalesce(f.starts, []),
+        |               s -> i - 1 >= s AND i - 1 < s + $SpanTokens)) = 0),
+        |      i -> d.toks[i]) AS kept
+        |  FROM d LEFT JOIN f USING (doc_id))
+        |SELECT documents.doc_id,
+        |  CAST(coalesce(o.n_tokens, 0) AS INT) AS n_tokens,
+        |  CAST(coalesce(o.n_tokens - len(o.kept), 0) AS INT) AS n_cut,
+        |  coalesce(array_to_string(o.kept, ' '), '') AS cleaned
+        |FROM documents LEFT JOIN o USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q78_incremental_dedup", q78,
       Some(s"""WITH RECURSIVE ex AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),

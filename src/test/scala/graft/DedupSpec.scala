@@ -227,6 +227,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got(103L) === ((25L, false, "exact")))
   }
 
+  /** q84 span-cut on hand-built docs: a cross-doc shared 8-token span is
+    * cut from BOTH docs (and only it — the flanking windows are unique), an
+    * internally repeated span is cut at both its positions leaving the
+    * separator token, and a unique doc is untouched.
+    */
+  test("span cut removes exactly the duplicated windows, both cross- and within-doc") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $span a6 a7 a8 a9 a10"),
+      (2L, s"b1 b2 b3 b4 $span"),
+      (3L, s"$rep x $rep"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanCut(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((18, 8, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10")))
+    assert(got(2L) === ((12, 8, "b1 b2 b3 b4")))
+    assert(got(3L) === ((17, 16, "x")))
+    assert(got(4L) === ((10, 0, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+  }
+
   /** q78 incremental dedup: every verdict class planted with a known
     * outcome, including the priority rule (near_corpus beats exact_batch —
     * both copies of a corpus-near doc report the corpus match, not each
