@@ -429,7 +429,14 @@ object Dedup {
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     docs.join(flagged, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        graft.functions.text.cleanTokens(col("text")).as("toks"),
+        // null-input parity with the oracle's coalesce-to-0/'' tail: a null
+        // text tokenizes to NULL (size would read -1) and a null doc_id never
+        // entered the gram pipeline at all — both must come out as
+        // (0 tokens, 0 cut, '') exactly like the SQL's LEFT JOIN + coalesce
+        when(col("doc_id").isNotNull,
+          coalesce(graft.functions.text.cleanTokens(col("text")),
+            array().cast("array<string>")))
+          .otherwise(array().cast("array<string>")).as("toks"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),

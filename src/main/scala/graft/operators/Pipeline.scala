@@ -478,7 +478,12 @@ object Pipeline {
             sort_array(collect_list(struct(col("idx"), col("line")))),
             p => p.getField("line")),
           "\n").as("cleaned"))
-    base.select(col("doc_id"), size(col("ls")).as("n_lines"))
+    // size() reads -1 on a null array (non-ANSI default) where the oracle's
+    // len(string_split(NULL,...)) propagates NULL — guard so a null-text row
+    // reports NULL n_lines on both engines (n_kept/cleaned coalesce to 0/''
+    // either way: explode of NULL emits no line rows)
+    base.select(col("doc_id"),
+      when(col("ls").isNotNull, size(col("ls"))).as("n_lines"))
       .join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

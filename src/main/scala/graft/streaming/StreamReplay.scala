@@ -23,15 +23,17 @@ object StreamReplay {
   private val runSeqs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
-  // schema per (events path, mtime): the batch footer read that seeds the
-  // file-stream source is immutable per fixture version, but a resident
-  // session (bench settle runs × 5 replay queries) was paying it on every
-  // invocation. Keying on modification time fails safe if a fixture is
-  // regenerated at the same path within a resident JVM (e.g. target/sf1
-  // rebuilt between bench runs) — the cheap per-call FS stat below supplies
-  // both the mtime and the directory/file layout.
+  // schema per events path, validated by a content signature: the batch
+  // footer read that seeds the file-stream source is immutable per fixture
+  // version, but a resident session (bench settle runs × 5 replay queries)
+  // was paying it on every invocation. One entry per path (superseded
+  // signatures are REPLACED, not accumulated), and the signature folds the
+  // mtime+length of every part file for a directory-form fixture — a
+  // directory whose part files are rewritten in place under the same names
+  // keeps its own mtime, so a directory-level stat alone could serve a
+  // stale schema after an in-place regen.
   private val sourceMeta = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), org.apache.spark.sql.types.StructType]()
+    String, (Long, org.apache.spark.sql.types.StructType)]()
 
   /** The `events` table as a REAL file-stream source. File-stream sources
     * need an explicit schema: one metadata-only batch read supplies it (ts
@@ -47,12 +49,20 @@ object StreamReplay {
   private def replayEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val hPath = new org.apache.hadoop.fs.Path(path)
-    val status = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-      .getFileStatus(hPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val status = fs.getFileStatus(hPath)
     val isDir = status.isDirectory
-    val schema = sourceMeta.computeIfAbsent(
-      (path, status.getModificationTime),
-      _ => spark.read.parquet(path).schema)
+    // cheap per-call signature: single file → its own (mtime, len); directory
+    // → fold over the direct children so in-place part rewrites invalidate
+    val sig =
+      if (isDir)
+        fs.listStatus(hPath).foldLeft(status.getModificationTime) {
+          (acc, s) => acc * 31 + s.getModificationTime * 31 + s.getLen
+        }
+      else status.getModificationTime * 31 + status.getLen
+    val schema = sourceMeta.compute(path, (_, cur) =>
+      if (cur != null && cur._1 == sig) cur
+      else (sig, spark.read.parquet(path).schema))._2
     val src =
       if (isDir) spark.readStream.schema(schema).parquet(path)
       else spark.readStream.schema(schema)

@@ -251,6 +251,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) === ((10, 0, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
   }
 
+  /** Null-input parity with the q84 oracle tail: a null text coalesces to
+    * (0 tokens, 0 cut, ''), and a null doc_id row survives as
+    * (NULL, 0, 0, '') — the oracle's unfiltered final LEFT JOIN keeps it.
+    */
+  test("span cut matches the oracle's coalesce tail on null text and null doc_id") {
+    import spark.implicits._
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, "w1 w2 w3"), (2L, null), (null, "w1 w2 w3"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanCut(docs).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3, 0, "w1 w2 w3")))
+    assert(got(2L) === ((0, 0, "")))
+    assert(got(-1L) === ((0, 0, "")))
+  }
+
   /** q78 incremental dedup: every verdict class planted with a known
     * outcome, including the priority rule (near_corpus beats exact_batch —
     * both copies of a corpus-near doc report the corpus match, not each

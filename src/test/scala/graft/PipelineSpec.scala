@@ -280,4 +280,20 @@ class PipelineSpec extends AnyFunSuite {
     // within-doc repetition counts toward the corpus threshold too
     assert(got(5L) === ((3, 1L, "tail line")))
   }
+
+  /** Null-input parity with the q80 oracle: len(string_split(NULL)) is NULL
+    * there, so n_lines must propagate NULL (not size()'s -1) while
+    * n_kept/cleaned coalesce to 0/'' on both engines.
+    */
+  test("line dedup reports NULL n_lines (not -1) for a null-text doc") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "only line"), (2L, null))
+      .toDF("doc_id", "text")
+    val got = Pipeline.lineDedup(df).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((Some(1), 1L, "only line")))
+    assert(got(2L) === ((None, 0L, "")))
+  }
 }
