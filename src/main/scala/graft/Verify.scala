@@ -13,6 +13,10 @@ object Verify {
     val only = args.drop(2).toSet
     val spark = Sessions.local("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
+    // THE authoritative inventory size — SCALE.md/README cite this line
+    // (the r8 record said "91" where registry/correctness/bench all said 90;
+    // one printed source of truth ends that class of drift)
+    System.err.println(s"[verify] registry: ${Registry.all.size} queries")
     new java.io.File(outDir).mkdirs()
     var failed = 0
     SparkEntry.queries

@@ -451,25 +451,51 @@ object Pipeline {
     * corpus — the output is the cleaned text plus kept/total line counts.
     *
     * Shape for 100 TB: one explode + one line-keyed count shuffle + one
-    * line-keyed join back + one doc-keyed reassembly shuffle. Lines shuffle
-    * as strings here for oracle parity; production swaps the group/join key
-    * to a 64/128-bit line hash (same plan, fixed-width keys). The fixture's
-    * docs are single-line, so the oracle row degenerates to doc-level
-    * behavior (q61 precedent) — the multi-line semantics are
+    * line-keyed join back + one doc-keyed reassembly shuffle. q80 keys the
+    * count/join on the raw line STRING (the oracle's own key); q80b is the
+    * production form — same plan, but the key is xxhash64(line), so the
+    * count-side shuffle moves (int64, count) pairs instead of raw text and
+    * the join compares fixed-width keys (line text rides only the
+    * reassembly payload). The two are asserted row-identical in
+    * PipelineSpec (collision odds at any realistic corpus: ~N²/2⁶⁴).
+    * The fixture's docs are single-line, so the oracle row degenerates to
+    * doc-level behavior (q61 precedent) — the multi-line semantics are
     * planted-corpus spec-checked.
     */
   def q80(spark: SparkSession, dir: String): DataFrame =
     lineDedup(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  /** The q80 core over any (doc_id, text) frame. */
-  def lineDedup(docs: DataFrame): DataFrame = {
+  /** q80b: the fixed-width-key production form of q80 — identical output,
+    * 64-bit hash shuffle keys. Shares q80's oracle SQL verbatim (q66/q70
+    * precedent for registered twins).
+    */
+  def q80b(spark: SparkSession, dir: String): DataFrame =
+    lineDedupHashed(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q80 core over any (doc_id, text) frame — string-keyed (oracle
+    * parity form).
+    */
+  def lineDedup(docs: DataFrame): DataFrame =
+    lineDedupImpl(docs, hashedKey = false)
+
+  /** q80b core: xxhash64(line) as the count/join key. */
+  def lineDedupHashed(docs: DataFrame): DataFrame =
+    lineDedupImpl(docs, hashedKey = true)
+
+  private def lineDedupImpl(docs: DataFrame, hashedKey: Boolean): DataFrame = {
     val base = docs.select(col("doc_id"),
       split(col("text"), "\n", -1).as("ls"))
-    val lines = base.select(col("doc_id"),
+    val exploded = base.select(col("doc_id"),
       posexplode(col("ls")).as(Seq("idx", "line")))
-    val counts = lines.groupBy(col("line"))
+    // "k" is the ONLY column the count agg needs: column pruning drops
+    // doc_id/idx/line before the count shuffle, so the hashed form's
+    // aggregation moves nothing but 8-byte keys
+    val lines =
+      if (hashedKey) exploded.withColumn("k", xxhash64(col("line")))
+      else exploded.withColumn("k", col("line"))
+    val counts = lines.groupBy(col("k"))
       .agg(count(lit(1)).as("c"))
-    val kept = lines.join(counts, Seq("line"))
+    val kept = lines.join(counts, Seq("k"))
       .filter(col("c") < LineDupAt)
     val reassembled = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -490,6 +516,31 @@ object Pipeline {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
       .orderBy(col("doc_id"))
   }
+
+  /** Shared oracle for q80 and its hashed-key twin q80b (identical output
+    * by construction; the SQL keys on the line string, the only form DuckDB
+    * can express).
+    */
+  val lineDedupOracleSql: String =
+    s"""WITH raw AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+      |l AS (
+      |  SELECT doc_id, unnest(ls) AS line,
+      |    generate_subscripts(ls, 1) AS idx
+      |  FROM raw),
+      |c AS (SELECT line, COUNT(*) AS c FROM l GROUP BY line),
+      |k AS (SELECT l.doc_id, l.idx, l.line
+      |      FROM l JOIN c USING (line) WHERE c.c < $LineDupAt),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(line, chr(10) ORDER BY idx) AS cleaned
+      |  FROM k GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, chr(10))) AS INT) AS n_lines,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(agg.cleaned, '') AS cleaned
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** q79: source-mix report — the per-source profile a curation run reviews
     * before training and feeds into per-source sampling decisions: doc
@@ -669,26 +720,10 @@ object Pipeline {
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin)),
-    QueryDef("q80_line_dedup", q80,
-      Some(s"""WITH raw AS (
-        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
-        |l AS (
-        |  SELECT doc_id, unnest(ls) AS line,
-        |    generate_subscripts(ls, 1) AS idx
-        |  FROM raw),
-        |c AS (SELECT line, COUNT(*) AS c FROM l GROUP BY line),
-        |k AS (SELECT l.doc_id, l.idx, l.line
-        |      FROM l JOIN c USING (line) WHERE c.c < $LineDupAt),
-        |agg AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-        |    string_agg(line, chr(10) ORDER BY idx) AS cleaned
-        |  FROM k GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  CAST(len(string_split(d.text, chr(10))) AS INT) AS n_lines,
-        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
-        |  coalesce(agg.cleaned, '') AS cleaned
-        |FROM documents d LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q80_line_dedup", q80, Some(lineDedupOracleSql)),
+    // q80b computes q80's EXACT result with 64-bit hash shuffle keys, so
+    // the oracle is shared verbatim (q66/q57 precedent)
+    QueryDef("q80b_line_dedup_hashed", q80b, Some(lineDedupOracleSql)),
     QueryDef("q79_source_mix", q79,
       Some("""WITH g AS (
         |  SELECT source, md5(text) AS h, COUNT(*) AS copies,

@@ -304,10 +304,11 @@ object Similarity {
       .transform(rankTopK)
   }
 
-  /** Euclidean-nearest `IvfProbes` centroid ids for a vector (UDF over the
-    * broadcast centroid array — fine off the hot path: it runs on 5 probes).
+  /** Euclidean-nearest `k` centroid ids for a vector (UDF over the
+    * broadcast centroid array — fine off the hot paths it serves: q39 runs
+    * it on 5 probes, q85 on one bounded-width pass per row).
     */
-  private def nearestCellsUdf(centroids: Array[Array[Double]]) =
+  private def nearestCellsUdf(centroids: Array[Array[Double]], k: Int = IvfProbes) =
     udf { (v: Seq[Double]) =>
       centroids.zipWithIndex.map { case (c, i) =>
         var d = 0.0
@@ -316,10 +317,113 @@ object Similarity {
           val x = c(j) - v(j); d += x * x; j += 1
         }
         (d, i)
-      }.sortBy(_._1).take(IvfProbes).map(_._2)
+      }.sortBy(_._1).take(k).map(_._2)
     }
 
+  // ---- Semantic dedup (SemDeDup shape) ------------------------------------
+
+  /** Cosine threshold for the semantic-dedup verdict — the production
+    * SemDeDup operating point (the paper prunes at ~0.95+). The driver
+    * fixture's max pairwise cosine is ~0.5, so its oracle row resolves to
+    * all-singletons (q61 precedent: the discriminating behavior is
+    * planted-spec-checked); the sf1skew clique exercises the full path.
+    */
+  val SemDedupCosine = 0.95
+
+  /** q85: embedding-space semantic dedup — the SemDeDup curation step, the
+    * third leg of the dedup family after doc/line/span (text-space) and
+    * dHash (image-space): cluster the corpus with the IVF coarse quantizer
+    * (q39's KMeans), generate candidate pairs WITHIN cells only, keep pairs
+    * with cosine >= 0.95, resolve components (q56's pointer-jumped CC), and
+    * keep each component's min vec_id.
+    *
+    * Shape for 100 TB: candidate generation is an ids-only cell self-join —
+    * pair cost Σ|cell|² (cells ~ √N at real scale), never N²; vectors are
+    * fetched once per surviving candidate pair (the lshNearDupPairs
+    * pattern). Each vector is SOFT-assigned to its 2 nearest cells (IVF
+    * multi-probe applied to dedup): a dup-heavy region attracts several
+    * near-identical centroids whose boundary can pass BETWEEN two copies —
+    * measured here with a planted 5-clique at k=16, which hard assignment
+    * split. With top-2 assignment a >= 0.95 pair shares a cell unless both
+    * members' top-2 sets are disjoint, which near-identical distance
+    * profiles all but rule out. The oracle mirrors with UNRESTRICTED exact
+    * pairs, which coincides at fixture scale (see FIXTURES.md §4 for the
+    * recall assumption).
+    */
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    semanticDedup(
+      emb.select(col("vec_id")),
+      emb.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+        .filter(col("v").isNotNull),
+      SemDedupCosine)
+  }
+
+  /** The q85 core: `ids` is every vector id (null-embedding rows resolve as
+    * singletons), `base` the clusterable (vec_id, v) frame — planted specs
+    * run it directly.
+    */
+  /** Soft-assignment width for q85's quantizer cells (see q85 doc). */
+  val SemProbeCells = 2
+
+  def semanticDedup(ids: DataFrame, base: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // vectors feed the quantizer fit, the cell explode, and two candidate
+    // fetch joins: materialize once (q76 precedent)
+    val b = base.localCheckpoint()
+    // KMeans cannot fit an empty corpus (q39 precedent); no vectors → no
+    // pairs → the CC tail resolves everything as singletons
+    val cells =
+      if (b.isEmpty) b.select(col("vec_id"), lit(0).as("cell"))
+      else {
+        val model = new KMeans()
+          .setK(IvfCells).setSeed(42).setMaxIter(5).setInitMode("random")
+          .setFeaturesCol("fv").setPredictionCol("cell")
+          .fit(b.withColumn("fv", array_to_vector(col("v"))))
+        val centroids = model.clusterCenters.map(_.toArray)
+        b.select(col("vec_id"),
+          explode(nearestCellsUdf(centroids, SemProbeCells)(col("v")))
+            .as("cell"))
+      }
+    // soft assignment surfaces a pair once per shared cell (<= 2): dedupe
+    // the ids BEFORE fetching vectors and scoring, so each candidate is
+    // scored exactly once (q25's rule)
+    val cand = cells.select(col("cell"), col("vec_id").as("a_id"))
+      .join(cells.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val pairs = cand
+      .join(b.select(col("vec_id").as("a_id"), col("v").as("av")), Seq("a_id"))
+      .join(b.select(col("vec_id").as("b_id"), col("v").as("bv")), Seq("b_id"))
+      .filter(round(vecexprs.cosineSim(col("av"), col("bv")), 6) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    Dedup.connectedComponents(ids.select(col("vec_id").as("v")), pairs)
+      .select(col("v").as("vec_id"), col("lab").as("rep_id"),
+        (col("lab") === col("v")).as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q85_semantic_dedup", q85,
+      Some(s"""WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |      FROM e a, e b
+        |      WHERE a.vec_id < b.vec_id
+        |        AND round(list_cosine_similarity(a.v, b.v), 6) >=
+        |            $SemDedupCosine),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |cc(v, lab) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT edges.d, cc.lab FROM cc JOIN edges ON edges.s = cc.v)
+        |SELECT v AS vec_id, MIN(lab) AS rep_id, (MIN(lab) = v) AS is_kept
+        |FROM cc GROUP BY v ORDER BY vec_id""".stripMargin)),
     QueryDef("q82_bitext_margin", q82,
       Some(s"""WITH e AS (
         |  SELECT d.doc_id AS id, d.lang, CAST(emb.embedding AS DOUBLE[]) AS v

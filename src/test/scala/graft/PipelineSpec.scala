@@ -281,6 +281,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5L) === ((3, 1L, "tail line")))
   }
 
+  /** q80b (xxhash64 line keys) must be row-identical to q80 (string keys)
+    * on a corpus with real cross-doc and within-doc line duplication —
+    * the "same plan, fixed-width keys" claim as an executable assertion.
+    * Collision odds at any realistic corpus are ~N²/2⁶⁴; at fixture scale
+    * they are nil, so any divergence is a logic bug, not a collision.
+    */
+  test("hashed-key line dedup equals the string-keyed form") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"unique alpha\n$boiler\nunique beta"),
+      (2L, s"$boiler\nanother original line"),
+      (3L, boiler),
+      (4L, "standalone doc with one line"),
+      (5L, "repeated inside one doc\nrepeated inside one doc\ntail line"))
+      .toDF("doc_id", "text")
+    val a = Pipeline.lineDedup(df).collect().toSeq
+    val b = Pipeline.lineDedupHashed(df).collect().toSeq
+    assert(a === b)
+    // sanity: the corpus actually exercises dedup (not all lines unique)
+    assert(a.exists(r => r.getLong(2) < r.getInt(1)))
+  }
+
   /** Null-input parity with the q80 oracle: len(string_split(NULL)) is NULL
     * there, so n_lines must propagate NULL (not size()'s -1) while
     * n_kept/cleaned coalesce to 0/'' on both engines.

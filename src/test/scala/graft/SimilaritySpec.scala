@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Recall/consistency properties for the ANN tier (q24/q25) against the
@@ -129,6 +130,46 @@ class SimilaritySpec extends AnyFunSuite {
     * the exact match with margin 1.0 - 0.8 = 0.2; the en candidate and the
     * out-of-stride probe must not appear.
     */
+  /** q85 planted semantic clique: five near-identical vectors (pairwise
+    * cosine ~0.999) among well-separated background vectors must resolve to
+    * ONE keeper (the min id) with the rest dropped, and every background
+    * vector must stay a kept singleton. The fixture properties (clique
+    * pairs >= 0.95, all other pairs < 0.95) are asserted in plain Scala
+    * first, so a bad seed fails loudly as a fixture error, not a flake.
+    */
+  test("semantic dedup resolves a planted embedding clique to one keeper") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val bg = (0 until 30).map(i =>
+      (100L + i, unit(Array.fill(dim)(rnd.nextGaussian()))))
+    val cliqueBase = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val clique = (0 until 5).map { i =>
+      val v = cliqueBase.clone(); v(i) += 0.001; (10L + i, unit(v))
+    }
+    val all = bg ++ clique
+    for ((ia, va) <- clique; (ib, vb) <- clique if ia < ib)
+      assert(cos(va, vb) >= 0.95, s"fixture: clique pair $ia-$ib too far")
+    for ((ia, va) <- all; (ib, vb) <- all
+         if ia < ib && !(ia >= 10 && ia < 15 && ib >= 10 && ib < 15))
+      assert(cos(va, vb) < 0.95, s"fixture: unplanted pair $ia-$ib too close")
+    val df = all.toDF("vec_id", "v")
+    val got = Similarity.semanticDedup(
+        df.select(col("vec_id")), df, Similarity.SemDedupCosine)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.length === all.size)
+    (10L to 14L).foreach(id =>
+      assert(byId(id) === ((10L, id == 10L)), s"clique member $id"))
+    bg.foreach { case (id, _) =>
+      assert(byId(id) === ((id, true)), s"background $id") }
+  }
+
   test("bitext margin ranks the planted best translation with the exact margin") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
