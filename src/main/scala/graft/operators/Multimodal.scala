@@ -305,11 +305,73 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** DuckDB mirror of the REGISTERED q77 path (gridStub → dhash64 →
+    * Hamming ≤ 3 neighbor counts), generated from the same constants.
+    *
+    * Validity: the fixture text is pure ASCII (q29's verified premise), so
+    * byte j of the media payload is ascii(substr(text, j+1, 1)). The
+    * engine's grid means are Float where the oracle's list_avg is DOUBLE —
+    * safe because unequal cell means differ by ≥ 1/(cnt_a·cnt_b) (rationals
+    * over small denominators, ≥ ~1e-3 at fixture cell widths) while float32
+    * rounding error is ≤ ~2e-5 at byte scale, so every `>` comparison
+    * agrees; exactly-equal rationals round to equal values in both widths.
+    * The 64-bit hash is assembled in HUGEINT and re-centered to signed
+    * (q34's winnowOracle idiom); the pigeonhole join is mirrored by exact
+    * all-pairs bit_count(xor) ≤ 3 — complete for the engine too, since a
+    * ≤ 3-bit difference always shares one of 4 exact 16-bit chunks.
+    * The real-pixel dHash path stays property-checked on planted PNGs
+    * (MultimodalSpec); this row pins the registered stub path end-to-end.
+    */
+  private def dhashOracle: String = {
+    val cells = GridW * GridH            // 72 grid cells
+    val bits = GridH * (GridW - 1)       // 64 hash bits
+    val M = BigInt(1) << 64
+    val H = BigInt(1) << 63
+    val terms = (0 until bits).map { k =>
+      val left = (k / (GridW - 1)) * GridW + (k % (GridW - 1)) + 1 // 1-based
+      s"CASE WHEN grid[${left + 1}] > grid[$left] THEN ${BigInt(1) << k} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, text,
+       |    octet_length(CAST(text AS BLOB)) AS n
+       |  FROM documents WHERE text IS NOT NULL),
+       |cells AS (
+       |  SELECT media_id, i.i AS i,
+       |    list_avg(list_transform(
+       |      generate_series(
+       |        CAST((i.i * n) // $cells + 1 AS BIGINT),
+       |        CAST(least(greatest(((i.i + 1) * n) // $cells,
+       |                            (i.i * n) // $cells + 1), n) AS BIGINT)),
+       |      j -> ascii(substr(text, CAST(j AS INT), 1)))) AS m
+       |  FROM d, unnest(generate_series(0, ${cells - 1})) AS i(i)
+       |  WHERE n > 0),
+       |g AS (SELECT media_id, list(m ORDER BY i) AS grid
+       |      FROM cells GROUP BY media_id),
+       |hh AS (SELECT media_id, CAST($terms AS HUGEINT) AS uh FROM g),
+       |hs AS (
+       |  SELECT media_id,
+       |    CAST(CASE WHEN uh >= $H THEN uh - $M ELSE uh END AS BIGINT) AS phash
+       |  FROM hh
+       |  UNION ALL
+       |  SELECT media_id, CAST(0 AS BIGINT) AS phash FROM d WHERE n = 0),
+       |p AS (SELECT a.media_id AS a_id, b.media_id AS b_id
+       |      FROM hs a, hs b
+       |      WHERE a.media_id < b.media_id
+       |        AND bit_count(xor(a.phash, b.phash)) <= 3),
+       |deg AS (SELECT id, COUNT(*) AS nn FROM (
+       |          SELECT a_id AS id FROM p
+       |          UNION ALL SELECT b_id AS id FROM p) GROUP BY id)
+       |SELECT hs.media_id, hs.phash,
+       |  CAST(coalesce(deg.nn, 0) AS BIGINT) AS n_neighbors
+       |FROM hs LEFT JOIN deg ON deg.id = hs.media_id
+       |ORDER BY media_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    // no SQL oracle: dHash + Hamming banding are not SQL-expressible in the
-    // oracle engine (q21/q22 precedent) — real-pixel behavior is
-    // property-checked on planted PNGs in MultimodalSpec
-    QueryDef("q77_image_neardup", q77, None),
+    // oracle added round 9: the registered stub path IS SQL-mirrorable
+    // (byte-grid means + adjacent-pair bits + all-pairs Hamming); the
+    // real-pixel decode stays property-checked (planted PNGs, MultimodalSpec)
+    QueryDef("q77_image_neardup", q77, Some(dhashOracle)),
     QueryDef("q28_multimodal_meta", q28,
       Some("""SELECT doc_id AS media_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
