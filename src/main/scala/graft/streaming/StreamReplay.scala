@@ -82,6 +82,15 @@ object StreamReplay {
     */
   val StatePartitions = 8
 
+  /** Diagnostic only (lastCcRounds precedent): state-operator metrics of
+    * the most recent drain in this JVM — (operatorName, numRowsTotal,
+    * numRowsUpdated, numRowsDroppedByWatermark) summed/maxed over
+    * micro-batches. Measurement probes (tools/stream_skew_probe.scala) read
+    * it to assert state stays O(distinct keys) on dup-heavy replays; not
+    * part of the query surface.
+    */
+  @volatile var lastStateOps: Seq[(String, Long, Long, Long)] = Nil
+
   private def drain(df: DataFrame, sinkPrefix: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     // a memory sink registers a temp view per run; drop the previous run's
@@ -109,7 +118,18 @@ object StreamReplay {
           .trigger(Trigger.AvailableNow())
           .start()
         try query.awaitTermination()
-        finally query.stop()
+        finally {
+          // capture per-operator state metrics before stop clears progress:
+          // numRowsTotal is a gauge (max over batches), the others counters
+          lastStateOps = query.recentProgress.toSeq
+            .flatMap(_.stateOperators.toSeq)
+            .groupBy(_.operatorName)
+            .map { case (op, ps) =>
+              (op, ps.map(_.numRowsTotal).max, ps.map(_.numRowsUpdated).sum,
+                ps.map(_.numRowsDroppedByWatermark).sum)
+            }.toSeq
+          query.stop()
+        }
       } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     }
     spark.table(sink)

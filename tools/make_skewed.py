@@ -96,18 +96,59 @@ def skew_embeddings(t):
     return t.set_column(t.schema.get_field_index("embedding"), "embedding", emb)
 
 
+def skew_events(t):
+    """Dup-heavy event stream (round 9): event_id % 10 in (6,7,8,9) (40%)
+    becomes an exact DUPLICATE of the id%10==0 event of its decade —
+    event_id/user_id/event_type/value/props copied, ts = source ts + a few
+    seconds (well inside the 2 h dedup watermark, so
+    dropDuplicatesWithinWatermark MUST suppress every one). Distinct
+    event_ids therefore = 60% of rows, and the drained q61 replay must
+    equal that count while state stays O(distinct), not O(rows).
+    """
+    # ts handled as raw int64 nanos: datetime round-trips truncate ns
+    cols = {name: (t[name].cast(pa.int64()) if name == "ts"
+                   else t[name]).to_pylist()
+            for name in t.schema.names}
+    ids = cols["event_id"]
+    idx_of = {d: i for i, d in enumerate(ids)}
+    ns = 1_000_000_000
+    for i, d in enumerate(ids):
+        m = d % 10
+        if m in (6, 7, 8, 9):
+            s = idx_of.get(d - m)
+            if s is None:
+                continue
+            for name in t.schema.names:
+                if name != "ts":
+                    cols[name][i] = cols[name][s]
+            cols["ts"][i] = cols["ts"][s] + (m - 5) * ns  # +1..+4 s later
+    out = {}
+    for n in t.schema.names:
+        if n == "ts":
+            out[n] = pa.array(cols[n], type=pa.int64()).cast(
+                t.schema.field(n).type)
+        else:
+            out[n] = pa.array(cols[n], type=t.schema.field(n).type)
+    return pa.table(out, schema=t.schema)
+
+
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sf1skew"
     os.makedirs(dst, exist_ok=True)
     for name in COPY:
+        if name == "events":
+            continue
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
     d = pq.read_table(os.path.join(src, "documents.parquet"))
     pq.write_table(skew_documents(d), os.path.join(dst, "documents.parquet"))
     e = pq.read_table(os.path.join(src, "embeddings.parquet"))
     pq.write_table(skew_embeddings(e), os.path.join(dst, "embeddings.parquet"))
-    print(f"skewed fixture at {dst}: documents {d.num_rows}, embeddings {e.num_rows}")
+    ev = pq.read_table(os.path.join(src, "events.parquet"))
+    pq.write_table(skew_events(ev), os.path.join(dst, "events.parquet"))
+    print(f"skewed fixture at {dst}: documents {d.num_rows}, "
+          f"embeddings {e.num_rows}, events {ev.num_rows} (40% dup ids)")
 
 
 if __name__ == "__main__":
