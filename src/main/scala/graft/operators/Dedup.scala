@@ -427,6 +427,16 @@ object Dedup {
     val flagged = grams.join(dupGh, Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    cutFlagged(docs, flagged)
+  }
+
+  /** Shared cut tail of q84/q86: given (doc_id, text) rows and per-doc
+    * sorted flagged window starts, remove every covered token position
+    * (overlapping windows merging naturally) and reassemble survivors in
+    * order. Pure per-row expressions after the doc-keyed join — no extra
+    * corpus shuffle.
+    */
+  private def cutFlagged(docs: DataFrame, flagged: DataFrame): DataFrame =
     docs.join(flagged, Seq("doc_id"), "left")
       .select(col("doc_id"),
         // null-input parity with the oracle's coalesce-to-0/'' tail: a null
@@ -449,6 +459,50 @@ object Dedup {
         (col("n_tokens") - size(col("kept"))).as("n_cut"),
         array_join(col("kept"), " ").as("cleaned"))
       .orderBy(col("doc_id"))
+
+  /** q86: benchmark decontamination SURGERY — the remove step downstream of
+    * q57/q66's detection (window semantics shared with q84): every 8-token
+    * window of a TRAIN document that exactly matches any window of an eval
+    * document (doc_id % evalEvery == 0, q57's split) is cut, and survivors
+    * reassemble in order. Dropping whole contaminated docs — the blunt
+    * alternative — wastes the clean 99% of a doc that quotes one benchmark
+    * item; the surgical cut keeps it. Output: the cleaned TRAIN corpus
+    * (eval docs are the benchmark — never rewritten).
+    *
+    * Shape for 100 TB: benchmark gram sets are SMALL by nature (q66's
+    * premise), so flagging is a BROADCAST of distinct eval gram hashes
+    * against the one codegen'd tokenize+chain-hash pass over train — unlike
+    * q84 there is no corpus-wide gram shuffle at all; the only wide op is
+    * the doc-keyed rollup of flagged starts.
+    */
+  def q86(spark: SparkSession, dir: String): DataFrame =
+    decontaminateCut(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      Pipeline.EvalEvery)
+
+  /** The q86 core over any (doc_id, text) frame with a parameterized eval
+    * split — planted-corpus specs run it directly.
+    */
+  def decontaminateCut(docs: DataFrame, evalEvery: Long): DataFrame = {
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.filter(col("doc_id").isNotNull)
+    val train = base.filter(col("doc_id") % evalEvery =!= 0)
+    val evalGh = base.filter(col("doc_id") % evalEvery === 0)
+      .repartition(cores, col("doc_id"))
+      .select(explode(sketch.gramHashes(
+        sketch.tokenHashes(col("text")), SpanTokens)).as("gh"))
+      .distinct()
+    val flagged = train
+      .repartition(cores, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(sketch.gramHashes(
+          sketch.tokenHashes(col("text")), SpanTokens)).as(Seq("pos", "gh")))
+      .join(broadcast(evalGh), Seq("gh"))
+      // doc_id partitioning survives the broadcast join, so this rollup
+      // needs no exchange
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    cutFlagged(train, flagged)
   }
 
   // ---- End-to-end dedup verdict (q76) -------------------------------------
@@ -632,6 +686,40 @@ object Dedup {
         |  CAST(coalesce(o.n_tokens - len(o.kept), 0) AS INT) AS n_cut,
         |  coalesce(array_to_string(o.kept, ' '), '') AS cleaned
         |FROM documents LEFT JOIN o USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q86_decontaminate_cut", q86,
+      Some(s"""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(toks[i:i+${SpanTokens - 1}], ' ') AS gram
+        |  FROM d, unnest(generate_series(1, len(toks) - ${SpanTokens - 1})) AS t(i)
+        |  WHERE len(toks) >= $SpanTokens),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % ${Pipeline.EvalEvery} = 0),
+        |f AS (SELECT g.doc_id, list_sort(list(g.pos)) AS starts
+        |      FROM g JOIN ev USING (gram)
+        |      WHERE g.doc_id % ${Pipeline.EvalEvery} <> 0
+        |      GROUP BY g.doc_id),
+        |tr AS (SELECT * FROM d WHERE doc_id % ${Pipeline.EvalEvery} <> 0),
+        |o AS (
+        |  SELECT tr.doc_id, len(tr.toks) AS n_tokens,
+        |    list_transform(
+        |      list_filter(generate_series(1, len(tr.toks)),
+        |        i -> len(list_filter(coalesce(f.starts, []),
+        |               s -> i - 1 >= s AND i - 1 < s + $SpanTokens)) = 0),
+        |      i -> tr.toks[i]) AS kept
+        |  FROM tr LEFT JOIN f USING (doc_id))
+        |SELECT b.doc_id,
+        |  CAST(coalesce(o.n_tokens, 0) AS INT) AS n_tokens,
+        |  CAST(coalesce(o.n_tokens - len(o.kept), 0) AS INT) AS n_cut,
+        |  coalesce(array_to_string(o.kept, ' '), '') AS cleaned
+        |FROM (SELECT doc_id FROM documents
+        |      WHERE doc_id IS NOT NULL AND doc_id % ${Pipeline.EvalEvery} <> 0) b
+        |LEFT JOIN o USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q78_incremental_dedup", q78,
       Some(s"""WITH RECURSIVE ex AS (

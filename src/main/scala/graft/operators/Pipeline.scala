@@ -91,6 +91,57 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q87: split REPAIR — the fix for what q83 audits: any near-dup
+    * component (q21's pair generator, threshold 0.8, q56's CC) containing
+    * BOTH train and heldout members has its train members QUARANTINED
+    * (excluded from training) so no eval item keeps a near-copy in train.
+    * The WHOLE component is quarantined, not just direct cross-pair
+    * partners: similarity chains (A≈B≈C with only C heldout) leak through
+    * two hops, and the component is exactly what the dedup resolution
+    * already computes. The heldout side is never reassigned — the benchmark
+    * stays fixed. Output: every doc's (split, action),
+    * action ∈ {train, heldout, quarantine}; action = split means unchanged.
+    *
+    * Shape for 100 TB: ids-only banded pair joins (q21), pointer-jumped CC
+    * over edge-incident docs only (q56), and the mixed-component flag aggs
+    * over the edge-incident rows alone — singletons (lab = v, the vast
+    * majority) never enter the flag shuffle; they re-attach through the
+    * final narrow id-keyed join.
+    */
+  def q87(spark: SparkSession, dir: String): DataFrame =
+    splitRepair(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q87 core over any (doc_id, text) frame — planted-corpus specs run
+    * it against a plain-Scala model (q83's pattern).
+    */
+  def splitRepair(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("doc_id").isNotNull)
+    val splits = base.select(col("doc_id"),
+      when(substring(md5(col("text").cast("binary")), 1, 1).isin("0", "1"),
+        "heldout").otherwise("train").as("split"))
+    val pairs = Dedup.nearDupPairsUnsorted(base, 0.8)
+      .select(col("a_id"), col("b_id"))
+    val labels = Dedup.connectedComponents(
+      splits.select(col("doc_id").as("v")), pairs)
+    val labeled = labels.join(
+      splits.select(col("doc_id").as("v"), col("split")), Seq("v"))
+    // mixed-component detection runs over edge-incident docs only: a
+    // singleton component (one member) cannot contain both splits
+    val incident = pairs.select(col("a_id").as("v"))
+      .union(pairs.select(col("b_id").as("v"))).distinct()
+    val mixed = labeled.join(incident, Seq("v"))
+      .groupBy(col("lab"))
+      .agg(max(when(col("split") === "heldout", 1).otherwise(0)).as("h"),
+        max(when(col("split") === "train", 1).otherwise(0)).as("t"))
+      .filter(col("h") === 1 && col("t") === 1)
+      .select(col("lab"), lit(1).as("mixed"))
+    labeled.join(mixed, Seq("lab"), "left")
+      .select(col("v").as("doc_id"), col("split"),
+        when(col("mixed").isNotNull && col("split") === "train", "quarantine")
+          .otherwise(col("split")).as("action"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q49: PII-style redaction scrub — emails, URLs, long digit runs replaced
     * by typed placeholders, with per-doc match counts. Pure per-row regexp
     * expressions (codegen'd, no shuffle): the canonical pre-training scrub
@@ -720,6 +771,42 @@ object Pipeline {
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin)),
+    QueryDef("q87_split_repair", q87,
+      Some("""WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 1, 1) IN ('0', '1')
+        |         THEN 'heldout' ELSE 'train' END AS split,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) - 2),
+        |      i -> array_to_string(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')[i:i+2], ' ')))
+        |      AS sh
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM d a, d b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |cc(v, lab) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT edges.dst, cc.lab FROM cc JOIN edges ON edges.src = cc.v),
+        |rep AS (SELECT v, MIN(lab) AS lab FROM cc GROUP BY v),
+        |mixed AS (
+        |  SELECT rep.lab FROM rep JOIN d ON d.doc_id = rep.v
+        |  GROUP BY rep.lab
+        |  HAVING COUNT(DISTINCT d.split) > 1)
+        |SELECT d.doc_id, d.split,
+        |  CASE WHEN m.lab IS NOT NULL AND d.split = 'train' THEN 'quarantine'
+        |       ELSE d.split END AS action
+        |FROM d
+        |JOIN rep ON rep.v = d.doc_id
+        |LEFT JOIN mixed m ON m.lab = rep.lab
+        |ORDER BY d.doc_id""".stripMargin)),
     QueryDef("q80_line_dedup", q80, Some(lineDedupOracleSql)),
     // q80b computes q80's EXACT result with 64-bit hash shuffle keys, so
     // the oracle is shared verbatim (q66/q57 precedent)

@@ -268,6 +268,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got(-1L) === ((0, 0, "")))
   }
 
+  /** q86 decontamination surgery on hand-built docs: a train doc quoting a
+    * full 8-token eval window loses exactly those positions, clean and
+    * sub-window-length docs are untouched, a doc made entirely of eval
+    * windows empties, and eval docs never appear in the output.
+    */
+  test("decontaminate cut removes exactly eval-matching windows from train docs only") {
+    import spark.implicits._
+    val e = (1 to 9).map(i => s"e$i") // eval doc: windows e1..e8 and e2..e9
+    val docs = Seq(
+      (10L, e.mkString(" ")), // doc_id % 10 == 0 -> eval
+      (1L, s"t1 t2 ${e.take(8).mkString(" ")} t3"), // quotes window at pos 2
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"), // clean
+      (3L, "short doc here"), // < 8 tokens: no windows
+      (4L, s"${e.mkString(" ")} ${e.take(8).mkString(" ")}")) // all covered
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminateCut(docs, 10L).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L), "eval docs are never output")
+    assert(got(1L) === ((11, 8, "t1 t2 t3")))
+    assert(got(2L) === ((10, 0, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")))
+    assert(got(3L) === ((3, 0, "short doc here")))
+    assert(got(4L) === ((17, 17, "")))
+  }
+
+  /** q86 null parity with its oracle: a null-text train doc coalesces to
+    * (0, 0, ''); null doc_id rows are excluded entirely (the oracle filters
+    * them, unlike q84's pass-through tail).
+    */
+  test("decontaminate cut matches the oracle on null text and null doc_id") {
+    import spark.implicits._
+    val docs = Seq[(java.lang.Long, String)](
+      (10L, "e1 e2 e3 e4 e5 e6 e7 e8"), (1L, "w1 w2 w3"), (2L, null),
+      (null, "w1 w2 w3"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminateCut(docs, 10L).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((3, 0, "w1 w2 w3")))
+    assert(got(2L) === ((0, 0, "")))
+  }
+
   /** q78 incremental dedup: every verdict class planted with a known
     * outcome, including the priority rule (near_corpus beats exact_batch —
     * both copies of a corpus-near doc report the corpus match, not each

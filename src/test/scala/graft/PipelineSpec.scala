@@ -260,6 +260,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  /** q87 against a plain-Scala model: same seeded corpus as the q83 spec,
+    * expected actions computed in the JVM (exact 3-gram Jaccard pairs →
+    * union-find components → quarantine train members of mixed components).
+    * The seed plants crossing pairs, so quarantines MUST occur; heldout
+    * docs must never be reassigned.
+    */
+  test("split repair quarantines exactly the train members of mixed components") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc() = Seq.fill(90)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 12).map(i => i.toLong -> doc())
+    val nears = bases.map { case (id, t) =>
+      val a = t.split(" "); a(7) = "zz"
+      (id + 100) -> a.mkString(" ")
+    }
+    val corpus = bases ++ nears
+    def split(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+      val hex = "%02x".format(md(0) & 0xff)
+      if (hex(0) == '0' || hex(0) == '1') "heldout" else "train"
+    }
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val pairs = for {
+      (a, ta) <- corpus; (b, tb) <- corpus if a < b
+      ga = grams(ta); gb = grams(tb)
+      j = (ga & gb).size.toDouble / (ga | gb).size
+      if j >= 0.8
+    } yield (a, b)
+    // union-find over doc ids
+    val parent = scala.collection.mutable.Map(corpus.map(c => c._1 -> c._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val byComp = corpus.groupBy(c => find(c._1))
+    val expected = corpus.map { case (id, t) =>
+      val s = split(t)
+      val comp = byComp(find(id)).map(c => split(c._2)).toSet
+      val action = if (s == "train" && comp.contains("heldout")) "quarantine" else s
+      id -> ((s, action))
+    }.toMap
+    assert(expected.values.exists(_._2 == "quarantine"),
+      "seed must plant at least one quarantine")
+    val got = Pipeline.splitRepair(corpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got === expected)
+    // the benchmark side is immutable by construction
+    assert(got.values.forall { case (s, a) => s != "heldout" || a == "heldout" })
+  }
+
   test("line dedup strips corpus-duplicated lines, keeps order, empties boilerplate-only docs") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter"

@@ -195,6 +195,20 @@ class PlanSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("q86: eval gram flagging is broadcast — train grams never shuffle by gram key") {
+    // the 100 TB premise: benchmark gram sets are small, so flagging must
+    // be a broadcast against the one train tokenize pass, not a corpus-wide
+    // gram-keyed exchange (q84 pays that shuffle because its threshold is a
+    // corpus-global count; q86's membership test has no such need)
+    val p = plan(graft.operators.Dedup.q86(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    // exactly one gh-keyed exchange is legitimate: the EVAL side's distinct
+    // (small by premise). A second one means the train gram frame regressed
+    // to a shuffle join.
+    assert("hashpartitioning\\(gh".r.findAllIn(p).size <= 1,
+      "train gram frame shuffled by gram key")
+  }
+
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
     // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
     // back into these projections would silently drop the whole stage out of
