@@ -142,6 +142,135 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q88: curation funnel report — the per-stage artifact a full curation
+    * RUN ships (every stage is a shipped operator, composed in the order a
+    * production pipeline applies them): train-side raw corpus → quality
+    * gates (q44's three) → exact dedup (min-id per md5) → near-dup
+    * resolution (q21 pairs at 0.8 + q56 CC, component min survives) →
+    * benchmark decontamination (drop docs sharing any 8-token window with
+    * an eval doc — the doc-DROP policy; q86 is the surgical alternative).
+    * One row per stage: (stage_idx, stage, docs, tokens) — the "how much
+    * data survives each knife" table every training-data run reports.
+    *
+    * Shape for 100 TB: per-stage costs are the member operators' own (gates
+    * are one codegen'd projection; dedup one md5 shuffle; pairs ids-only
+    * banded joins; decontam a broadcast membership test). The reused
+    * survivor frames are localCheckpoint-materialized (q78's lesson) so the
+    * five stat branches re-read materialized partitions instead of
+    * re-executing the gate/window/CC lineage per branch; each stat is a
+    * two-long aggregate.
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame =
+    curationFunnel(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      EvalEvery)
+
+  /** The q88 core over any (doc_id, text) frame with a parameterized eval
+    * split — planted-corpus specs run it directly.
+    */
+  def curationFunnel(docs: DataFrame, evalEvery: Long): DataFrame = {
+    import graft.functions.expressions.sketch
+    val base = docs
+      .filter(col("doc_id").isNotNull && col("doc_id") % evalEvery =!= 0)
+      .select(col("doc_id"), col("text"),
+        text.tokenCount(col("text")).as("n_tokens"),
+        text.alphaRatio(col("text")).as("alpha_ratio"),
+        text.tokenSetRatio(col("text"), text.stopwords("en")).as("sw_ratio"))
+    val qual = base.filter(col("n_tokens") >= 20 &&
+      col("alpha_ratio") >= 0.5 && col("sw_ratio") <= 0.5)
+    val exs = qual
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary")))
+          .orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("n_tokens"))
+      .localCheckpoint()
+    val pairs = Dedup.nearDupPairsUnsorted(
+      exs.select(col("doc_id"), col("text")), 0.8)
+      .select(col("a_id"), col("b_id"))
+    val labels = Dedup.connectedComponents(
+      exs.select(col("doc_id").as("v")), pairs)
+    val nears = exs.join(
+      labels.filter(col("v") === col("lab")).select(col("v").as("doc_id")),
+      Seq("doc_id"))
+      .localCheckpoint()
+    val evalGh = docs
+      .filter(col("doc_id").isNotNull && col("doc_id") % evalEvery === 0)
+      .select(explode(sketch.gramHashes(
+        sketch.tokenHashes(col("text")), Dedup.SpanTokens)).as("gh"))
+      .distinct()
+    val hits = nears
+      .select(col("doc_id"), explode(sketch.gramHashes(
+        sketch.tokenHashes(col("text")), Dedup.SpanTokens)).as("gh"))
+      .join(broadcast(evalGh), Seq("gh"))
+      .select(col("doc_id")).distinct()
+    val dec = nears.join(hits, Seq("doc_id"), "left_anti")
+    def stat(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("docs"), col("tokens"))
+    stat(base, 0, "raw")
+      .union(stat(qual, 1, "quality"))
+      .union(stat(exs, 2, "exact_dedup"))
+      .union(stat(nears, 3, "near_dedup"))
+      .union(stat(dec, 4, "decontaminated"))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** q89: per-source document cap — keep at most `cap` docs per source, the
+    * over-represented-domain downsampling step of web-corpus curation. The
+    * kept set is EXACT and deterministic: the `cap` lowest (md5(text),
+    * doc_id) keys per source, so reruns and engines agree bit-for-bit (same
+    * keep-key idiom as q45/q75; md5 of the UTF-8 bytes matches DuckDB's).
+    *
+    * Shape for 100 TB: the naive form — one `row_number() OVER (PARTITION BY
+    * source)` — funnels each source's ENTIRE corpus slice through one task
+    * (a 20-source crawl = 20 tasks total, each possibly terabytes). Instead
+    * the rank runs in two bounded phases, the per-group generalization of
+    * q08-vs-q09's TakeOrdered-vs-global-sort lesson and q50's two-phase
+    * cumsum:
+    *   1. salt the corpus into (source, salt % [[CapSaltBuckets]]) cells and
+    *      rank within cells — a hot source parallelizes across its buckets,
+    *      and only (doc_id, source, prio) ever shuffles (the text payload is
+    *      dropped after the keep-key projection);
+    *   2. re-rank the phase-1 survivors — at most buckets × cap rows per
+    *      source, INDEPENDENT of corpus size — with the plain per-source
+    *      window, now over a bounded frame.
+    * Exactness: a doc with global per-source rank r ≤ cap has rank ≤ r in
+    * its own cell, so phase 1 never drops a global keeper; every doc ranked
+    * above a keeper also survives phase 1, so phase 2's rank equals the
+    * global rank. Both directions asserted in PipelineSpec (plain-window
+    * equality on the real fixture + an md5-model planted spec).
+    */
+  val SourceCap = 20
+  val CapSaltBuckets = 8
+
+  def q89(spark: SparkSession, dir: String): DataFrame =
+    sourceCap(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source")), SourceCap)
+
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    val keyed = docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"),
+        // null-text docs still compete for the cap: empty-string key, like
+        // the oracle's coalesce(md5(text), '')
+        coalesce(md5(col("text").cast("binary")), lit("")).as("prio"))
+    val local = keyed
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(CapSaltBuckets)))
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("source"), col("salt"))
+          .orderBy(col("prio"), col("doc_id"))))
+      .filter(col("lrn") <= cap)
+    local
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("prio"), col("doc_id"))))
+      .filter(col("src_rank") <= cap)
+      .select(col("doc_id"), col("source"), col("src_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q49: PII-style redaction scrub — emails, URLs, long digit runs replaced
     * by typed placeholders, with per-doc match counts. Pure per-row regexp
     * expressions (codegen'd, no shuffle): the canonical pre-training scrub
@@ -807,6 +936,93 @@ object Pipeline {
         |JOIN rep ON rep.v = d.doc_id
         |LEFT JOIN mixed m ON m.lab = rep.lab
         |ORDER BY d.doc_id""".stripMargin)),
+    QueryDef("q88_curation_funnel", q88,
+      Some(s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                         t -> t <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS alpha_ratio,
+        |    round(CAST(len(list_filter(
+        |        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                    t -> t <> ''),
+        |        t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))
+        |        AS DOUBLE) / greatest(len(list_filter(
+        |          regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')), 1),
+        |      4) AS sw_ratio
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % ${EvalEvery} <> 0),
+        |qual AS (
+        |  SELECT * FROM base
+        |  WHERE n_tokens >= 20 AND alpha_ratio >= 0.5 AND sw_ratio <= 0.5),
+        |exr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM qual),
+        |exs AS (SELECT doc_id, text, n_tokens FROM exr WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) - 2),
+        |      i -> array_to_string(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')[i:i+2], ' ')))
+        |      AS sh
+        |  FROM exs),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |cc(v, lab) AS (
+        |  SELECT doc_id, doc_id FROM exs
+        |  UNION
+        |  SELECT edges.dst, cc.lab FROM cc JOIN edges ON edges.src = cc.v),
+        |rep AS (SELECT v, MIN(lab) AS lab FROM cc GROUP BY v),
+        |nears AS (
+        |  SELECT e.* FROM exs e JOIN rep ON rep.v = e.doc_id
+        |  WHERE rep.lab = e.doc_id),
+        |ntk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS toks
+        |  FROM nears),
+        |evt AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % ${EvalEvery} = 0),
+        |evg AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+${Dedup.SpanTokens - 1}], ' ') AS gram
+        |  FROM evt, unnest(generate_series(1, len(toks) - ${Dedup.SpanTokens - 1})) AS t(i)
+        |  WHERE len(toks) >= ${Dedup.SpanTokens}),
+        |ng AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+${Dedup.SpanTokens - 1}], ' ') AS gram
+        |  FROM ntk, unnest(generate_series(1, len(toks) - ${Dedup.SpanTokens - 1})) AS t(i)
+        |  WHERE len(toks) >= ${Dedup.SpanTokens}),
+        |hit AS (SELECT DISTINCT ng.doc_id FROM ng JOIN evg USING (gram)),
+        |dec AS (SELECT * FROM nears
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM hit))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage, COUNT(*) AS docs,
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tokens FROM base
+        |  UNION ALL SELECT CAST(1 AS INT), 'quality', COUNT(*),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM qual
+        |  UNION ALL SELECT CAST(2 AS INT), 'exact_dedup', COUNT(*),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM exs
+        |  UNION ALL SELECT CAST(3 AS INT), 'near_dedup', COUNT(*),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM nears
+        |  UNION ALL SELECT CAST(4 AS INT), 'decontaminated', COUNT(*),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM dec)
+        |ORDER BY stage_idx""".stripMargin)),
+    QueryDef("q89_source_cap", q89,
+      Some(s"""SELECT doc_id, source, src_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY coalesce(md5(text), ''), doc_id) AS INT) AS src_rank
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |WHERE src_rank <= $SourceCap
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q80_line_dedup", q80, Some(lineDedupOracleSql)),
     // q80b computes q80's EXACT result with 64-bit hash shuffle keys, so
     // the oracle is shared verbatim (q66/q57 precedent)

@@ -35,11 +35,15 @@ class EmptyInputSpec extends AnyFunSuite {
     * empty input — ANSI semantics, and what the DuckDB oracle produces.
     * q65's global Count-Min aggregate likewise answers every probe with an
     * estimate of 0 on an empty corpus — one row per probe is the sketch
-    * giving the right answer, not a leak.
+    * giving the right answer, not a leak. q88's funnel report is five such
+    * global aggregates unioned (one per curation stage): an empty corpus
+    * correctly reports 0 docs / 0 tokens at every stage, matching the
+    * oracle's UNION ALL of five COUNT(*) branches.
     */
   private val expectedRows = Map(
     "q54_promo_revenue" -> 1L,
-    "q65_cms_counts" -> graft.operators.TextAnalysis.CmsProbes.size.toLong)
+    "q65_cms_counts" -> graft.operators.TextAnalysis.CmsProbes.size.toLong,
+    "q88_curation_funnel" -> 5L)
 
   test("every registered query runs on empty tables and returns 0 rows") {
     // q00 reads the fixed reference corpus, not the sf dir

@@ -1,6 +1,8 @@
 package graft
 
 import graft.operators.Pipeline
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The fixture corpus has no duplicate texts, so the oracle can't exercise
@@ -309,6 +311,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expected)
     // the benchmark side is immutable by construction
     assert(got.values.forall { case (s, a) => s != "heldout" || a == "heldout" })
+  }
+
+  /** q88 curation funnel: one doc planted per knife — quality-fail, exact
+    * copy, near-dup, benchmark-contaminated — plus one clean survivor, with
+    * hand-computed doc/token counts at every stage.
+    */
+  test("curation funnel counts every stage's planted fates") {
+    import spark.implicits._
+    def w(i: Int) = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    def v(i: Int) = s"${('m' + i / 26).toChar}${('m' + i % 26).toChar}"
+    val a = (0 until 90).map(w).mkString(" ")
+    val a2 = { val t = (0 until 90).map(w).toArray; t(7) = "zz"; t.mkString(" ") }
+    val evalSpan = (1 to 8).map(i => s"e$i").mkString(" ")
+    val b = ((0 until 82).map(v) :+ evalSpan).mkString(" ")
+    val docs = Seq(
+      (10L, evalSpan), // eval side (id % 10 == 0): the benchmark
+      (1L, "too short"), // fails the 20-token gate
+      (2L, a), (3L, a), // exact pair — min id 2 survives
+      (4L, a2), // near-dup of 2 (3-gram j ≈ 0.93) — component min 2 survives
+      (5L, b)) // clean until the eval window at its tail contaminates it
+      .toDF("doc_id", "text")
+    val got = Pipeline.curationFunnel(docs, 10L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (0, "raw", 5L, 362L),
+      (1, "quality", 4L, 360L),
+      (2, "exact_dedup", 3L, 270L),
+      (3, "near_dedup", 2L, 180L),
+      (4, "decontaminated", 1L, 90L)))
+  }
+
+  /** q89 source cap, exactness of the salted two-phase rank: on the real
+    * fixture it must equal the naive single-window form row for row (both
+    * keep columns AND rank values), at a cap that actually cuts (fixture
+    * sources hold 25 docs; cap 20).
+    */
+  test("salted two-phase source cap equals the plain per-source window") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val naive = docs.filter(col("doc_id").isNotNull)
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(
+          coalesce(md5(col("text").cast("binary")), lit("")), col("doc_id"))))
+      .filter(col("src_rank") <= Pipeline.SourceCap)
+      .select(col("doc_id"), col("source"), col("src_rank"))
+      .orderBy(col("doc_id"))
+    val got = Pipeline.sourceCap(docs, Pipeline.SourceCap).collect().toSeq
+    val want = naive.collect().toSeq
+    assert(want.nonEmpty && want.size < docs.count(), "cap did not cut")
+    assert(got === want)
+  }
+
+  /** q89 planted model check: ranks follow (md5(text), doc_id) order per
+    * source, computed independently with java.security MessageDigest.
+    */
+  test("source cap keeps the cap lowest md5 keys per source") {
+    import spark.implicits._
+    val docs = (1L to 9L).map(i => (i, s"doc number $i", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (1L to 9L).map(i => (i, s"s${i % 2}", hex(s"doc number $i")))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._1)).take(3).zipWithIndex
+          .map { case (r, k) => (r._1, r._2, k + 1) }
+      }.sortBy(_._1)
+    val got = Pipeline.sourceCap(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got === want)
   }
 
   test("line dedup strips corpus-duplicated lines, keeps order, empties boilerplate-only docs") {
