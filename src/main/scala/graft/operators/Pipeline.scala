@@ -271,6 +271,64 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q90: eval-integrity report — the REVERSE view of q57/q66's train-side
+    * decontamination: for each EVAL doc, how compromised is it? Reports per
+    * eval doc its distinct 8-token windows, how many of those windows occur
+    * anywhere in train, the leaked fraction, and how many distinct train
+    * docs quote it. q57 answers "which train docs must I clean"; this
+    * answers "which benchmark items are no longer trustworthy" — the report
+    * an eval-set owner ships BEFORE trusting a score on a corpus-trained
+    * model. Eval docs with zero overlap (or too short to have a window)
+    * appear with zeros — absence of evidence is part of the report.
+    *
+    * Shape for 100 TB: the eval side is small by nature (q66's premise), so
+    * the (eval_id, gh) frame BROADCASTS against the single train tokenize
+    * pass — the corpus never shuffles by gram key. The only wide operations
+    * (the two distinct-counts keyed by eval_id) run on the HIT pairs, whose
+    * volume is the leak mass itself, not the corpus. Windows are compared as
+    * 64-bit gram hashes on the engine side vs string grams in the oracle —
+    * membership and distinct-counts agree unless xxhash64 collides within a
+    * doc's or the eval set's gram universe (odds ~n²/2⁶⁴; the q86 parity
+    * argument).
+    */
+  def q90(spark: SparkSession, dir: String): DataFrame =
+    evalContamReport(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      EvalEvery)
+
+  /** The q90 core with a parameterized eval split — planted specs run it
+    * directly.
+    */
+  def evalContamReport(docs: DataFrame, evalEvery: Long): DataFrame = {
+    import graft.functions.expressions.sketch
+    val base = docs.filter(col("doc_id").isNotNull)
+    def grams = (f: DataFrame) => f.select(col("doc_id"),
+      array_distinct(sketch.gramHashes(
+        sketch.tokenHashes(col("text")), Dedup.SpanTokens)).as("ghs"))
+    val evalDocs = grams(base.filter(col("doc_id") % evalEvery === 0))
+      // greatest(size, 0): size() is -1 for a null-text doc, which has no
+      // windows, not negative-one windows
+      .select(col("doc_id"), col("ghs"),
+        greatest(size(col("ghs")), lit(0)).cast("long").as("n_windows"))
+      .localCheckpoint()
+    val evalGh = evalDocs
+      .select(col("doc_id").as("eval_id"), explode(col("ghs")).as("gh"))
+    val trainGh = grams(base.filter(col("doc_id") % evalEvery =!= 0))
+      .select(col("doc_id").as("train_id"), explode(col("ghs")).as("gh"))
+    val hits = trainGh.join(broadcast(evalGh), Seq("gh"))
+    val perEval = hits.groupBy(col("eval_id")).agg(
+      countDistinct(col("gh")).as("leaked"),
+      countDistinct(col("train_id")).as("quoters"))
+    evalDocs
+      .join(perEval, evalDocs("doc_id") === perEval("eval_id"), "left")
+      .select(evalDocs("doc_id"), col("n_windows"),
+        coalesce(col("leaked"), lit(0L)).as("n_leaked_windows"),
+        round(coalesce(col("leaked"), lit(0L)).cast("double") /
+          greatest(col("n_windows"), lit(1L)), 4).as("leak_ratio"),
+        coalesce(col("quoters"), lit(0L)).as("n_train_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q49: PII-style redaction scrub — emails, URLs, long digit runs replaced
     * by typed placeholders, with per-doc match counts. Pure per-row regexp
     * expressions (codegen'd, no shuffle): the canonical pre-training scrub
@@ -1023,6 +1081,39 @@ object Pipeline {
         |  FROM documents WHERE doc_id IS NOT NULL)
         |WHERE src_rank <= $SourceCap
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q90_eval_contam_report", q90,
+      Some(s"""WITH base AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |evg AS (
+        |  SELECT DISTINCT doc_id AS eval_id,
+        |    array_to_string(toks[i:i+${Dedup.SpanTokens - 1}], ' ') AS gram
+        |  FROM base, unnest(generate_series(1, len(toks) - ${Dedup.SpanTokens - 1})) AS t(i)
+        |  WHERE doc_id % ${EvalEvery} = 0 AND len(toks) >= ${Dedup.SpanTokens}),
+        |tg AS (
+        |  SELECT DISTINCT doc_id AS train_id,
+        |    array_to_string(toks[i:i+${Dedup.SpanTokens - 1}], ' ') AS gram
+        |  FROM base, unnest(generate_series(1, len(toks) - ${Dedup.SpanTokens - 1})) AS t(i)
+        |  WHERE doc_id % ${EvalEvery} <> 0 AND len(toks) >= ${Dedup.SpanTokens}),
+        |hit AS (SELECT evg.eval_id, tg.train_id, evg.gram
+        |        FROM evg JOIN tg USING (gram)),
+        |per AS (SELECT eval_id, count(DISTINCT gram) AS nl,
+        |               count(DISTINCT train_id) AS nt
+        |        FROM hit GROUP BY 1),
+        |tot AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_windows
+        |        FROM evg GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(t.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(p.nl, 0) AS BIGINT) AS n_leaked_windows,
+        |  round(CAST(coalesce(p.nl, 0) AS DOUBLE) /
+        |    greatest(coalesce(t.n_windows, 0), 1), 4) AS leak_ratio,
+        |  CAST(coalesce(p.nt, 0) AS BIGINT) AS n_train_docs
+        |FROM base b
+        |LEFT JOIN tot t ON t.eval_id = b.doc_id
+        |LEFT JOIN per p ON p.eval_id = b.doc_id
+        |WHERE b.doc_id % ${EvalEvery} = 0
+        |ORDER BY b.doc_id""".stripMargin)),
     QueryDef("q80_line_dedup", q80, Some(lineDedupOracleSql)),
     // q80b computes q80's EXACT result with 64-bit hash shuffle keys, so
     // the oracle is shared verbatim (q66/q57 precedent)

@@ -382,6 +382,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  /** q90 eval-integrity report: one eval doc quoted by two train docs (one
+    * of its three 8-token windows), one clean eval doc, one too short to
+    * have any window — every count and ratio hand-computed.
+    */
+  test("eval contamination report counts leaked windows and quoting train docs") {
+    import spark.implicits._
+    val e1 = (1 to 10).map(i => s"w$i")     // 3 distinct 8-token windows
+    val window = e1.take(8).mkString(" ")   // the quoted one
+    val docs = Seq(
+      (10L, e1.mkString(" ")),
+      (20L, (1 to 9).map(i => s"c$i").mkString(" ")), // 2 windows, unquoted
+      (30L, "tiny eval doc here now"),                // < 8 tokens: 0 windows
+      (1L, s"train quote begins $window train quote ends"),
+      (2L, s"$window another quoter tail tails"),
+      (3L, "unrelated train content with no shared windows at all"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.evalContamReport(docs, 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got === Array(
+      (10L, 3L, 1L, 0.3333, 2L),
+      (20L, 2L, 0L, 0.0, 0L),
+      (30L, 0L, 0L, 0.0, 0L)))
+  }
+
   test("line dedup strips corpus-duplicated lines, keeps order, empties boilerplate-only docs") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter"

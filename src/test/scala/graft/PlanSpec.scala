@@ -209,6 +209,41 @@ class PlanSpec extends AnyFunSuite {
       "train gram frame shuffled by gram key")
   }
 
+  test("q88: funnel decontam stage is broadcast; no stage falls to a cross product") {
+    // the funnel's decontamination tail must keep q57/q66's premise — the
+    // eval gram set broadcasts against the survivor tokenize pass — and no
+    // member stage (dedup window, LSH pair join, CC fan-out) may regress to
+    // all-pairs. q88 materializes its survivor frames eagerly, so this
+    // inspects the final composed plan over the checkpointed inputs.
+    val p = plan(graft.operators.Pipeline.q88(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("q89: source cap ranks in two bounded phases, never a single-partition funnel") {
+    // the per-group top-K must keep its salted two-phase shape: phase 1's
+    // (source, salt) cell rank + phase 2's bounded re-rank = exactly two
+    // Window operators; losing one means the corpus-wide single-window form
+    // (each source's whole slice through one task) crept back. Nothing may
+    // plan Exchange SinglePartition (the q50 lesson).
+    val p = plan(graft.operators.Pipeline.q89(spark, dir))
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("hashpartitioning(source"), "phase-1 salt cell exchange missing")
+    assert(!p.contains("SinglePartition"), "global funnel crept into the cap")
+  }
+
+  test("q90: eval grams broadcast; the train corpus never shuffles by gram key") {
+    // same premise as q57/q66/q86: the eval side is small, so the report's
+    // membership join must broadcast it against the one train tokenize
+    // pass; the only exchanges key on eval_id (the hit aggregation), whose
+    // input is the leak mass, not the corpus
+    val p = plan(graft.operators.Pipeline.q90(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!"hashpartitioning\\(gh".r.findAllIn(p).hasNext,
+      "train gram frame shuffled by gram key")
+  }
+
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
     // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
     // back into these projections would silently drop the whole stage out of
