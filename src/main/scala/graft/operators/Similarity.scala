@@ -111,6 +111,66 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** Hard negatives kept per probe. */
+  val HardNegK = 5
+
+  /** Probe stride for the hard-negative anchor — bounded like q82's. */
+  val HardNegProbeEvery = 40
+
+  /** Cross-label cosine above this is a suspected duplicate/mislabel, not a
+    * hard negative — the standard false-negative guard in contrastive
+    * mining. Reuses the fixture's near-dup bar (q48).
+    */
+  def hardNegCeiling: Double = NearDupCosine
+
+  /** q92: hard-negative mining for contrastive/retrieval training — for
+    * each probe vector, the top-K MOST similar vectors of a DIFFERENT
+    * label, excluding cross-label pairs so similar they are suspected
+    * duplicates or label noise (rounded cosine >= the q48 near-dup bar).
+    * The batch-construction step every embedding/reranker training
+    * pipeline runs: negatives that are nearly positives carry the
+    * gradient signal, but actual positives mislabeled as negatives poison
+    * it — hence the ceiling.
+    *
+    * Exact anchor with a bounded broadcast probe set (q82's contract):
+    * cost = probes × corpus, linear in the corpus for a fixed probe
+    * batch. The production candidate generator at 100 TB is q25's
+    * multi-probe LSH / q39's IVF feeding this same rank-and-gate tail —
+    * the anchor is the ground truth those are recall-checked against.
+    * Ranking compares ROUNDED cosines (ties broken by cand_id) so the
+    * boundary row cannot flip on a last-bit engine difference.
+    */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("id"), col("label"),
+        vectors.toDouble(col("embedding")).as("v"))
+    hardNegatives(
+      e.filter(pmod(col("id"), lit(HardNegProbeEvery)) === 0), e, HardNegK)
+  }
+
+  /** The q92 rank-and-gate tail over any (id, label, v) frames — planted
+    * specs run it directly; q25/q39 candidate generators feed it at scale.
+    */
+  def hardNegatives(probeSrc: DataFrame, candidateSrc: DataFrame,
+      k: Int): DataFrame = {
+    val probes = probeSrc.select(col("id").as("probe_id"),
+      col("label").as("plabel"), col("v").as("pv"))
+    candidateSrc
+      .crossJoin(broadcast(probes))
+      .filter(col("label") =!= col("plabel"))
+      .select(col("probe_id"), col("id").as("cand_id"),
+        round(vecexprs.cosineSim(col("pv"), col("v")), ScoreDp).as("c"))
+      .filter(col("c") < lit(hardNegCeiling))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("c").desc, col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("cand_id"),
+        col("c").as("cosine"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // ---- ANN: random-hyperplane LSH ----------------------------------------
 
   /** Number of hyperplanes = bucket bits. Sized so buckets hold ~corpus/2^P
@@ -424,6 +484,23 @@ object Similarity {
         |  SELECT edges.d, cc.lab FROM cc JOIN edges ON edges.s = cc.v)
         |SELECT v AS vec_id, MIN(lab) AS rep_id, (MIN(lab) = v) AS is_kept
         |FROM cc GROUP BY v ORDER BY vec_id""".stripMargin)),
+    QueryDef("q92_hard_negatives", q92,
+      Some(s"""WITH e AS (
+        |  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT id AS probe_id, label AS plabel, v AS pv
+        |      FROM e WHERE id % $HardNegProbeEvery = 0),
+        |sc AS (
+        |  SELECT p.probe_id, e.id AS cand_id,
+        |    round(list_cosine_similarity(p.pv, e.v), $ScoreDp) AS c
+        |  FROM e JOIN p ON e.label <> p.plabel),
+        |r AS (SELECT probe_id, cand_id, c,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY c DESC, cand_id) AS INTEGER) AS rnk
+        |  FROM sc WHERE c < $hardNegCeiling)
+        |SELECT probe_id, rnk, cand_id, c AS cosine
+        |FROM r WHERE rnk <= $HardNegK
+        |ORDER BY probe_id, rnk""".stripMargin)),
     QueryDef("q82_bitext_margin", q82,
       Some(s"""WITH e AS (
         |  SELECT d.doc_id AS id, d.lang, CAST(emb.embedding AS DOUBLE[]) AS v

@@ -347,7 +347,99 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q91: corpus-fit language-model score — a CCNet-style quality signal
+    * computed from the corpus itself, no external model: fit an add-one-
+    * smoothed bigram LM on the whole corpus, then score every doc by its
+    * mean token-transition log-probability, ln((c(w1,w2)+1)/(c(w1)+V)).
+    * Low scores mark docs whose token transitions the corpus has never
+    * seen — gibberish, wrong-language remnants, mangled boilerplate — the
+    * knife perplexity filtering applies between q26's surface heuristics
+    * and model-based scoring. Docs with <2 tokens report (0, 0.0): no
+    * transitions is a fact of the doc, not an error.
+    *
+    * Shape for 100 TB: ONE tokenize pass feeds everything. Transitions
+    * shuffle as 64-bit chain hashes (gramHashes n=2 — q74's fixed-width-key
+    * discipline; string-vs-hash count parity is the q86 collision argument),
+    * pre-aggregated per (doc, gram) so a repetitive doc contributes one row
+    * per distinct transition before the corpus-wide count join — map-side
+    * combine bounds hot transitions ("of the") by doc count exactly like
+    * q74's hot grams. The bigram/unigram count frames are vocabulary²-sized
+    * (not corpus-positions-sized); V is a one-row broadcast. Two wide aggs +
+    * two gram-keyed joins, all on 8-byte keys; AQE's skew split handles the
+    * Zipf head at cluster scale.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame =
+    lmFitScore(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q91 core over any (doc_id, text) frame — planted specs run it
+    * directly.
+    */
+  def lmFitScore(docs: DataFrame): DataFrame = {
+    import graft.functions.expressions.sketch
+    val base = docs.filter(col("doc_id").isNotNull)
+    val th = base.select(col("doc_id"),
+      sketch.tokenHashes(col("text")).as("th"))
+    // per-position transitions, zipped so a row never carries the token
+    // array (gram i spans tokens [i, i+2); its context unigram is th[i])
+    val occ = th.filter(size(col("th")) >= 2)
+      .select(col("doc_id"),
+        sketch.gramHashes(col("th"), 2).as("gh_arr"),
+        slice(col("th"), lit(1), size(col("th")) - 1).as("h1_arr"))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("gh_arr"), col("h1_arr"))).as("z"))
+      .select(col("doc_id"), col("z.gh_arr").as("gh"), col("z.h1_arr").as("h1"))
+      .groupBy(col("doc_id"), col("gh"), col("h1"))
+      .agg(count(lit(1)).as("k"))
+    val bigramCounts = occ.groupBy(col("gh")).agg(sum(col("k")).as("bc"))
+    val unigramCounts = th.select(explode(col("th")).as("h1"))
+      .groupBy(col("h1")).agg(count(lit(1)).as("uc"))
+    val vocabSize = unigramCounts.agg(count(lit(1)).as("v"))
+    val perDoc = occ
+      .join(bigramCounts, Seq("gh"))
+      .join(unigramCounts, Seq("h1"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("doc_id"), col("k"),
+        log((col("bc") + lit(1.0)) / (col("uc") + col("v"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        (sum(col("k") * col("lp")) / sum(col("k"))).as("al"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("al"), lit(0.0)), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q91_lm_fit_score", q91,
+      // string-gram mirror of the hash-keyed engine counts (q86/q90's
+      // collision argument); DuckDB's avg-of-ln vs the engine's weighted
+      // sum agree to ~1e-13 relative, rounded at 4 dp (q60's ln precedent)
+      Some("""WITH base AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |uni AS (
+        |  SELECT t.t AS w, count(*) AS c
+        |  FROM base, unnest(toks) AS t(t) GROUP BY 1),
+        |v AS (SELECT count(*) AS vs FROM uni),
+        |occ AS (
+        |  SELECT doc_id, toks[i] AS w1,
+        |    toks[i] || ' ' || toks[i + 1] AS g
+        |  FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        |  WHERE len(toks) >= 2),
+        |bc AS (SELECT g, count(*) AS c FROM occ GROUP BY 1),
+        |lp AS (
+        |  SELECT occ.doc_id, ln((bc.c + 1.0) / (uni.c + v.vs)) AS l
+        |  FROM occ JOIN bc USING (g) JOIN uni ON uni.w = occ.w1 CROSS JOIN v),
+        |per AS (SELECT doc_id, count(*) AS nb, avg(l) AS al FROM lp GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(per.nb, 0) AS BIGINT) AS n_bigrams,
+        |  round(coalesce(per.al, 0.0), 4) AS avg_logprob
+        |FROM base b LEFT JOIN per ON per.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin)),
     QueryDef("q81_oov_rate", q81,
       Some(s"""WITH t0 AS (
         |  SELECT doc_id,

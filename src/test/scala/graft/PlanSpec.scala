@@ -244,6 +244,25 @@ class PlanSpec extends AnyFunSuite {
       "train gram frame shuffled by gram key")
   }
 
+  test("q91: transitions shuffle on 64-bit gram keys; no stage is all-pairs") {
+    // the LM-fit joins must stay keyed on the fixed-width gram/token hashes
+    // (the q74 discipline — never raw bigram strings), and the only
+    // non-equi join allowed is the one-row vocab-size broadcast; a
+    // CartesianProduct means the count frames stopped broadcasting/hashing
+    val p = plan(graft.operators.TextAnalysis.q91(spark, dir))
+    assert(p.contains("hashpartitioning(gh"), "bigram counts not keyed on gram hash")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q92: probe side broadcasts; the corpus never shuffles for the scoring join") {
+    // q82's contract: the bounded probe batch is the broadcast side of the
+    // scoring join — the embedding corpus must not exchange for it
+    val p = plan(Similarity.q92(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
     // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
     // back into these projections would silently drop the whole stage out of

@@ -170,6 +170,32 @@ class SimilaritySpec extends AnyFunSuite {
       assert(byId(id) === ((id, true)), s"background $id") }
   }
 
+  /** q92 hard negatives: the cross-label top-k must rank by cosine, skip
+    * same-label candidates, gate out suspected-dup near-positives at the
+    * ceiling, and break cosine ties by cand_id — every rank hand-computed.
+    */
+  test("hard-negative mining ranks cross-label neighbors and gates near-dups") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, 1, Seq(1.0, 0.0, 0.0)),  // probe
+      (10L, 2, Seq(1.0, 0.0, 0.0)), // cos 1.0 >= 0.35 ceiling: suspected dup
+      (15L, 2, Seq(1.0, 1.0, 0.0)), // cos 0.7071 >= ceiling: gated too
+      (11L, 2, Seq(1.0, 3.0, 0.0)), // cos 1/sqrt(10) = 0.316228 -> rank 1
+      (12L, 2, Seq(1.0, 4.0, 0.0)), // cos 1/sqrt(17) = 0.242536 -> rank 2
+      (13L, 1, Seq(1.0, 5.0, 0.0)), // same label: never a negative
+      (14L, 3, Seq(0.0, 1.0, 0.0)), // cos 0.0 -> rank 3 (id beats 16)
+      (16L, 3, Seq(0.0, 0.0, 1.0))) // cos 0.0 -> rank 4 (tie-break)
+      .toDF("id", "label", "v")
+    val got = Similarity.hardNegatives(
+        rows.filter(col("id") === 0L), rows, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got === Array(
+      (0L, 1, 11L, 0.316228),
+      (0L, 2, 12L, 0.242536),
+      (0L, 3, 14L, 0.0),
+      (0L, 4, 16L, 0.0)))
+  }
+
   test("bitext margin ranks the planted best translation with the exact margin") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

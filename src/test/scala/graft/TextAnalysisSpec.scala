@@ -129,4 +129,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 2L, 666666L)))
     assert(got(4L) === ((0L, 0L, 0L)))
   }
+
+  /** q91 LM fit: corpus uni/bigram counts and every per-doc mean
+    * log-probability hand-computed. Corpus: uni a=3 b=3 c=1 (V=3); bigram
+    * "a b"=3, "b a"=1; lp(ab)=ln(4/6), lp(ba)=ln(2/6).
+    */
+  test("LM fit score: add-one bigram logprobs, short and null docs report zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),                 // ab, ba, ab -> (2*ln(4/6)+ln(2/6))/3
+      (2L, "a b"),                     // ab -> ln(4/6)
+      (3L, "c"),                       // one token: no transitions
+      (4L, null.asInstanceOf[String])) // null text: no transitions
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmFitScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lpAb = math.log(4.0 / 6.0)
+    val lpBa = math.log(2.0 / 6.0)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, RoundingMode.HALF_UP).toDouble
+    assert(got === Array(
+      (1L, 3L, r4((2 * lpAb + lpBa) / 3)), // -0.6365
+      (2L, 1L, r4(lpAb)),                  // -0.4055
+      (3L, 0L, 0.0),
+      (4L, 0L, 0.0)))
+  }
 }
