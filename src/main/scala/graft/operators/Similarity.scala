@@ -171,6 +171,70 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Seed count for q93's deterministic coarse quantizer. */
+  val OutlierSeeds = 8
+
+  /** |z| above this marks a vector as a cluster outlier. Compared on the
+    * 4-dp ROUNDED z so the verdict cannot flip on a last-bit difference.
+    */
+  val OutlierZ = 2.0
+
+  /** q93: embedding outlier pruning — the DataComp-style "prototypicality"
+    * filter that completes the embedding-curation family (q85 removes
+    * semantic DUPLICATES; this removes semantic STRAYS): assign every
+    * vector to its nearest centroid, then flag vectors whose cosine
+    * distance to their own centroid is an extreme z-score outlier within
+    * the cluster — mis-embedded docs, encoder failures, content that
+    * belongs to no mode of the corpus.
+    *
+    * The quantizer here is deliberately deterministic — the K lowest-id
+    * vectors are the seeds — so the WHOLE operator is exactly
+    * SQL-mirrorable (KMeans centroids are init-dependent; lowest-id seeds
+    * are a total order any engine reproduces). The production quantizer at
+    * 100 TB is q39's trained KMeans feeding this same assign→stats→z tail;
+    * this anchor is what that path's assignment/stats logic is checked
+    * against. Shape: seeds and the K-row stats frame broadcast, the corpus
+    * never shuffles — one scan, one map-side-combined argmin, one K-row
+    * agg.
+    */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+    embeddingOutliers(e, OutlierSeeds)
+  }
+
+  /** The q93 assign→stats→z tail over any (vec_id, v) frame — planted
+    * specs run it directly; a trained quantizer's centroids can replace
+    * the lowest-id seeds without touching this logic.
+    */
+  def embeddingOutliers(src: DataFrame, k: Int): DataFrame = {
+    val seeds = src.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    // argmin via map-side-combinable min(struct): the broadcast join leaves
+    // the corpus partitioning intact, so all K candidate rows of a vector
+    // collapse to one BEFORE any exchange (a window here would shuffle N×K)
+    val assigned = src.crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        round(lit(1.0) - vecexprs.cosineSim(col("v"), col("sv")), ScoreDp)
+          .as("d"),
+        col("seed_id"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("seed_id"))).as("m"))
+      .select(col("vec_id"), col("m.seed_id").as("cluster_id"),
+        col("m.d").as("cos_dist"))
+    val stats = assigned.groupBy(col("cluster_id"))
+      .agg(avg(col("cos_dist")).as("mu"),
+        stddev_pop(col("cos_dist")).as("sigma"))
+    assigned.join(broadcast(stats), Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cos_dist"),
+        round(when(col("sigma") > 0,
+          (col("cos_dist") - col("mu")) / col("sigma"))
+          .otherwise(lit(0.0)), 4).as("z"))
+      .withColumn("is_outlier", col("z") > lit(OutlierZ))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- ANN: random-hyperplane LSH ----------------------------------------
 
   /** Number of hyperplanes = bucket bits. Sized so buckets hold ~corpus/2^P
@@ -484,6 +548,28 @@ object Similarity {
         |  SELECT edges.d, cc.lab FROM cc JOIN edges ON edges.s = cc.v)
         |SELECT v AS vec_id, MIN(lab) AS rep_id, (MIN(lab) = v) AS is_kept
         |FROM cc GROUP BY v ORDER BY vec_id""".stripMargin)),
+    QueryDef("q93_embedding_outliers", q93,
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id AS seed_id, v AS sv FROM e
+        |      ORDER BY vec_id LIMIT $OutlierSeeds),
+        |d AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |    round(1.0 - list_cosine_similarity(e.v, s.sv), $ScoreDp) AS d
+        |  FROM e CROSS JOIN s),
+        |a AS (SELECT vec_id, seed_id AS cluster_id, d,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, seed_id) AS rn
+        |  FROM d),
+        |c AS (SELECT vec_id, cluster_id, d FROM a WHERE rn = 1),
+        |st AS (SELECT cluster_id, avg(d) AS mu, stddev_pop(d) AS sigma
+        |       FROM c GROUP BY 1),
+        |z AS (
+        |  SELECT c.vec_id, c.cluster_id, c.d AS cos_dist,
+        |    round(CASE WHEN st.sigma > 0 THEN (c.d - st.mu) / st.sigma
+        |               ELSE 0.0 END, 4) AS z
+        |  FROM c JOIN st USING (cluster_id))
+        |SELECT vec_id, cluster_id, cos_dist, z, (z > $OutlierZ) AS is_outlier
+        |FROM z ORDER BY vec_id""".stripMargin)),
     QueryDef("q92_hard_negatives", q92,
       Some(s"""WITH e AS (
         |  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -263,6 +263,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q93: seeds and stats broadcast; the corpus never shuffles for assignment") {
+    // the quantizer seeds and the K-row cluster stats are the ONLY join
+    // inputs — both must broadcast; the argmin must be a map-side-combined
+    // aggregate, so no exchange may carry the N×K candidate rows
+    val p = plan(Similarity.q93(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_min") || p.contains("partial_finalmerge") ||
+      p.contains("HashAggregate"), "argmin not an aggregate")
+  }
+
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
     // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
     // back into these projections would silently drop the whole stage out of

@@ -196,6 +196,41 @@ class SimilaritySpec extends AnyFunSuite {
       (0L, 4, 16L, 0.0)))
   }
 
+  /** q93 embedding outliers: two seed clusters (k=2 → seeds are ids 0,1),
+    * every cosine distance exact by 3-4-5 construction, every z-score
+    * hand-computed. Cluster 0 = {0,2,3} with d = {0,.2,.4}: mu=.2,
+    * sigma_pop=.2/sqrt(1.5) → z = ∓1.2247, 0. Cluster 1 = five members at
+    * d=0 plus one at d=1.6: the planted stray's z is exactly sqrt(5) =
+    * 2.2361 > 2 (the only outlier); members sit at -1/sqrt(5) = -0.4472.
+    */
+  test("embedding outliers: exact cluster z-scores, one planted stray flagged") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0)),   // seed 0
+      (1L, Seq(0.0, 1.0)),   // seed 1
+      (2L, Seq(4.0, -3.0)),  // cos(s0)=.8 -> d=.2 (cluster 0)
+      (3L, Seq(3.0, -4.0)),  // cos(s0)=.6 -> d=.4 (cluster 0)
+      (4L, Seq(0.0, 2.0)),   // d=0 (cluster 1)
+      (6L, Seq(0.0, 5.0)),   // d=0 (cluster 1)
+      (7L, Seq(0.0, 9.0)),   // d=0 (cluster 1)
+      (8L, Seq(0.0, 3.0)),   // d=0 (cluster 1)
+      (9L, Seq(-4.0, -3.0))) // cos(s1)=-.6 -> d=1.6: the stray
+      .toDF("vec_id", "v")
+    val got = Similarity.embeddingOutliers(rows, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got === Array(
+      (0L, 0L, 0.0, -1.2247, false),
+      (1L, 1L, 0.0, -0.4472, false),
+      (2L, 0L, 0.2, 0.0, false),
+      (3L, 0L, 0.4, 1.2247, false),
+      (4L, 1L, 0.0, -0.4472, false),
+      (6L, 1L, 0.0, -0.4472, false),
+      (7L, 1L, 0.0, -0.4472, false),
+      (8L, 1L, 0.0, -0.4472, false),
+      (9L, 1L, 1.6, 2.2361, true)))
+  }
+
   test("bitext margin ranks the planted best translation with the exact margin") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
