@@ -172,7 +172,11 @@ object Pipeline {
     val base = docs
       .filter(col("doc_id").isNotNull && col("doc_id") % evalEvery =!= 0)
       .select(col("doc_id"), col("text"),
-        text.tokenCount(col("text")).as("n_tokens"),
+        // null text must yield NULL (not size(null) = -1) so the raw-stage
+        // SUM skips it exactly like the oracle's NULL n_tokens — the same
+        // null-parity guard q80/q84/q86/q90 carry
+        when(col("text").isNotNull, text.tokenCount(col("text")))
+          .as("n_tokens"),
         text.alphaRatio(col("text")).as("alpha_ratio"),
         text.tokenSetRatio(col("text"), text.stopwords("en")).as("sw_ratio"))
     val qual = base.filter(col("n_tokens") >= 20 &&

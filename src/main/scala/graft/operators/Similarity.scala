@@ -209,12 +209,19 @@ object Similarity {
     * the lowest-id seeds without touching this logic.
     */
   def embeddingOutliers(src: DataFrame, k: Int): DataFrame = {
-    val seeds = src.orderBy(col("vec_id")).limit(k)
+    // null and zero-norm vectors have no defined cosine distance (NULL / NaN
+    // d) and would win Spark's min(struct) NULL-first ordering while the
+    // oracle's NULLS-LAST rank picks the best real distance — exclude them
+    // from seeding AND assignment (q85's .isNotNull guard, plus the 0-norm
+    // case cosine can't serve)
+    val clean = src.filter(col("v").isNotNull &&
+      vectors.dot(col("v"), col("v")) > 0)
+    val seeds = clean.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("seed_id"), col("v").as("sv"))
     // argmin via map-side-combinable min(struct): the broadcast join leaves
     // the corpus partitioning intact, so all K candidate rows of a vector
     // collapse to one BEFORE any exchange (a window here would shuffle N×K)
-    val assigned = src.crossJoin(broadcast(seeds))
+    val assigned = clean.crossJoin(broadcast(seeds))
       .select(col("vec_id"),
         round(lit(1.0) - vecexprs.cosineSim(col("v"), col("sv")), ScoreDp)
           .as("d"),

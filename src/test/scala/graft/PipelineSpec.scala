@@ -342,6 +342,26 @@ class PipelineSpec extends AnyFunSuite {
       (4, "decontaminated", 1L, 90L)))
   }
 
+  /** A null-text doc is a raw DOC (it arrived) but contributes NULL — not
+    * size(null) = -1 — to the raw token SUM, matching the oracle's
+    * NULL-skipping SUM (the q80/q84/q86/q90 null-parity contract).
+    */
+  test("curation funnel: null text counts as a raw doc but adds no tokens") {
+    import spark.implicits._
+    def w(i: Int) = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val a = (0 until 90).map(w).mkString(" ")
+    val docs = Seq((1L, a), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Pipeline.curationFunnel(docs, 10L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (0, "raw", 2L, 90L),
+      (1, "quality", 1L, 90L),
+      (2, "exact_dedup", 1L, 90L),
+      (3, "near_dedup", 1L, 90L),
+      (4, "decontaminated", 1L, 90L)))
+  }
+
   /** q89 source cap, exactness of the salted two-phase rank: on the real
     * fixture it must equal the naive single-window form row for row (both
     * keep columns AND rank values), at a cap that actually cuts (fixture

@@ -231,6 +231,42 @@ class SimilaritySpec extends AnyFunSuite {
       (9L, 1L, 1.6, 2.2361, true)))
   }
 
+  /** Null and zero-norm embeddings have no defined cosine distance; without
+    * a guard Spark's min(struct) orders the NULL distance FIRST (picking the
+    * undefined assignment) while a NULLS-LAST rank picks the best real one —
+    * so they are excluded outright, and every surviving row must be
+    * bit-identical to the clean-input run (same seeds, same stats).
+    */
+  test("embedding outliers: null and zero-norm vectors are excluded, stats untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 1.0)),
+      (2L, Seq(4.0, -3.0)),
+      (3L, Seq(3.0, -4.0)),
+      (4L, Seq(0.0, 2.0)),
+      (5L, null.asInstanceOf[Seq[Double]]), // no embedding
+      (6L, Seq(0.0, 5.0)),
+      (7L, Seq(0.0, 9.0)),
+      (8L, Seq(0.0, 3.0)),
+      (9L, Seq(-4.0, -3.0)),
+      (10L, Seq(0.0, 0.0))) // zero norm: cosine undefined
+      .toDF("vec_id", "v")
+    val got = Similarity.embeddingOutliers(rows, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got === Array(
+      (0L, 0L, 0.0, -1.2247, false),
+      (1L, 1L, 0.0, -0.4472, false),
+      (2L, 0L, 0.2, 0.0, false),
+      (3L, 0L, 0.4, 1.2247, false),
+      (4L, 1L, 0.0, -0.4472, false),
+      (6L, 1L, 0.0, -0.4472, false),
+      (7L, 1L, 0.0, -0.4472, false),
+      (8L, 1L, 0.0, -0.4472, false),
+      (9L, 1L, 1.6, 2.2361, true)))
+  }
+
   test("bitext margin ranks the planted best translation with the exact margin") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
