@@ -28,6 +28,18 @@ object vecexprs {
   def hyperplaneBuckets(v: Column, planes: Int, tables: Int): Column =
     ColumnBridge.column(
       HyperplaneBucketsExpr(ColumnBridge.expression(v), planes, tables))
+
+  /** Ids of the `k` squared-euclidean-nearest centroids (ties by centroid
+    * id), for IVF cell assignment. Centroids are model state (KB-scale),
+    * baked into the expression and shipped once per task inside the
+    * generated code's references — NOT a per-row Scala UDF, so the
+    * corpus-wide assignment pass of q85/q39 stays inside whole-stage
+    * codegen with zero per-row serialization.
+    */
+  def nearestCells(v: Column, centroids: Array[Array[Double]], k: Int): Column =
+    ColumnBridge.column(
+      NearestCellsExpr(ColumnBridge.expression(v),
+        centroids.map(_.toVector).toVector, k))
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -100,6 +112,81 @@ case class HyperplaneBucketsExpr(child: Expression, planes: Int, tables: Int)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
     copy(child = newChild)
+}
+
+/** `k` nearest centroid ids for an `array<double>` vector. Centroids live
+  * in the case class as immutable `Vector`s (structural equality, so plan
+  * canonicalization works) and are flattened once per task into a primitive
+  * `double[]` referenced from generated code. Distance loop truncates to
+  * the shorter of (centroid dim, vector dim) — identical to the Scala UDF
+  * form this replaced, so assignments are bit-for-bit unchanged.
+  */
+case class NearestCellsExpr(child: Expression,
+    centroids: Vector[Vector[Double]], k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells needs array<double>, got $t")
+    }
+
+  // rows share one flat copy per task; centroid rows may be ragged in
+  // principle, so each keeps its own length
+  @transient private lazy val flat: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCellsExpr.compute(input.asInstanceOf[ArrayData], flat, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", flat, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.NearestCellsExpr
+         |  .compute($c, $cRef, $k);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
+}
+
+object NearestCellsExpr {
+  /** Top-k by (squared distance, centroid id) ascending — the same order a
+    * stable sort by distance over id-ordered input yields. K is the cell
+    * count (tiny: 16 on the fixture, ~√N capped in the thousands at scale),
+    * so an O(K·k) selection beats building and sorting a pair array per row.
+    */
+  def compute(v: ArrayData, centroids: Array[Array[Double]], k: Int): ArrayData = {
+    val n = centroids.length
+    val d = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val c = centroids(i)
+      val m = math.min(c.length, v.numElements())
+      var acc = 0.0
+      var j = 0
+      while (j < m) { val x = c(j) - v.getDouble(j); acc += x * x; j += 1 }
+      d(i) = acc
+      i += 1
+    }
+    val kk = math.min(k, n)
+    val out = new Array[Int](kk)
+    val taken = new Array[Boolean](n)
+    var s = 0
+    while (s < kk) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      i = 0
+      while (i < n) {
+        if (!taken(i) && d(i) < bestD) { best = i; bestD = d(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object HyperplaneBucketsExpr {

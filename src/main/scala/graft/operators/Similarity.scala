@@ -421,35 +421,25 @@ object Similarity {
       .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base)
-    val assigned = model.transform(base).select(col("vec_id"), col("v"), col("cell"))
     val centroids = model.clusterCenters.map(_.toArray)
+    // corpus-wide cell assignment via the native expression, NOT
+    // model.transform: the ML prediction column is a per-row Scala UDF
+    // (plus an array_to_vector UDF under it) that would break whole-stage
+    // codegen on the one pass touching every vector — same argmin, same
+    // centroids, k=1
+    val assigned = base.select(col("vec_id"), col("v"),
+      element_at(vecexprs.nearestCells(col("v"), centroids, 1), 1).as("cell"))
     // probe side: 5 fixed probes x their IvfProbes nearest centroids
     val probeRows = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val probeCells = probeRows.select(col("probe_id"), col("pv"),
-      explode(nearestCellsUdf(centroids)(col("pv"))).as("cell"))
+      explode(vecexprs.nearestCells(col("pv"), centroids, IvfProbes)).as("cell"))
     assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         vecexprs.cosineSim(col("pv"), col("v")).as("c"))
       .transform(rankTopK)
   }
-
-  /** Euclidean-nearest `k` centroid ids for a vector (UDF over the
-    * broadcast centroid array — fine off the hot paths it serves: q39 runs
-    * it on 5 probes, q85 on one bounded-width pass per row).
-    */
-  private def nearestCellsUdf(centroids: Array[Array[Double]], k: Int = IvfProbes) =
-    udf { (v: Seq[Double]) =>
-      centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < c.length && j < v.length) {
-          val x = c(j) - v(j); d += x * x; j += 1
-        }
-        (d, i)
-      }.sortBy(_._1).take(k).map(_._2)
-    }
 
   // ---- Semantic dedup (SemDeDup shape) ------------------------------------
 
@@ -498,6 +488,15 @@ object Similarity {
   /** Soft-assignment width for q85's quantizer cells (see q85 doc). */
   val SemProbeCells = 2
 
+  /** Quantizer-fit sample bound for q85: 256 vectors per cell (256 ×
+    * [[IvfCells]]) — a coarse quantizer only needs roughly-balanced cells,
+    * which a bounded sample estimates as well as the full corpus; at 100 TB
+    * a full-corpus fit would pay 5 extra complete passes for nothing. The
+    * sample is content-keyed (lowest (xxhash64(v), vec_id) keys — the q45
+    * keep-key idiom), so it is deterministic and insensitive to file order.
+    */
+  val SemFitSample = 4096
+
   def semanticDedup(ids: DataFrame, base: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -510,13 +509,20 @@ object Similarity {
     val cells =
       if (b.isEmpty) b.select(col("vec_id"), lit(0).as("cell"))
       else {
+        // bounded sample fit (TakeOrdered, never a global sort) + native
+        // corpus-wide assignment: no full-corpus pass belongs to the fit,
+        // and no ScalaUDF touches the N-row assignment (PlanSpec-pinned)
+        val fitSample = b
+          .select(col("v"), xxhash64(col("v")).as("hk"), col("vec_id"))
+          .orderBy(col("hk"), col("vec_id")).limit(SemFitSample)
+          .withColumn("fv", array_to_vector(col("v")))
         val model = new KMeans()
           .setK(IvfCells).setSeed(42).setMaxIter(5).setInitMode("random")
           .setFeaturesCol("fv").setPredictionCol("cell")
-          .fit(b.withColumn("fv", array_to_vector(col("v"))))
+          .fit(fitSample)
         val centroids = model.clusterCenters.map(_.toArray)
         b.select(col("vec_id"),
-          explode(nearestCellsUdf(centroids, SemProbeCells)(col("v")))
+          explode(vecexprs.nearestCells(col("v"), centroids, SemProbeCells))
             .as("cell"))
       }
     // soft assignment surfaces a pair once per shared cell (<= 2): dedupe

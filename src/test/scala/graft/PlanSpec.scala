@@ -275,6 +275,26 @@ class PlanSpec extends AnyFunSuite {
       p.contains("HashAggregate"), "argmin not an aggregate")
   }
 
+  test("IVF cell assignment is a native expression — no ScalaUDF in q39/q85 paths") {
+    // the corpus-wide assignment pass (q85) and the probe fan-out (q39)
+    // both build on vecexprs.nearestCells; a Scala UDF creeping back in
+    // would add per-row serialization and break whole-stage codegen on the
+    // one pass that touches every vector
+    import org.apache.spark.sql.functions._
+    import graft.functions.{expressions => fe, vectors}
+    val assign = Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        vectors.toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        explode(fe.vecexprs.nearestCells(col("v"),
+          Array(Array(1.0, 0.0), Array(0.0, 1.0)), 2)).as("cell"))
+    val p39 = plan(Similarity.q39(spark, dir))
+    for (p <- Seq(assign.queryExecution.optimizedPlan.toString, p39)) {
+      assert(!p.contains("UDF("), p.take(800))
+      assert(!p.contains("lambdafunction"), p.take(800))
+    }
+  }
+
   test("sketch pipelines carry no interpreted lambdas (HOF regression guard)") {
     // ArrayFilter/ArrayTransform are CodegenFallback — one lambda creeping
     // back into these projections would silently drop the whole stage out of

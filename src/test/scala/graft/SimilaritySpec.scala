@@ -59,6 +59,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native nearest-cells expression matches a reference selection, ties by id") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{expressions => fe, vectors}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+    val centroids: Array[Array[Double]] = emb.orderBy("vec_id").limit(6)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val got = emb.select(col("vec_id"),
+      fe.vecexprs.nearestCells(col("v"), centroids, 3).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    for ((id, v) <- vecs) {
+      val expect = centroids.zipWithIndex.map { case (c, i) =>
+        val m = math.min(c.length, v.length)
+        var d = 0.0; var j = 0
+        while (j < m) { val x = c(j) - v(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(3).map(_._2).toSeq
+      assert(got(id) === expect, s"cells drift for vec $id")
+    }
+    // equidistant centroids resolve by centroid id, deterministically
+    val tied = Seq((0L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+      .select(fe.vecexprs.nearestCells(col("v"),
+        Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0)), 2).as("cells"))
+      .head().getSeq[Int](0)
+    assert(tied === Seq(0, 1))
+  }
+
   test("embedding near-dup (q24) returns only pairs above threshold") {
     val rows = Similarity.q24(spark, dir).collect()
     assert(rows.nonEmpty)
