@@ -209,15 +209,57 @@ object Similarity {
     * the lowest-id seeds without touching this logic.
     */
   def embeddingOutliers(src: DataFrame, k: Int): DataFrame = {
-    // null and zero-norm vectors have no defined cosine distance (NULL / NaN
-    // d) and would win Spark's min(struct) NULL-first ordering while the
-    // oracle's NULLS-LAST rank picks the best real distance — exclude them
-    // from seeding AND assignment (q85's .isNotNull guard, plus the 0-norm
-    // case cosine can't serve)
-    val clean = src.filter(col("v").isNotNull &&
-      vectors.dot(col("v"), col("v")) > 0)
+    val clean = definedCosine(src)
     val seeds = clean.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    outlierTail(clean, seeds)
+  }
+
+  /** q93's production form: the same assign→stats→z tail fed by a TRAINED
+    * coarse quantizer (q39/q85's sample-fit KMeans) instead of the
+    * lowest-id seeds the oracle anchor uses. The z-extreme verdicts are
+    * quantizer-robust by construction — a genuine stray is far from every
+    * mode of the corpus, so whichever reasonable centroid it lands on, its
+    * within-cluster distance stays an extreme z — asserted by the
+    * equality-of-verdict spec on planted strays against the anchor form.
+    */
+  def embeddingOutliersKMeans(src: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val clean = definedCosine(src).localCheckpoint()
+    if (clean.isEmpty)
+      return clean.select(col("vec_id"), col("vec_id").as("cluster_id"),
+        lit(0.0).as("cos_dist"), lit(0.0).as("z"), lit(false).as("is_outlier"))
+    // bounded content-keyed sample fit — the q85 idiom
+    val fitSample = clean
+      .select(col("v"), xxhash64(col("v")).as("hk"), col("vec_id"))
+      .orderBy(col("hk"), col("vec_id")).limit(SemFitSample)
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans()
+      .setK(k).setSeed(42).setMaxIter(5).setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(fitSample)
+    val spark = src.sparkSession
+    import spark.implicits._
+    val seeds = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }.toSeq
+      .toDF("seed_id", "sv")
+    outlierTail(clean, seeds)
+  }
+
+  /** Null and zero-norm vectors have no defined cosine distance (NULL / NaN
+    * d) and would win Spark's min(struct) NULL-first ordering while the
+    * oracle's NULLS-LAST rank picks the best real distance — exclude them
+    * from seeding AND assignment (q85's .isNotNull guard, plus the 0-norm
+    * case cosine can't serve).
+    */
+  private def definedCosine(src: DataFrame): DataFrame =
+    src.filter(col("v").isNotNull && vectors.dot(col("v"), col("v")) > 0)
+
+  /** The shared assign→stats→z tail over a clean (vec_id, v) frame and a
+    * broadcastable (seed_id, sv) centroid frame.
+    */
+  private def outlierTail(clean: DataFrame, seeds: DataFrame): DataFrame = {
     // argmin via map-side-combinable min(struct): the broadcast join leaves
     // the corpus partitioning intact, so all K candidate rows of a vector
     // collapse to one BEFORE any exchange (a window here would shuffle N×K)
