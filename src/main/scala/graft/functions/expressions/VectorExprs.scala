@@ -181,6 +181,14 @@ object NearestCellsExpr {
         if (!taken(i) && d(i) < bestD) { best = i; bestD = d(i) }
         i += 1
       }
+      // degenerate vectors (a NaN element, or magnitudes that overflow the
+      // squared distance to +Infinity) leave every remaining d(i)
+      // incomparable under `<` — fall back to the lowest untaken centroid id
+      // so such rows get a deterministic assignment instead of a task crash
+      if (best == -1) {
+        i = 0
+        while (best == -1) { if (!taken(i)) best = i else i += 1 }
+      }
       taken(best) = true
       out(s) = best
       s += 1
