@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline}
+import graft.sources.PartitionedParquet
+
+/** The end-to-end curation RUN: every stage of the shipped curation family,
+  * chained as ONE artifact-writing job (reference: the pipeline a
+  * `mapreduce.c`-style engine would run as separate driver programs over
+  * intermediate files; here the whole chain is one lazily-planned Spark job
+  * graph with explicit materialization points).
+  *
+  *   q44 gates → q18 exact dedup → q21+q56 near-dup resolution → q57-style
+  *   eval-window doc drop   (= q88's five funnel stages, BY CONSTRUCTION:
+  *   the run consumes [[Pipeline.curationStages]]'s own frames, so the
+  *   manifest's first five rows hash-match the q88 oracle without any
+  *   re-implementation)
+  *   → q80b corpus-duplicated line strip (hashed production form)
+  *   → q84 duplicated-span surgery
+  *   → q89 per-source cap (salted two-phase)
+  *   → q75 language-mixture sampling.
+  *
+  * q86's eval-window CUT is deliberately absent: the funnel's stage 4
+  * already DROPS every doc sharing an eval window (q88's doc-drop policy),
+  * so the surgical cut over its survivors flags nothing by construction —
+  * a run that prefers surgery to dropping would swap stage 4 for q86, not
+  * run both.
+  *
+  * Artifacts under `outDir`:
+  *   - `corpus/` — the cleaned corpus, Hive-partitioned by `lang` and
+  *     doc_id-sorted within files ([[PartitionedParquet]]): (doc_id, lang,
+  *     source, text, n_tokens)
+  *   - `verdicts/source_cap/` — q89's kept set (doc_id, source, src_rank)
+  *   - `verdicts/sample/` — q75's per-doc verdict (doc_id, lang, rate_e6,
+  *     kept), losers included (the run's sampling audit trail)
+  *   - `verdicts/doc_fates/` — every raw doc with the LAST stage it
+  *     survived (doc_id, last_stage_idx, last_stage): the per-document
+  *     "why did my doc disappear" answer
+  *   - `manifest/` — the q88 funnel extended with the run-only stages:
+  *     (stage_idx, stage, docs, tokens), one row per stage.
+  *
+  * Shape for 100 TB: per-stage costs are the member operators' own (each
+  * documented at its definition); the chain adds only (a) localCheckpoints
+  * at frames consumed by 2+ downstream branches (stat + next stage — q78's
+  * between-stages lesson: re-reading materialized partitions beats
+  * re-executing a gram-explode or CC lineage per branch), and (b) id-only
+  * joins to fan dimension columns (lang, source) back onto survivor frames
+  * — text never rides a join it doesn't need. The doc-fates table is a
+  * fold of id-only left joins (nine frames of strictly nested survivor
+  * sets), never a text shuffle.
+  */
+object CurationRun {
+
+  /** Execute the chain over `sfDir`'s documents table, write all sink
+    * artifacts under `outDir`, and return the manifest (also written).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    // one parquet scan feeds the funnel AND both dimension fan-backs
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint()
+    val funnel = Pipeline.curationStages(
+      docs.select(col("doc_id"), col("text")), Pipeline.EvalEvery)
+    // decontaminated survivors: stat + line-dedup input (gram-join lineage
+    // behind it — materialize, q78 precedent)
+    val dec = funnel.last._2.localCheckpoint()
+
+    // stage 5: strip corpus-duplicated lines (q80b's 64-bit-key form);
+    // boilerplate-only docs empty out and leave the corpus here
+    val lined = Pipeline.lineDedupHashed(dec.select(col("doc_id"), col("text")))
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("cleaned").as("text"))
+      .withColumn("n_tokens", graft.functions.text.tokenCount(col("text")))
+      .localCheckpoint()
+
+    // stage 6: cut corpus-duplicated 8-token spans (q84); span-only docs
+    // leave. Post-cut token count is exact arithmetic on spanCut's own
+    // columns (kept = n_tokens - n_cut), not a re-tokenize.
+    val cut = Dedup.spanCut(lined.select(col("doc_id"), col("text")))
+      .filter(col("n_tokens") - col("n_cut") > 0)
+      .select(col("doc_id"), col("cleaned").as("text"),
+        (col("n_tokens") - col("n_cut")).as("n_tokens"))
+      .localCheckpoint()
+
+    // stage 7: per-source cap (q89's salted two-phase rank — the verdict
+    // frame is the artifact; the survivor frame is an id-only semi join)
+    val capVerdict = Pipeline.sourceCap(
+      cut.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+      Pipeline.SourceCap).localCheckpoint()
+    val capped = cut.join(capVerdict.select(col("doc_id")), Seq("doc_id"))
+      .localCheckpoint()
+
+    // stage 8: language-mixture sampling (q75) — verdict keeps the losers
+    // (audit trail); the corpus keeps the winners
+    val sampleVerdict = Pipeline.mixtureSample(
+      capped.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"))).localCheckpoint()
+    val sampled = capped
+      .join(sampleVerdict.filter(col("kept")).select(col("doc_id")),
+        Seq("doc_id"))
+      .localCheckpoint()
+
+    val stages = funnel ++ Seq("line_dedup" -> lined, "span_cut" -> cut,
+      "source_cap" -> capped, "sampled" -> sampled)
+    val manifest = stages.zipWithIndex
+      .map { case ((name, df), i) => Pipeline.funnelStat(df, i, name) }
+      .reduce(_.union(_))
+      .orderBy(col("stage_idx"))
+
+    // per-doc fate: survivor sets are strictly nested, so the last stage a
+    // doc appears in is its fate — a fold of id-only left joins
+    val fates = stages.zipWithIndex.tail.foldLeft(
+      stages.head._2.select(col("doc_id"),
+        lit(0).as("last_stage_idx"), lit(stages.head._1).as("last_stage"))) {
+      case (acc, ((name, df), i)) =>
+        acc.join(df.select(col("doc_id"), lit(true).as("hit")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("hit"), lit(i)).otherwise(col("last_stage_idx"))
+              .as("last_stage_idx"),
+            when(col("hit"), lit(name)).otherwise(col("last_stage"))
+              .as("last_stage"))
+    }
+
+    val corpus = sampled
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_tokens"))
+    PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
+    capVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/source_cap")
+    sampleVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/sample")
+    fates.write.mode("overwrite").parquet(s"$outDir/verdicts/doc_fates")
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    manifest
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CurationRun <sfDir> <outDir>")
+    val spark = Sessions.local("graft-curation-run")
+    val t0 = System.nanoTime()
+    val manifest = run(spark, args(0), args(1))
+    val rows = manifest.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    rows.foreach(r => println(
+      f"[curation-run] stage ${r.getInt(0)}%d ${r.getString(1)}%-15s docs=${r.getLong(2)}%d tokens=${r.getLong(3)}%d"))
+    println(f"[curation-run] wrote ${args(1)} in $secs%.1f s")
+    spark.stop()
+  }
+}

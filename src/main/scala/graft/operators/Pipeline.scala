@@ -168,6 +168,31 @@ object Pipeline {
     * split — planted-corpus specs run it directly.
     */
   def curationFunnel(docs: DataFrame, evalEvery: Long): DataFrame = {
+    val stages = curationStages(docs, evalEvery)
+    stages.zipWithIndex
+      .map { case ((name, df), i) => funnelStat(df, i, name) }
+      .reduce(_.union(_))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** One funnel row — (stage_idx, stage, docs, tokens) — from a staged
+    * survivor frame carrying n_tokens. Shared by q88 and the CurationRun
+    * manifest (which extends the funnel with its run-only stages).
+    */
+  def funnelStat(df: DataFrame, idx: Int, name: String): DataFrame =
+    df.agg(count(lit(1)).as("docs"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+      .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+        col("docs"), col("tokens"))
+
+  /** The funnel's staged survivor frames, in stage order, each carrying
+    * (doc_id, text, n_tokens, …): raw → quality → exact_dedup → near_dedup
+    * → decontaminated. Exposed so [[graft.CurationRun]] can WRITE the same
+    * frames q88 counts — manifest parity with the q88 oracle is then by
+    * construction, not by re-implementation.
+    */
+  def curationStages(docs: DataFrame,
+      evalEvery: Long): Seq[(String, DataFrame)] = {
     import graft.functions.expressions.sketch
     val base = docs
       .filter(col("doc_id").isNotNull && col("doc_id") % evalEvery =!= 0)
@@ -208,17 +233,8 @@ object Pipeline {
       .join(broadcast(evalGh), Seq("gh"))
       .select(col("doc_id")).distinct()
     val dec = nears.join(hits, Seq("doc_id"), "left_anti")
-    def stat(df: DataFrame, idx: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("docs"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
-        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
-          col("docs"), col("tokens"))
-    stat(base, 0, "raw")
-      .union(stat(qual, 1, "quality"))
-      .union(stat(exs, 2, "exact_dedup"))
-      .union(stat(nears, 3, "near_dedup"))
-      .union(stat(dec, 4, "decontaminated"))
-      .orderBy(col("stage_idx"))
+    Seq("raw" -> base, "quality" -> qual, "exact_dedup" -> exs,
+      "near_dedup" -> nears, "decontaminated" -> dec)
   }
 
   /** q89: per-source document cap — keep at most `cap` docs per source, the

@@ -224,27 +224,48 @@ object Similarity {
     * equality-of-verdict spec on planted strays against the anchor form.
     */
   def embeddingOutliersKMeans(src: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val clean = definedCosine(src).localCheckpoint()
     if (clean.isEmpty)
       return clean.select(col("vec_id"), col("vec_id").as("cluster_id"),
         lit(0.0).as("cos_dist"), lit(0.0).as("z"), lit(false).as("is_outlier"))
-    // bounded content-keyed sample fit — the q85 idiom
-    val fitSample = clean
-      .select(col("v"), xxhash64(col("v")).as("hk"), col("vec_id"))
-      .orderBy(col("hk"), col("vec_id")).limit(SemFitSample)
-      .withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans()
-      .setK(k).setSeed(42).setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(fitSample)
     val spark = src.sparkSession
     import spark.implicits._
-    val seeds = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }.toSeq
+    val seeds = fitCentroids(clean, k).zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
       .toDF("seed_id", "sv")
     outlierTail(clean, seeds)
+  }
+
+  /** Fit the coarse quantizer on a bounded hash-keyed sample — the shared
+    * idiom of q85 and q93's production form. The key is xxhash64(v, vec_id)
+    * — a PER-ROW hash, so the lowest-key rows are a uniform deterministic
+    * sample of the corpus: an exact-duplicate clique of D rows gets its
+    * density-proportional ~D/N share of the sample, never a contiguous
+    * low-hash block (the content-only key made identical vectors share one
+    * key and sort adjacent, so one lucky clique could flood the sample).
+    * Full dedup-by-content is deliberately NOT used: it inflates every
+    * rare vector to equal weight, and the q93 planted-stray spec measures
+    * the consequence — a deduped sample hands the stray its own centroid,
+    * its within-cluster z collapses to 0, and the stray goes unflagged.
+    * Density-proportional is what a coarse quantizer wants anyway: heavy
+    * regions get more centroids, which shrinks Σ|cell|² where pair mass
+    * concentrates. Lowest keys win (TakeOrdered, never a global sort;
+    * insensitive to file order), and k clamps to the sample size so a tiny
+    * corpus never asks KMeans for more centers than it has points.
+    */
+  private def fitCentroids(clean: DataFrame, k: Int): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fitSample = clean
+      .select(col("v"), xxhash64(col("v"), col("vec_id")).as("hk"))
+      .orderBy(col("hk")).limit(SemFitSample)
+      .withColumn("fv", array_to_vector(col("v")))
+      .localCheckpoint()
+    val kk = math.max(1, math.min(k, fitSample.count().toInt))
+    new KMeans()
+      .setK(kk).setSeed(42).setMaxIter(5).setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(fitSample).clusterCenters.map(_.toArray)
   }
 
   /** Null and zero-norm vectors have no defined cosine distance (NULL / NaN
@@ -467,8 +488,12 @@ object Similarity {
     // corpus-wide cell assignment via the native expression, NOT
     // model.transform: the ML prediction column is a per-row Scala UDF
     // (plus an array_to_vector UDF under it) that would break whole-stage
-    // codegen on the one pass touching every vector — same argmin, same
-    // centroids, k=1
+    // codegen on the one pass touching every vector. Same centroids, k=1,
+    // same argmin up to floating-point association: ML predict uses the
+    // norm-based fastSquaredDistance, so a near-exact tie between two
+    // centroids can resolve differently at the ulp level — an IVF cell
+    // boundary where either answer is fine, and the recall-bound spec
+    // tolerates the drift by construction
     val assigned = base.select(col("vec_id"), col("v"),
       element_at(vecexprs.nearestCells(col("v"), centroids, 1), 1).as("cell"))
     // probe side: 5 fixed probes x their IvfProbes nearest centroids
@@ -534,15 +559,15 @@ object Similarity {
     * [[IvfCells]]) — a coarse quantizer only needs roughly-balanced cells,
     * which a bounded sample estimates as well as the full corpus; at 100 TB
     * a full-corpus fit would pay 5 extra complete passes for nothing. The
-    * sample is content-keyed (lowest (xxhash64(v), vec_id) keys — the q45
-    * keep-key idiom), so it is deterministic and insensitive to file order.
+    * sample is keyed by the per-row hash xxhash64(v, vec_id), so it is
+    * deterministic, insensitive to file order, and represents duplicate
+    * cliques at their density-proportional share — never a contiguous
+    * low-hash flood, never rare-vector inflation (see [[fitCentroids]]).
     */
   val SemFitSample = 4096
 
   def semanticDedup(ids: DataFrame, base: DataFrame,
       threshold: Double): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // vectors feed the quantizer fit, the cell explode, and two candidate
     // fetch joins: materialize once (q76 precedent)
     val b = base.localCheckpoint()
@@ -551,18 +576,10 @@ object Similarity {
     val cells =
       if (b.isEmpty) b.select(col("vec_id"), lit(0).as("cell"))
       else {
-        // bounded sample fit (TakeOrdered, never a global sort) + native
+        // bounded dedup'd sample fit ([[fitCentroids]]) + native
         // corpus-wide assignment: no full-corpus pass belongs to the fit,
         // and no ScalaUDF touches the N-row assignment (PlanSpec-pinned)
-        val fitSample = b
-          .select(col("v"), xxhash64(col("v")).as("hk"), col("vec_id"))
-          .orderBy(col("hk"), col("vec_id")).limit(SemFitSample)
-          .withColumn("fv", array_to_vector(col("v")))
-        val model = new KMeans()
-          .setK(IvfCells).setSeed(42).setMaxIter(5).setInitMode("random")
-          .setFeaturesCol("fv").setPredictionCol("cell")
-          .fit(fitSample)
-        val centroids = model.clusterCenters.map(_.toArray)
+        val centroids = fitCentroids(b, IvfCells)
         b.select(col("vec_id"),
           explode(vecexprs.nearestCells(col("v"), centroids, SemProbeCells))
             .as("cell"))

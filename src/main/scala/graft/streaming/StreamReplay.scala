@@ -37,7 +37,7 @@ object StreamReplay {
 
   /** The `events` table as a REAL file-stream source. File-stream sources
     * need an explicit schema: one metadata-only batch read supplies it (ts
-    * arrives as raw nanos under nanosAsLong, exactly as in Tables.events).
+    * normalizes through Tables.withEventTime, exactly as in Tables.events).
     * The source's basePath must be a DIRECTORY: a directory-form
     * events.parquet (the normal Spark/cluster layout) streams directly,
     * while the driver fixture's single-FILE form streams the parent
@@ -67,8 +67,7 @@ object StreamReplay {
       if (isDir) spark.readStream.schema(schema).parquet(path)
       else spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-    src.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    graft.Tables.withEventTime(src)
   }
 
   /** Stateful-operator partition count for the replays. Each micro-batch

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end curation run against the sf0.001 fixture: one command must
+  * produce sink artifacts whose funnel rows match q88's (the driver's
+  * oracle gate for the same five stages), plus the run-only extension
+  * stages and verdict tables consistent with the corpus it wrote.
+  */
+class CurationRunSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val outDir = {
+    val d = Files.createTempDirectory("curation_run").toString
+    CurationRun.run(spark, sfDir, d).collect() // materialize once
+    d
+  }
+
+  test("manifest's first five rows equal q88's funnel (the oracle surface)") {
+    val manifest = spark.read.parquet(s"$outDir/manifest")
+      .orderBy(col("stage_idx")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val q88 = Pipeline.q88(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.take(5) === q88, "funnel drift vs the q88 oracle surface")
+    assert(manifest.map(_._1).toSeq === (0 until 9),
+      "nine stages, contiguous indices")
+    // every knife only removes: docs and tokens are monotone non-increasing
+    // after the raw stage (raw counts null-text docs that quality drops)
+    manifest.sliding(2).drop(1).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"stage ${b._2} grew vs ${a._2}")
+    }
+  }
+
+  test("corpus artifact is lang-partitioned and matches the final stage row") {
+    val corpus = spark.read.parquet(s"$outDir/corpus")
+    val last = spark.read.parquet(s"$outDir/manifest")
+      .orderBy(col("stage_idx").desc).head()
+    assert(last.getString(1) === "sampled")
+    assert(corpus.count() === last.getLong(2), "corpus rows != manifest docs")
+    assert(corpus.agg(sum(col("n_tokens"))).head().getLong(0) ===
+      last.getLong(3), "corpus tokens != manifest tokens")
+    val langDirs = new java.io.File(s"$outDir/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(langDirs.nonEmpty && langDirs.forall(_.startsWith("lang=")),
+      "corpus must be Hive-partitioned by lang")
+  }
+
+  test("verdict tables agree with the corpus") {
+    val corpusIds = spark.read.parquet(s"$outDir/corpus")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // every shipped doc was kept by the sampler…
+    val keptIds = spark.read.parquet(s"$outDir/verdicts/sample")
+      .filter(col("kept")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(corpusIds.subsetOf(keptIds), "shipped doc the sampler rejected")
+    // …and survived the source cap
+    val cappedIds = spark.read.parquet(s"$outDir/verdicts/source_cap")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(corpusIds.subsetOf(cappedIds), "shipped doc over the source cap")
+    // doc fates cover every raw doc and agree on the shipped set
+    val fates = spark.read.parquet(s"$outDir/verdicts/doc_fates")
+    val rawDocs = spark.read.parquet(s"$outDir/manifest")
+      .filter(col("stage") === "raw").head().getLong(2)
+    assert(fates.count() === rawDocs, "doc_fates must cover every raw doc")
+    val shipped = fates.filter(col("last_stage") === "sampled")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(shipped === corpusIds, "doc_fates 'sampled' set != corpus")
+  }
+}

@@ -86,6 +86,13 @@ class SimilaritySpec extends AnyFunSuite {
         Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0)), 2).as("cells"))
       .head().getSeq[Int](0)
     assert(tied === Seq(0, 1))
+    // degenerate vectors (NaN element → every distance NaN) fall back to
+    // the lowest untaken centroid ids instead of crashing the task
+    val degen = Seq((0L, Seq(Double.NaN, 1.0))).toDF("vec_id", "v")
+      .select(fe.vecexprs.nearestCells(col("v"),
+        Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0)), 2).as("cells"))
+      .head().getSeq[Int](0)
+    assert(degen === Seq(0, 1))
   }
 
   test("embedding near-dup (q24) returns only pairs above threshold") {
