@@ -102,11 +102,18 @@ object Pipeline {
     * stays fixed. Output: every doc's (split, action),
     * action ∈ {train, heldout, quarantine}; action = split means unchanged.
     *
-    * Shape for 100 TB: ids-only banded pair joins (q21), pointer-jumped CC
-    * over edge-incident docs only (q56), and the mixed-component flag aggs
-    * over the edge-incident rows alone — singletons (lab = v, the vast
-    * majority) never enter the flag shuffle; they re-attach through the
-    * final narrow id-keyed join.
+    * Shape for 100 TB: exact duplicates collapse to one representative per
+    * distinct text BEFORE pair generation (q76's staging lesson — measured
+    * on the dup-heavy fixture, where feeding raw copies to LSH made every
+    * 501-copy group a C(501,2) intra-bucket clique and ran ×4.03 vs clean;
+    * collapsed, the pair graph is duplicate-free). The collapse is exact,
+    * not approximate: identical texts share the md5-derived SPLIT and the
+    * same near-dup neighbors, so rep-level components + the per-component
+    * action fan back to members unchanged. Then ids-only banded pair joins
+    * (q21), pointer-jumped CC over edge-incident reps only (q56), and the
+    * mixed-component flag aggs over the edge-incident rows alone —
+    * singleton reps (lab = v, the vast majority) never enter the flag
+    * shuffle; members re-attach through one narrow md5-keyed join.
     */
   def q87(spark: SparkSession, dir: String): DataFrame =
     splitRepair(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
@@ -115,17 +122,26 @@ object Pipeline {
     * it against a plain-Scala model (q83's pattern).
     */
   def splitRepair(docs: DataFrame): DataFrame = {
-    val base = docs.filter(col("doc_id").isNotNull)
-    val splits = base.select(col("doc_id"),
-      when(substring(md5(col("text").cast("binary")), 1, 1).isin("0", "1"),
-        "heldout").otherwise("train").as("split"))
-    val pairs = Dedup.nearDupPairsUnsorted(base, 0.8)
+    val keyed = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast("binary")).as("g"))
+    // one rep per distinct text; the split is a function of the text hash,
+    // so it computes once per GROUP (first hex nibble 0/1 = heldout), never
+    // per member
+    val reps = keyed.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("m"))
+      .select(col("g"), col("m.doc_id").as("rep_id"), col("m.text").as("text"),
+        when(substring(col("g"), 1, 1).isin("0", "1"), "heldout")
+          .otherwise("train").as("split"))
+      .localCheckpoint()
+    val pairs = Dedup.nearDupPairsUnsorted(
+      reps.select(col("rep_id").as("doc_id"), col("text")), 0.8)
       .select(col("a_id"), col("b_id"))
     val labels = Dedup.connectedComponents(
-      splits.select(col("doc_id").as("v")), pairs)
+      reps.select(col("rep_id").as("v")), pairs)
     val labeled = labels.join(
-      splits.select(col("doc_id").as("v"), col("split")), Seq("v"))
-    // mixed-component detection runs over edge-incident docs only: a
+      reps.select(col("rep_id").as("v"), col("g"), col("split")), Seq("v"))
+    // mixed-component detection runs over edge-incident reps only: a
     // singleton component (one member) cannot contain both splits
     val incident = pairs.select(col("a_id").as("v"))
       .union(pairs.select(col("b_id").as("v"))).distinct()
@@ -135,10 +151,13 @@ object Pipeline {
         max(when(col("split") === "train", 1).otherwise(0)).as("t"))
       .filter(col("h") === 1 && col("t") === 1)
       .select(col("lab"), lit(1).as("mixed"))
-    labeled.join(mixed, Seq("lab"), "left")
-      .select(col("v").as("doc_id"), col("split"),
+    val repAction = labeled.join(mixed, Seq("lab"), "left")
+      .select(col("g"), col("split"),
         when(col("mixed").isNotNull && col("split") === "train", "quarantine")
           .otherwise(col("split")).as("action"))
+    keyed.select(col("doc_id"), col("g"))
+      .join(repAction, Seq("g"))
+      .select(col("doc_id"), col("split"), col("action"))
       .orderBy(col("doc_id"))
   }
 

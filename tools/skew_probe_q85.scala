@@ -60,8 +60,9 @@ val b = graft.Tables.embeddings(spark, skew)
   .filter(col("v").isNotNull)
   .localCheckpoint()
 val nVec = b.count()
-val fitSample = b.select(col("v"), xxhash64(col("v")).as("hk"), col("vec_id"))
-  .orderBy(col("hk"), col("vec_id")).limit(SemFitSample)
+// uniform per-row hash key — must mirror Similarity.fitCentroids
+val fitSample = b.select(col("v"), xxhash64(col("v"), col("vec_id")).as("hk"))
+  .orderBy(col("hk")).limit(SemFitSample)
   .withColumn("fv", array_to_vector(col("v")))
 val model = new KMeans().setK(IvfCells).setSeed(42).setMaxIter(5)
   .setInitMode("random").setFeaturesCol("fv").setPredictionCol("cell")
