@@ -158,6 +158,16 @@ object Similarity {
       col("label").as("plabel"), col("v").as("pv"))
     candidateSrc
       .crossJoin(broadcast(probes))
+      .transform(hardNegRank(k))
+  }
+
+  /** Shared gate+rank tail: scored (probe_id, plabel, id, label, pv, v)
+    * rows → top-k cross-label negatives per probe, duplicate-suspects
+    * excluded ([[hardNegCeiling]]), ROUNDED-cosine ranking with cand_id
+    * tie-break so the boundary row cannot flip on a last-bit difference.
+    */
+  private def hardNegRank(k: Int)(scored: DataFrame): DataFrame =
+    scored
       .filter(col("label") =!= col("plabel"))
       .select(col("probe_id"), col("id").as("cand_id"),
         round(vecexprs.cosineSim(col("pv"), col("v")), ScoreDp).as("c"))
@@ -169,6 +179,50 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("cand_id"),
         col("c").as("cosine"))
       .orderBy(col("probe_id"), col("rnk"))
+
+  /** q92b: q92's PRODUCTION twin — the same rank-and-gate tail fed by IVF
+    * candidate generation instead of the exact probes × corpus score. The
+    * sample-fit quantizer (q85's [[fitCentroids]], ~√n cells) assigns every
+    * candidate its single nearest cell in one codegen'd pass; each probe
+    * explodes to its [[IvfProbes]] nearest cells (q39's shape) and scores
+    * only cell-mates. Cost: |probe cells| is KB-scale and broadcasts, the
+    * corpus never shuffles, and scored pairs shrink from probes × N to
+    * probes × (IvfProbes/k̂) × N — the q82-vs-q25 anchor/twin contract
+    * applied to hard-negative mining. A candidate holds ONE cell, so a
+    * (probe, cand) pair surfaces at most once per probe cell and needs no
+    * pair dedup before scoring (q25's score-once rule holds by shape).
+    * Rows-only registry surface; recall vs the exact q92 anchor is
+    * property-checked in SimilaritySpec.
+    */
+  def q92b(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("id"), col("label"),
+        vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    hardNegativesIvf(
+      e.filter(pmod(col("id"), lit(HardNegProbeEvery)) === 0), e, HardNegK)
+  }
+
+  /** The IVF-fed q92 candidate generator + shared tail — planted specs and
+    * the recall property run it directly.
+    */
+  def hardNegativesIvf(probeSrc: DataFrame, candidateSrc: DataFrame,
+      k: Int): DataFrame = {
+    val cand = candidateSrc.localCheckpoint()
+    val probes = probeSrc.select(col("id").as("probe_id"),
+      col("label").as("plabel"), col("v").as("pv"))
+    if (cand.isEmpty)
+      return cand.select(col("id").as("probe_id"), lit(1).as("rnk"),
+        col("id").as("cand_id"), lit(0.0).as("cosine"))
+    val centroids = fitCentroids(
+      cand.select(col("id").as("vec_id"), col("v")), ivfCellsFor(cand.count()))
+    val assigned = cand.select(col("id"), col("label"), col("v"),
+      element_at(vecexprs.nearestCells(col("v"), centroids, 1), 1).as("cell"))
+    val probeCells = probes.select(col("probe_id"), col("plabel"), col("pv"),
+      explode(vecexprs.nearestCells(col("pv"), centroids, IvfProbes)).as("cell"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .transform(hardNegRank(k))
   }
 
   /** Seed count for q93's deterministic coarse quantizer. */
@@ -712,6 +766,7 @@ object Similarity {
     QueryDef("q24_embedding_neardup", q24, None),
     QueryDef("q25_ann_lsh", q25, None),
     QueryDef("q39_ann_ivf", q39, None),
+    QueryDef("q92b_hard_negatives_ivf", q92b, None),
     QueryDef("q48_neardup_exact", q48,
       Some(s"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -263,6 +263,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q92b: probe cells broadcast; no ScalaUDF; corpus joins cells without shuffling") {
+    // the IVF twin keeps q92's contract: the exploded probe-cell frame is
+    // the broadcast side of the cell-equi scoring join (the corpus never
+    // exchanges for it), and the cell assignment is the native
+    // nearestCells expression — a ScalaUDF here would break codegen on
+    // the one pass touching every candidate vector
+    val p = plan(Similarity.q92b(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("ScalaUDF"), "per-row UDF crept into the q92b path")
+  }
+
   test("q93: seeds and stats broadcast; the corpus never shuffles for assignment") {
     // the quantizer seeds and the K-row cluster stats are the ONLY join
     // inputs — both must broadcast; the argmin must be a map-side-combined

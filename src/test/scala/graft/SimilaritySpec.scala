@@ -232,6 +232,26 @@ class SimilaritySpec extends AnyFunSuite {
       (0L, 4, 16L, 0.0)))
   }
 
+  /** q92b production twin: the IVF-fed candidate generator must recover
+    * most of the exact anchor's negatives (the q25/q39 recall contract
+    * applied to mining), and every (probe, cand) pair both forms emit must
+    * carry the identical rounded cosine — the tail is shared code, so a
+    * score mismatch means the twin scored a pair twice.
+    */
+  test("IVF hard negatives (q92b) recall vs exact (q92) is >= 0.5, scores equal") {
+    def mined(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("probe_id", "cand_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = mined(Similarity.q92(spark, dir))
+    val ivf = mined(Similarity.q92b(spark, dir))
+    assert(exact.nonEmpty)
+    val overlap = exact.keySet & ivf.keySet
+    val recall = overlap.size.toDouble / exact.size
+    assert(recall >= 0.5, s"q92b recall $recall below bound")
+    overlap.foreach(k =>
+      assert(exact(k) === ivf(k), s"score drift on $k"))
+  }
+
   /** q93 embedding outliers: two seed clusters (k=2 → seeds are ids 0,1),
     * every cosine distance exact by 3-4-5 construction, every z-score
     * hand-computed. Cluster 0 = {0,2,3} with d = {0,.2,.4}: mu=.2,
