@@ -23,9 +23,11 @@ import sys
 # q71 exact percentile_disc winsorization (twin q71b sketch caps),
 # q82 exact bitext margins over a %-stride probe set that grows with the
 # corpus — probes x candidates is quadratic by construction (twin: q25/q39
-# ANN candidate generation feeding the same ranking tail).
+# ANN candidate generation feeding the same ranking tail),
+# q92 exact hard-negative mining (probes x corpus = N^2/40; twin: q92b's
+# IVF-fed candidate generation feeding the same rank-and-gate tail).
 ANCHORS = {"q48": "q24", "q23": "q21", "q31": "q52", "q71": "q71b",
-           "q82": "q25"}
+           "q82": "q25", "q92": "q92b"}
 SLACK = 1.3  # box noise band observed across rounds 3-6
 
 
