@@ -153,6 +153,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  /** Regression guard for the per-round edge contraction (round 11): a
+    * triangle settles to one label in round 1 and loses every intra-edge
+    * to the self-loop filter — the component MIN then arrives LATE through
+    * an attached path, and must still reach all triangle members via the
+    * label-graph witnesses. (Merely dropping settled edges dead-ends here
+    * — the measured-unsound variant in tools/cc_contract_probe.scala.)
+    * The 33-node path also pins the round count at O(log diameter): 32
+    * hops must close in <= 9 rounds, not 32.
+    */
+  test("CC contraction: late-arriving min crosses a settled clique; rounds stay O(log d)") {
+    import spark.implicits._
+    // triangle {10,11,12} + path 1-5, 5-10: min label 1 reaches 11 and 12
+    // only through the contracted label edge the triangle left behind
+    val ids1 = Seq(1L, 5L, 10L, 11L, 12L).toDF("v")
+    val pairs1 = Seq((10L, 11L), (11L, 12L), (10L, 12L), (5L, 10L), (1L, 5L))
+      .toDF("a_id", "b_id")
+    val got1 = Dedup.connectedComponents(ids1, pairs1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 === Map(1L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
+    // descending 33-node path (diameter 32; min at the far end so labels
+    // must propagate the whole way)
+    val n = 33L
+    val ids2 = (0L until n).toDF("v")
+    val pairs2 = (1L until n).map(i => (i - 1, i)).toDF("a_id", "b_id")
+    val got2 = Dedup.connectedComponents(ids2, pairs2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.values.forall(_ == 0L), s"path not fully resolved: $got2")
+    assert(Dedup.lastCcRounds <= 9,
+      s"rounds ${Dedup.lastCcRounds} not O(log 32)")
+  }
+
   test("MinHash signature is deterministic across evaluations") {
     import spark.implicits._
     val docs = corpus.take(5).toDF("doc_id", "text")
