@@ -310,9 +310,13 @@ object Similarity {
   private def fitCentroids(clean: DataFrame, k: Int): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // the sample grows with k (>= 16 points per requested center, floored
+    // at the fixture bound) so a large-k fit is never center-starved —
+    // asking KMeans for 4096 centers from 4096 points would make every
+    // point its own centroid and the quantizer a no-op
     val fitSample = clean
       .select(col("v"), xxhash64(col("v"), col("vec_id")).as("hk"))
-      .orderBy(col("hk")).limit(SemFitSample)
+      .orderBy(col("hk")).limit(math.max(SemFitSample, 16 * k))
       .withColumn("fv", array_to_vector(col("v")))
       .localCheckpoint()
     val kk = math.max(1, math.min(k, fitSample.count().toInt))
@@ -502,13 +506,23 @@ object Similarity {
   val IvfProbes = 4
 
   /** Quantizer cell count for an n-vector corpus: ~√n, floored at the
-    * fixture's [[IvfCells]], capped at [[SemFitSample]] (the fit sample
-    * must be able to seed k distinct centers). The √n rule is what keeps
-    * the within-cell candidate mass sub-quadratic: soft top-2 cells of
-    * average size 2n/k give Σ|cell|² ≈ 4n²/k = 4n^1.5 candidate pairs —
-    * measured on the dup-heavy fixture, a FIXED 16 cells left 47.8M
-    * candidates over 20k vectors (N²/4) where √n cells leave ~8M, and the
-    * gap widens linearly with every further scale-up.
+    * fixture's [[IvfCells]], capped at [[SemFitSample]]. The √n rule is
+    * what keeps the within-cell candidate mass sub-quadratic: soft top-2
+    * cells of average size 2n/k give Σ|cell|² ≈ 4n²/k = 4n^1.5 candidate
+    * pairs — measured on the dup-heavy fixture, a FIXED 16 cells left
+    * 47.8M candidates over 20k vectors (N²/4) where √n cells leave ~8M,
+    * and the gap widens linearly with every further scale-up.
+    *
+    * The cap is a PLAN-SIZE bound, not a fit bound: [[vecexprs.nearestCells]]
+    * embeds the centroid table in the expression tree so the per-row
+    * assignment stays inside whole-stage codegen with no N×K candidate
+    * materialization — 4096 cells × 64 dims ≈ 2 MB of plan literal, the
+    * practical ceiling. √n crosses it at ~16.8M vectors; beyond that the
+    * right architecture is a two-level (IMI-style) quantizer — assign by
+    * coarse cell via this expression, then sub-quantize within coarse
+    * cells — keeping every level's centroid table under the plan bound,
+    * not a broadcast-join argmin (which would materialize N×K rows
+    * through an aggregate).
     */
   def ivfCellsFor(n: Long): Int =
     math.max(IvfCells,
