@@ -252,6 +252,18 @@ class SimilaritySpec extends AnyFunSuite {
       assert(exact(k) === ivf(k), s"score drift on $k"))
   }
 
+  /** q92b empty-corpus short-circuit: KMeans cannot fit zero vectors (q39
+    * precedent) — the twin must return an empty, schema-correct frame
+    * rather than throw.
+    */
+  test("IVF hard negatives on an empty corpus return an empty, schema-correct frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Int, Seq[Double])].toDF("id", "label", "v")
+    val got = Similarity.hardNegativesIvf(empty, empty, 5)
+    assert(got.columns.toSeq === Seq("probe_id", "rnk", "cand_id", "cosine"))
+    assert(got.count() === 0)
+  }
+
   /** q93 embedding outliers: two seed clusters (k=2 → seeds are ids 0,1),
     * every cosine distance exact by 3-4-5 construction, every z-score
     * hand-computed. Cluster 0 = {0,2,3} with d = {0,.2,.4}: mu=.2,
