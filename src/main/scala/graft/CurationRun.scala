@@ -102,8 +102,12 @@ object CurationRun {
         Seq("doc_id"))
       .localCheckpoint()
 
-    val stages = funnel ++ Seq("line_dedup" -> lined, "span_cut" -> cut,
-      "source_cap" -> capped, "sampled" -> sampled)
+    // the funnel's last frame is re-read by the manifest stat AND the fates
+    // fold — swap in the checkpointed copy so neither re-executes the
+    // gram-explode decontamination lineage
+    val stages = (funnel.init :+ (funnel.last._1 -> dec)) ++
+      Seq("line_dedup" -> lined, "span_cut" -> cut,
+        "source_cap" -> capped, "sampled" -> sampled)
     val manifest = stages.zipWithIndex
       .map { case ((name, df), i) => Pipeline.funnelStat(df, i, name) }
       .reduce(_.union(_))

@@ -122,9 +122,14 @@ object Pipeline {
     * it against a plain-Scala model (q83's pattern).
     */
   def splitRepair(docs: DataFrame): DataFrame = {
+    // null-safe group key (q89's prio idiom): md5(NULL) is NULL, and the
+    // member fan-back equi-join on g would silently drop every null-text
+    // doc — coalesce to "" (no md5 collides with it) so they form one
+    // shingle-less singleton group whose split/action is 'train', exactly
+    // what the oracle's CASE over md5(text) resolves to
     val keyed = docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("text"),
-        md5(col("text").cast("binary")).as("g"))
+        coalesce(md5(col("text").cast("binary")), lit("")).as("g"))
     // one rep per distinct text; the split is a function of the text hash,
     // so it computes once per GROUP (first hex nibble 0/1 = heldout), never
     // per member

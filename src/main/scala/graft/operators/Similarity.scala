@@ -212,11 +212,15 @@ object Similarity {
     val cand = candidateSrc.localCheckpoint()
     val probes = probeSrc.select(col("id").as("probe_id"),
       col("label").as("plabel"), col("v").as("pv"))
-    if (cand.isEmpty)
+    // one captured count serves both the empty-corpus test and the cell
+    // sizing — both would read the materialized checkpoint, but one job
+    // beats two (q39/q85's single-probe discipline)
+    val n = cand.count()
+    if (n == 0)
       return cand.select(col("id").as("probe_id"), lit(1).as("rnk"),
         col("id").as("cand_id"), lit(0.0).as("cosine"))
     val centroids = fitCentroids(
-      cand.select(col("id").as("vec_id"), col("v")), ivfCellsFor(cand.count()))
+      cand.select(col("id").as("vec_id"), col("v")), ivfCellsFor(n))
     val assigned = cand.select(col("id"), col("label"), col("v"),
       element_at(vecexprs.nearestCells(col("v"), centroids, 1), 1).as("cell"))
     val probeCells = probes.select(col("probe_id"), col("plabel"), col("pv"),
@@ -315,8 +319,12 @@ object Similarity {
     // asking KMeans for 4096 centers from 4096 points would make every
     // point its own centroid and the quantizer a no-op
     val fitSample = clean
-      .select(col("v"), xxhash64(col("v"), col("vec_id")).as("hk"))
-      .orderBy(col("hk")).limit(math.max(SemFitSample, 16 * k))
+      .select(col("vec_id"), col("v"),
+        xxhash64(col("v"), col("vec_id")).as("hk"))
+      // vec_id tiebreak keeps the sample a TOTAL order: an xxhash64
+      // collision at the limit boundary would otherwise make the sampled
+      // row set nondeterministic across runs
+      .orderBy(col("hk"), col("vec_id")).limit(math.max(SemFitSample, 16 * k))
       .withColumn("fv", array_to_vector(col("v")))
       .localCheckpoint()
     val kk = math.max(1, math.min(k, fitSample.count().toInt))

@@ -318,6 +318,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.forall { case (s, a) => s != "heldout" || a == "heldout" })
   }
 
+  /** Null-text docs have a NULL md5: an equi-join on the group key would
+    * silently drop them from the member fan-back (2 of 5 vanished before the
+    * coalesce fix). They must come back as 'train'/'train' singletons —
+    * exactly what the oracle's CASE over md5(text) resolves NULL to — and
+    * every non-null doc's verdict must be untouched by their presence.
+    */
+  test("split repair keeps null-text docs as train singletons") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "completely different words live in this second document body"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "a third unrelated text keeps the pair generator honest here"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.splitRepair(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length === 5, "every input doc must surface in the verdict")
+    Seq(2L, 4L).foreach { id =>
+      val row = got.find(_._1 == id).get
+      assert(row === ((id, "train", "train")), s"null-text doc $id")
+    }
+  }
+
   /** q88 curation funnel: one doc planted per knife — quality-fail, exact
     * copy, near-dup, benchmark-contaminated — plus one clean survivor, with
     * hand-computed doc/token counts at every stage.
