@@ -219,12 +219,12 @@ object Similarity {
     if (n == 0)
       return cand.select(col("id").as("probe_id"), lit(1).as("rnk"),
         col("id").as("cand_id"), lit(0.0).as("cosine"))
-    val centroids = fitCentroids(
+    val quant = Quantizers.quantizerFor(
       cand.select(col("id").as("vec_id"), col("v")), ivfCellsFor(n))
     val assigned = cand.select(col("id"), col("label"), col("v"),
-      element_at(vecexprs.nearestCells(col("v"), centroids, 1), 1).as("cell"))
+      quant.assign(col("v")).as("cell"))
     val probeCells = probes.select(col("probe_id"), col("plabel"), col("pv"),
-      explode(vecexprs.nearestCells(col("pv"), centroids, IvfProbes)).as("cell"))
+      explode(quant.probeCells(col("pv"), IvfProbes)).as("cell"))
     assigned.join(broadcast(probeCells), Seq("cell"))
       .transform(hardNegRank(k))
   }
@@ -294,45 +294,13 @@ object Similarity {
     outlierTail(clean, seeds)
   }
 
-  /** Fit the coarse quantizer on a bounded hash-keyed sample — the shared
-    * idiom of q85 and q93's production form. The key is xxhash64(v, vec_id)
-    * — a PER-ROW hash, so the lowest-key rows are a uniform deterministic
-    * sample of the corpus: an exact-duplicate clique of D rows gets its
-    * density-proportional ~D/N share of the sample, never a contiguous
-    * low-hash block (the content-only key made identical vectors share one
-    * key and sort adjacent, so one lucky clique could flood the sample).
-    * Full dedup-by-content is deliberately NOT used: it inflates every
-    * rare vector to equal weight, and the q93 planted-stray spec measures
-    * the consequence — a deduped sample hands the stray its own centroid,
-    * its within-cluster z collapses to 0, and the stray goes unflagged.
-    * Density-proportional is what a coarse quantizer wants anyway: heavy
-    * regions get more centroids, which shrinks Σ|cell|² where pair mass
-    * concentrates. Lowest keys win (TakeOrdered, never a global sort;
-    * insensitive to file order), and k clamps to the sample size so a tiny
-    * corpus never asks KMeans for more centers than it has points.
+  /** Fit the flat coarse quantizer on a bounded hash-keyed sample — the
+    * shared idiom of q85 and q93's production form, now hosted with the
+    * two-level machinery in [[Quantizers.fitCentroids]] (which documents
+    * the per-row sample key and why dedup-by-content would be wrong).
     */
-  private def fitCentroids(clean: DataFrame, k: Int): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // the sample grows with k (>= 16 points per requested center, floored
-    // at the fixture bound) so a large-k fit is never center-starved —
-    // asking KMeans for 4096 centers from 4096 points would make every
-    // point its own centroid and the quantizer a no-op
-    val fitSample = clean
-      .select(col("vec_id"), col("v"),
-        xxhash64(col("v"), col("vec_id")).as("hk"))
-      // vec_id tiebreak keeps the sample a TOTAL order: an xxhash64
-      // collision at the limit boundary would otherwise make the sampled
-      // row set nondeterministic across runs
-      .orderBy(col("hk"), col("vec_id")).limit(math.max(SemFitSample, 16 * k))
-      .withColumn("fv", array_to_vector(col("v")))
-      .localCheckpoint()
-    val kk = math.max(1, math.min(k, fitSample.count().toInt))
-    new KMeans()
-      .setK(kk).setSeed(42).setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(fitSample).clusterCenters.map(_.toArray)
-  }
+  private def fitCentroids(clean: DataFrame, k: Int): Array[Array[Double]] =
+    Quantizers.fitCentroids(clean, k)
 
   /** Null and zero-norm vectors have no defined cosine distance (NULL / NaN
     * d) and would win Spark's min(struct) NULL-first ordering while the
@@ -514,27 +482,26 @@ object Similarity {
   val IvfProbes = 4
 
   /** Quantizer cell count for an n-vector corpus: ~√n, floored at the
-    * fixture's [[IvfCells]], capped at [[SemFitSample]]. The √n rule is
-    * what keeps the within-cell candidate mass sub-quadratic: soft top-2
-    * cells of average size 2n/k give Σ|cell|² ≈ 4n²/k = 4n^1.5 candidate
-    * pairs — measured on the dup-heavy fixture, a FIXED 16 cells left
-    * 47.8M candidates over 20k vectors (N²/4) where √n cells leave ~8M,
-    * and the gap widens linearly with every further scale-up.
+    * fixture's [[IvfCells]], capped at [[Quantizers.FlatCellCap]]² (the IMI
+    * ceiling). The √n rule is what keeps the within-cell candidate mass
+    * sub-quadratic: soft top-2 cells of average size 2n/k give Σ|cell|² ≈
+    * 4n²/k = 4n^1.5 candidate pairs — measured on the dup-heavy fixture, a
+    * FIXED 16 cells left 47.8M candidates over 20k vectors (N²/4) where √n
+    * cells leave ~8M, and the gap widens linearly with every further
+    * scale-up.
     *
-    * The cap is a PLAN-SIZE bound, not a fit bound: [[vecexprs.nearestCells]]
-    * embeds the centroid table in the expression tree so the per-row
-    * assignment stays inside whole-stage codegen with no N×K candidate
-    * materialization — 4096 cells × 64 dims ≈ 2 MB of plan literal, the
-    * practical ceiling. √n crosses it at ~16.8M vectors; beyond that the
-    * right architecture is a two-level (IMI-style) quantizer — assign by
-    * coarse cell via this expression, then sub-quantize within coarse
-    * cells — keeping every level's centroid table under the plan bound,
-    * not a broadcast-join argmin (which would materialize N×K rows
-    * through an aggregate).
+    * Up to [[Quantizers.FlatCellCap]] cells the quantizer is one
+    * plan-literal codebook ([[vecexprs.nearestCells]] — assignment inside
+    * whole-stage codegen, no N×K materialization); past it,
+    * [[Quantizers.quantizerFor]] switches to the two-level IMI product of
+    * two half-width codebooks, so √n sizing stays expressible to
+    * FlatCellCap² ≈ 16.8M cells (~10^14 vectors) with every level's
+    * centroid table under the 2 MB plan bound.
     */
   def ivfCellsFor(n: Long): Int =
     math.max(IvfCells,
-      math.min(SemFitSample, math.round(math.sqrt(n.toDouble)).toInt))
+      math.min(Quantizers.FlatCellCap.toLong * Quantizers.FlatCellCap,
+        math.round(math.sqrt(n.toDouble))).toInt)
 
   /** q39: IVF ANN — a KMeans coarse quantizer assigns each vector to a cell;
     * probes scan only their `IvfProbes` nearest cells. The centroid table is
@@ -653,29 +620,52 @@ object Similarity {
     * cliques at their density-proportional share — never a contiguous
     * low-hash flood, never rare-vector inflation (see [[fitCentroids]]).
     */
-  val SemFitSample = 4096
+  val SemFitSample: Int = Quantizers.FitSampleFloor
 
   def semanticDedup(ids: DataFrame, base: DataFrame,
       threshold: Double): DataFrame = {
     // vectors feed the quantizer fit, the cell explode, and two candidate
-    // fetch joins: materialize once (q76 precedent)
+    // fetch joins: materialize once (q76 precedent); one captured count
+    // serves both the empty test and the cell sizing
     val b = base.localCheckpoint()
+    val n = b.count()
     // KMeans cannot fit an empty corpus (q39 precedent); no vectors → no
     // pairs → the CC tail resolves everything as singletons
     val cells =
-      if (b.isEmpty) b.select(col("vec_id"), lit(0).as("cell"))
+      if (n == 0) b.select(col("vec_id"), lit(0).as("cell"))
       else {
-        // bounded dedup'd sample fit ([[fitCentroids]]) + native
-        // corpus-wide assignment: no full-corpus pass belongs to the fit,
-        // and no ScalaUDF touches the N-row assignment (PlanSpec-pinned).
-        // Cell count scales ~√n ([[ivfCellsFor]]) so the within-cell pair
-        // mass stays sub-quadratic as the corpus grows; the count() reads
-        // the materialized checkpoint, not the lineage
-        val centroids = fitCentroids(b, ivfCellsFor(b.count()))
+        // bounded sample fit + native corpus-wide assignment: no
+        // full-corpus pass belongs to the fit, and no ScalaUDF or
+        // interpreted lambda touches the N-row soft-assignment pass
+        // (PlanSpec-pinned). Cell count scales ~√n ([[ivfCellsFor]]) so
+        // the within-cell pair mass stays sub-quadratic as the corpus
+        // grows; past [[Quantizers.FlatCellCap]] cells the quantizer is
+        // the two-level IMI product (same contract, same joins)
+        val quant = Quantizers.quantizerFor(b, ivfCellsFor(n))
         b.select(col("vec_id"),
-          explode(vecexprs.nearestCells(col("v"), centroids, SemProbeCells))
-            .as("cell"))
+          explode(quant.probeCells(col("v"), SemProbeCells)).as("cell"))
       }
+    semanticDedupCells(ids, b, cells, threshold)
+  }
+
+  /** q85 driven by a PRE-FITTED quantizer — the same candidate/CC tail fed
+    * by an injected codebook: specs force the two-level [[ImiQuantizer]]
+    * through it at fixture scale (where [[ivfCellsFor]] would pick flat),
+    * and an externally trained codebook plugs in the same way at scale.
+    */
+  def semanticDedupQuantized(ids: DataFrame, base: DataFrame,
+      threshold: Double, quant: CellQuantizer): DataFrame = {
+    val b = base.localCheckpoint()
+    val cells = b.select(col("vec_id"),
+      explode(quant.probeCells(col("v"), SemProbeCells)).as("cell"))
+    semanticDedupCells(ids, b, cells, threshold)
+  }
+
+  /** The shared q85 tail: soft cell assignments → ids-only within-cell
+    * candidate pairs → cosine gate → CC → min-id keeper verdicts.
+    */
+  private def semanticDedupCells(ids: DataFrame, b: DataFrame,
+      cells: DataFrame, threshold: Double): DataFrame = {
     // soft assignment surfaces a pair once per shared cell (<= 2): dedupe
     // the ids BEFORE fetching vectors and scoring, so each candidate is
     // scored exactly once (q25's rule)

@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{FlatQuantizer, ImiQuantizer, Quantizers, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-level (IMI) quantizer that lifts the flat plan-literal ceiling:
+  * delegation equality below [[Quantizers.FlatCellCap]], a planted q85
+  * clique resolved through a FORCED IMI codebook, a > FlatCellCap cell
+  * count that actually plans and runs, and the codegen pins (no ScalaUDF,
+  * no interpreted lambda) on both assignment passes.
+  */
+class QuantizerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** ~60k deterministic 8-dim vectors with no Scala-side materialization:
+    * component j of row id is a scaled xxhash64(id, j) — uniform enough for
+    * KMeans to spread codewords, fully reproducible.
+    */
+  private def synthetic(n: Long) =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), j =>
+        (pmod(xxhash64(col("id"), j), lit(1000L)).cast("double") - lit(500.0))
+          / lit(250.0)).as("v"))
+
+  test("quantizerFor delegates to the flat codebook at or below the plan cap") {
+    import graft.functions.vectors
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val q = Quantizers.quantizerFor(emb, Similarity.IvfCells)
+    assert(q.isInstanceOf[FlatQuantizer], "k <= cap must stay flat")
+    // the delegated quantizer's columns ARE the pre-round-12 expressions:
+    // same centroids (same fit), so same cells bit-for-bit
+    val flat = q.asInstanceOf[FlatQuantizer]
+    val direct = Quantizers.fitCentroids(emb, Similarity.IvfCells)
+    assert(flat.centroids.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq,
+      "fit drift between quantizerFor and fitCentroids")
+    val both = emb.select(
+      q.assign(col("v")).as("a"),
+      element_at(graft.functions.expressions.vecexprs.nearestCells(
+        col("v"), direct, 1), 1).as("b"),
+      q.probeCells(col("v"), Similarity.IvfProbes).as("pa"),
+      graft.functions.expressions.vecexprs.nearestCells(
+        col("v"), direct, Similarity.IvfProbes).as("pb"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1), "assign drift vs flat")
+      assert(r.getSeq[Int](2) === r.getSeq[Int](3), "probe-cell drift vs flat")
+    }
+  }
+
+  test("past the plan cap quantizerFor builds an IMI product whose codebooks both fit the literal bound") {
+    val q = Quantizers.quantizerFor(synthetic(20000), Quantizers.FlatCellCap + 1)
+    assert(q.isInstanceOf[ImiQuantizer], "k > cap must go two-level")
+    val imi = q.asInstanceOf[ImiQuantizer]
+    assert(imi.cbA.length <= Quantizers.FlatCellCap)
+    assert(imi.cbB.length <= Quantizers.FlatCellCap)
+    assert(q.nCells >= Quantizers.FlatCellCap + 1)
+  }
+
+  test("an IMI quantizer with > 4096 cells plans, runs, and realizes more cells than the flat ceiling") {
+    val df = synthetic(60000).localCheckpoint()
+    val (cbA, cbB) = Quantizers.fitImiCodebooks(df, 5000)
+    val q = ImiQuantizer(cbA, cbB)
+    assert(q.nCells === 5041, s"71x71 expected, got ${q.nCells}") // ceil(sqrt(5000))^2
+    val stats = df.select(q.assign(col("v")).as("cell"))
+      .agg(countDistinct(col("cell")).as("nd"),
+        min(col("cell")).as("lo"), max(col("cell")).as("hi"))
+      .head()
+    assert(stats.getLong(0) > Quantizers.FlatCellCap,
+      s"only ${stats.getLong(0)} distinct cells realized — not past the flat ceiling")
+    assert(stats.getInt(1) >= 0 && stats.getInt(2) < q.nCells, "cell id out of range")
+    // the probe rectangle always contains the assignment cell and holds
+    // exactly pa*pb distinct cells
+    df.limit(200)
+      .select(q.assign(col("v")).as("c"), q.probeCells(col("v"), 4).as("pc"))
+      .collect()
+      .foreach { r =>
+        val pc = r.getSeq[Int](1)
+        assert(pc.length === 4 && pc.distinct.length === 4, s"probe cells $pc")
+        assert(pc.contains(r.getInt(0)), "probe rectangle must contain the assigned cell")
+      }
+  }
+
+  test("IMI assignment and probe fan-out stay codegen-native: no ScalaUDF, no interpreted lambda") {
+    val df = synthetic(1000).localCheckpoint()
+    val (cbA, cbB) = Quantizers.fitImiCodebooks(df, Quantizers.FlatCellCap + 1)
+    val q = ImiQuantizer(cbA, cbB)
+    for (c <- Seq(q.assign(col("v")), q.probeCells(col("v"), 4))) {
+      val p = df.select(c.as("cell")).queryExecution.optimizedPlan.toString
+      assert(!p.contains("UDF("), p.take(800))
+      assert(!p.contains("lambdafunction"), p.take(800))
+    }
+  }
+
+  /** The q85 planted clique (SimilaritySpec's fixture) resolved through a
+    * FORCED two-level quantizer: same verdicts as the flat path — one
+    * keeper (min id) for the clique, every background vector a kept
+    * singleton. kTotal = 9 keeps the codebooks un-starved (3+3 codewords
+    * from 35 points); the soft top-2 probe in subspace A covers the
+    * boundary-straddle case exactly as flat soft assignment does.
+    */
+  test("semantic dedup through a forced IMI quantizer resolves the planted clique identically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bg = (0 until 30).map(i =>
+      (100L + i, unit(Array.fill(dim)(rnd.nextGaussian()))))
+    val cliqueBase = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val clique = (0 until 5).map { i =>
+      val v = cliqueBase.clone(); v(i) += 0.001; (10L + i, unit(v))
+    }
+    val all = bg ++ clique
+    val df = all.toDF("vec_id", "v")
+    val (cbA, cbB) = Quantizers.fitImiCodebooks(df, 9)
+    val got = Similarity.semanticDedupQuantized(
+        df.select(col("vec_id")), df, Similarity.SemDedupCosine,
+        ImiQuantizer(cbA, cbB))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.length === all.size)
+    (10L to 14L).foreach(id =>
+      assert(byId(id) === ((10L, id == 10L)), s"clique member $id"))
+    bg.foreach { case (id, _) =>
+      assert(byId(id) === ((id, true)), s"background $id") }
+  }
+}
