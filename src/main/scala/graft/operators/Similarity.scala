@@ -523,14 +523,7 @@ object Similarity {
     // KMeans cannot train on an empty corpus — short-circuit with an empty,
     // schema-correct result (the one isEmpty probe is fine for an operator
     // that is inherently multi-job)
-    if (base.isEmpty) {
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("probe_id", LongType), StructField("rnk", IntegerType),
-          StructField("neighbor_id", LongType), StructField("score", DoubleType))))
-    }
+    if (base.isEmpty) return emptyTopK(spark)
     val model = new KMeans()
       // random init + few iterations: k-means|| costs several extra
       // distributed passes and an IVF quantizer only needs roughly-balanced
@@ -540,28 +533,76 @@ object Similarity {
       .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base)
-    val centroids = model.clusterCenters.map(_.toArray)
-    // corpus-wide cell assignment via the native expression, NOT
-    // model.transform: the ML prediction column is a per-row Scala UDF
-    // (plus an array_to_vector UDF under it) that would break whole-stage
-    // codegen on the one pass touching every vector. Same centroids, k=1,
-    // same argmin up to floating-point association: ML predict uses the
-    // norm-based fastSquaredDistance, so a near-exact tie between two
-    // centroids can resolve differently at the ulp level — an IVF cell
-    // boundary where either answer is fine, and the recall-bound spec
-    // tolerates the drift by construction
+    // corpus-wide cell assignment via the native expression (inside
+    // FlatQuantizer), NOT model.transform: the ML prediction column is a
+    // per-row Scala UDF (plus an array_to_vector UDF under it) that would
+    // break whole-stage codegen on the one pass touching every vector. Same
+    // centroids, k=1, same argmin up to floating-point association: ML
+    // predict uses the norm-based fastSquaredDistance, so a near-exact tie
+    // between two centroids can resolve differently at the ulp level — an
+    // IVF cell boundary where either answer is fine, and the recall-bound
+    // spec tolerates the drift by construction
+    ivfTopK(base.drop("fv"),
+      FlatQuantizer(model.clusterCenters.map(_.toArray)))
+  }
+
+  /** Empty, schema-correct rankTopK result — the q39/q39b short-circuit for
+    * a corpus the quantizer cannot be built on.
+    */
+  private def emptyTopK(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("probe_id", LongType), StructField("rnk", IntegerType),
+        StructField("neighbor_id", LongType), StructField("score", DoubleType))))
+  }
+
+  /** The shared IVF retrieval tail over a clean (vec_id, v) frame: assign
+    * every corpus row to its `quant` cell, explode each fixed probe (vec_id
+    * < 5) to its [[IvfProbes]] nearest cells, score cell-mates, rank top-k.
+    * q39 (trained KMeans codebook) and q39b (deterministic lowest-id seeds)
+    * run this same code — q39b's DuckDB hash row therefore pins the
+    * assignment/cell-join/rank machinery q39's trained form reuses, leaving
+    * only the init-dependent KMeans fit property-checked.
+    */
+  def ivfTopK(base: DataFrame, quant: CellQuantizer): DataFrame = {
     val assigned = base.select(col("vec_id"), col("v"),
-      element_at(vecexprs.nearestCells(col("v"), centroids, 1), 1).as("cell"))
-    // probe side: 5 fixed probes x their IvfProbes nearest centroids
+      quant.assign(col("v")).as("cell"))
+    // probe side: 5 fixed probes x their IvfProbes nearest cells
     val probeRows = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val probeCells = probeRows.select(col("probe_id"), col("pv"),
-      explode(vecexprs.nearestCells(col("pv"), centroids, IvfProbes)).as("cell"))
+      explode(quant.probeCells(col("pv"), IvfProbes)).as("cell"))
     assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         vecexprs.cosineSim(col("pv"), col("v")).as("c"))
       .transform(rankTopK)
+  }
+
+  /** q39b: q39's DETERMINISTIC-SEED twin — the q93 trick applied to the ANN
+    * tier. The [[IvfCells]] lowest-id vectors ARE the codebook (init-free
+    * model state, KB-scale, within the same no-driver-data rule as q39's
+    * trained centroid table), so the entire assign→cell-join→rank path —
+    * the literal [[ivfTopK]] code q39 runs — is exactly SQL-mirrorable:
+    * assignment is argmin of squared euclidean distance with a lowest-cell
+    * tie-break ([[vecexprs.nearestCells]]'s contract), probe fan-out is the
+    * top-[[IvfProbes]] of the same ranking, both `row_number` over a seed
+    * cross join in DuckDB. Recall needs no separate floor here: the oracle
+    * IS exact equality of the retrieved lists.
+    */
+  def q39b(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    // quantizer state: the K lowest-id vectors (a 16-row, KB-scale take —
+    // model state like q39's clusterCenters, not a data-path collect)
+    val seeds = base.orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty) return emptyTopK(spark)
+    ivfTopK(base, FlatQuantizer(seeds))
   }
 
   // ---- Semantic dedup (SemDeDup shape) ------------------------------------
@@ -778,6 +819,41 @@ object Similarity {
     QueryDef("q24_embedding_neardup", q24, None),
     QueryDef("q25_ann_lsh", q25, None),
     QueryDef("q39_ann_ivf", q39, None),
+    // q39b pins the SAME ivfTopK code q39 runs, with an init-free codebook
+    // (the IvfCells lowest-id vectors), so the IVF assignment/cell-join/rank
+    // machinery gets a DuckDB hash row: assignment = argmin of euclidean
+    // distance with lowest-cell tie-break (row_number over the seed cross
+    // join — euclidean orders identically to nearestCells' squared form),
+    // probe fan-out = top-IvfProbes of the same ranking.
+    QueryDef("q39b_ann_ivf_seeded", q39b,
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |s AS (SELECT v AS sv,
+        |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |          AS cell
+        |      FROM e ORDER BY vec_id LIMIT $IvfCells),
+        |nd AS (SELECT e.vec_id, s.cell, list_distance(e.v, s.sv) AS d
+        |       FROM e CROSS JOIN s),
+        |a AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+        |          AS rn
+        |      FROM nd),
+        |asg AS (SELECT vec_id, cell FROM a WHERE rn = 1),
+        |pc AS (SELECT vec_id AS probe_id, cell FROM a
+        |       WHERE vec_id < 5 AND rn <= $IvfProbes),
+        |sc AS (SELECT pc.probe_id, asg.vec_id AS neighbor_id,
+        |    list_cosine_similarity(p.v, n.v) AS c
+        |  FROM asg JOIN pc USING (cell)
+        |    JOIN e p ON p.vec_id = pc.probe_id
+        |    JOIN e n ON n.vec_id = asg.vec_id
+        |  WHERE asg.vec_id <> pc.probe_id),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS INTEGER)
+        |      AS rnk
+        |  FROM sc)
+        |SELECT probe_id, rnk, neighbor_id, round(c, $ScoreDp) AS score
+        |FROM r WHERE rnk <= $TopK ORDER BY probe_id, rnk""".stripMargin)),
     QueryDef("q92b_hard_negatives_ivf", q92b, None),
     QueryDef("q48_neardup_exact", q48,
       Some(s"""WITH e AS (

@@ -301,7 +301,8 @@ class PlanSpec extends AnyFunSuite {
         explode(fe.vecexprs.nearestCells(col("v"),
           Array(Array(1.0, 0.0), Array(0.0, 1.0)), 2)).as("cell"))
     val p39 = plan(Similarity.q39(spark, dir))
-    for (p <- Seq(assign.queryExecution.optimizedPlan.toString, p39)) {
+    val p39b = plan(Similarity.q39b(spark, dir))
+    for (p <- Seq(assign.queryExecution.optimizedPlan.toString, p39, p39b)) {
       assert(!p.contains("UDF("), p.take(800))
       assert(!p.contains("lambdafunction"), p.take(800))
     }
