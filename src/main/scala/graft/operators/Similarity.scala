@@ -210,8 +210,6 @@ object Similarity {
   def hardNegativesIvf(probeSrc: DataFrame, candidateSrc: DataFrame,
       k: Int): DataFrame = {
     val cand = candidateSrc.localCheckpoint()
-    val probes = probeSrc.select(col("id").as("probe_id"),
-      col("label").as("plabel"), col("v").as("pv"))
     // one captured count serves both the empty-corpus test and the cell
     // sizing — both would read the materialized checkpoint, but one job
     // beats two (q39/q85's single-probe discipline)
@@ -219,14 +217,50 @@ object Similarity {
     if (n == 0)
       return cand.select(col("id").as("probe_id"), lit(1).as("rnk"),
         col("id").as("cand_id"), lit(0.0).as("cosine"))
-    val quant = Quantizers.quantizerFor(
-      cand.select(col("id").as("vec_id"), col("v")), ivfCellsFor(n))
+    hardNegativesQuantized(probeSrc, cand, k,
+      Quantizers.quantizerFor(
+        cand.select(col("id").as("vec_id"), col("v")), ivfCellsFor(n)))
+  }
+
+  /** The quantized candidate generator + shared gate/rank tail given a
+    * FITTED quantizer — [[hardNegativesIvf]] (trained codebook) and q92c
+    * (deterministic lowest-id seeds) run this same code, so q92c's DuckDB
+    * hash row pins the cell-join + cross-label-gate + rank machinery the
+    * trained form reuses.
+    */
+  def hardNegativesQuantized(probeSrc: DataFrame, cand: DataFrame, k: Int,
+      quant: CellQuantizer): DataFrame = {
+    val probes = probeSrc.select(col("id").as("probe_id"),
+      col("label").as("plabel"), col("v").as("pv"))
     val assigned = cand.select(col("id"), col("label"), col("v"),
       quant.assign(col("v")).as("cell"))
     val probeCells = probes.select(col("probe_id"), col("plabel"), col("pv"),
       explode(quant.probeCells(col("pv"), IvfProbes)).as("cell"))
     assigned.join(broadcast(probeCells), Seq("cell"))
       .transform(hardNegRank(k))
+  }
+
+  /** q92c: q92b's DETERMINISTIC-SEED twin (q39b's trick applied to the
+    * hard-negative tier) — the [[IvfCells]] lowest-id vectors are the
+    * codebook, so the IVF-fed candidate generation, cross-label gate, and
+    * rounded-cosine rank — the literal [[hardNegativesQuantized]] code
+    * q92b runs under its trained quantizer — carry a DuckDB hash row.
+    */
+  def q92c(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("id"), col("label"),
+        vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    // quantizer state: the K lowest-id vectors (KB-scale model state)
+    val seeds = e.orderBy(col("id")).limit(IvfCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty)
+      return e.select(col("id").as("probe_id"), lit(1).as("rnk"),
+        col("id").as("cand_id"), lit(0.0).as("cosine"))
+    hardNegativesQuantized(
+      e.filter(pmod(col("id"), lit(HardNegProbeEvery)) === 0), e, HardNegK,
+      FlatQuantizer(seeds))
   }
 
   /** Seed count for q93's deterministic coarse quantizer. */
@@ -855,6 +889,39 @@ object Similarity {
         |SELECT probe_id, rnk, neighbor_id, round(c, $ScoreDp) AS score
         |FROM r WHERE rnk <= $TopK ORDER BY probe_id, rnk""".stripMargin)),
     QueryDef("q92b_hard_negatives_ivf", q92b, None),
+    // q92c pins the SAME hardNegativesQuantized code q92b runs, with the
+    // init-free lowest-id codebook (q39b's idiom): assignment + probe
+    // fan-out mirror q39b's CTEs, then q92's cross-label gate and
+    // rounded-cosine rank apply to cell-mates only.
+    QueryDef("q92c_hard_negatives_seeded", q92c,
+      Some(s"""WITH e AS (
+        |  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT v AS sv,
+        |        CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell
+        |      FROM e ORDER BY id LIMIT $IvfCells),
+        |nd AS (SELECT e.id, s.cell, list_distance(e.v, s.sv) AS d
+        |       FROM e CROSS JOIN s),
+        |a AS (SELECT id, cell,
+        |        row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+        |      FROM nd),
+        |asg AS (SELECT id, cell FROM a WHERE rn = 1),
+        |pc AS (SELECT id AS probe_id, cell FROM a
+        |       WHERE id % $HardNegProbeEvery = 0 AND rn <= $IvfProbes),
+        |sc AS (SELECT pc.probe_id, asg.id AS cand_id,
+        |    round(list_cosine_similarity(p.v, n.v), $ScoreDp) AS c
+        |  FROM asg JOIN pc USING (cell)
+        |    JOIN e p ON p.id = pc.probe_id
+        |    JOIN e n ON n.id = asg.id
+        |  WHERE n.label <> p.label),
+        |r AS (SELECT probe_id, cand_id, c,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY c DESC, cand_id) AS INTEGER)
+        |      AS rnk
+        |  FROM sc WHERE c < $hardNegCeiling)
+        |SELECT probe_id, rnk, cand_id, c AS cosine
+        |FROM r WHERE rnk <= $HardNegK
+        |ORDER BY probe_id, rnk""".stripMargin)),
     QueryDef("q48_neardup_exact", q48,
       Some(s"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
