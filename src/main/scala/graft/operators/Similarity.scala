@@ -184,7 +184,7 @@ object Similarity {
     * candidate generation instead of the exact probes × corpus score. The
     * sample-fit quantizer (q85's [[fitCentroids]], ~√n cells) assigns every
     * candidate its single nearest cell in one codegen'd pass; each probe
-    * explodes to its [[IvfProbes]] nearest cells (q39's shape) and scores
+    * explodes to its [[ivfProbesFor]] nearest cells (q39's shape) and scores
     * only cell-mates. Cost: |probe cells| is KB-scale and broadcasts, the
     * corpus never shuffles, and scored pairs shrink from probes × N to
     * probes × (IvfProbes/k̂) × N — the q82-vs-q25 anchor/twin contract
@@ -235,7 +235,8 @@ object Similarity {
     val assigned = cand.select(col("id"), col("label"), col("v"),
       quant.assign(col("v")).as("cell"))
     val probeCells = probes.select(col("probe_id"), col("plabel"), col("pv"),
-      explode(quant.probeCells(col("pv"), IvfProbes)).as("cell"))
+      explode(quant.probeCells(col("pv"), ivfProbesFor(quant.nCells)))
+        .as("cell"))
     assigned.join(broadcast(probeCells), Seq("cell"))
       .transform(hardNegRank(k))
   }
@@ -537,6 +538,20 @@ object Similarity {
       math.min(Quantizers.FlatCellCap.toLong * Quantizers.FlatCellCap,
         math.round(math.sqrt(n.toDouble))).toInt)
 
+  /** Probe fan-out for a k-cell quantizer: max([[IvfProbes]], ⌈√k⌉). A
+    * FIXED fan-out over √n-scaled cells probes a shrinking 4/√n fraction
+    * of the corpus, so recall DECAYS with every scale-up (measured on
+    * q92b: 0.48 at 500 vectors/22 cells → 0.37 at 5k/71 before this).
+    * √k probes shrink the probed fraction only as n^(-1/4) while
+    * per-probe scanned mass stays sublinear: cells ~ √n of size ~√n each,
+    * so √k · n/k = n^(3/4) candidates per probe (0.56% of a 10^9-vector
+    * corpus) — the nlist/nprobe co-scaling rule IVF deployments tune to.
+    * At the fixture's 16 cells this is exactly [[IvfProbes]], so the
+    * deterministic-seed twins' oracles (16 seed cells) are unaffected.
+    */
+  def ivfProbesFor(cells: Int): Int =
+    math.max(IvfProbes, math.ceil(math.sqrt(cells.toDouble)).toInt)
+
   /** q39: IVF ANN — a KMeans coarse quantizer assigns each vector to a cell;
     * probes scan only their `IvfProbes` nearest cells. The centroid table is
     * model state (IvfCells x dim — KB-scale), NOT data, so ranking the
@@ -594,7 +609,8 @@ object Similarity {
 
   /** The shared IVF retrieval tail over a clean (vec_id, v) frame: assign
     * every corpus row to its `quant` cell, explode each fixed probe (vec_id
-    * < 5) to its [[IvfProbes]] nearest cells, score cell-mates, rank top-k.
+    * < 5) to its [[ivfProbesFor]] nearest cells, score cell-mates, rank
+    * top-k.
     * q39 (trained KMeans codebook) and q39b (deterministic lowest-id seeds)
     * run this same code — q39b's DuckDB hash row therefore pins the
     * assignment/cell-join/rank machinery q39's trained form reuses, leaving
@@ -603,11 +619,12 @@ object Similarity {
   def ivfTopK(base: DataFrame, quant: CellQuantizer): DataFrame = {
     val assigned = base.select(col("vec_id"), col("v"),
       quant.assign(col("v")).as("cell"))
-    // probe side: 5 fixed probes x their IvfProbes nearest cells
+    // probe side: 5 fixed probes x their ivfProbesFor(cells) nearest cells
     val probeRows = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val probeCells = probeRows.select(col("probe_id"), col("pv"),
-      explode(quant.probeCells(col("pv"), IvfProbes)).as("cell"))
+      explode(quant.probeCells(col("pv"), ivfProbesFor(quant.nCells)))
+        .as("cell"))
     assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
