@@ -258,8 +258,15 @@ object Multimodal {
     * scan), ids+fingerprint-only chunk join, per-id count — payload bytes
     * never shuffle.
     */
-  def q77(spark: SparkSession, dir: String): DataFrame = {
-    val fp = perceptualHashes(mediaTable(spark, dir))
+  def q77(spark: SparkSession, dir: String): DataFrame =
+    neardupProfile(perceptualHashes(mediaTable(spark, dir)))
+
+  /** The q77 profile tail over any (id, fp) fingerprint frame: Hamming ≤ 3
+    * neighbor counts from the 4-chunk pigeonhole join (never all-pairs),
+    * left-joined back so isolated assets report 0. q77 (stub grid) and
+    * q77b (real decode) share it.
+    */
+  def neardupProfile(fp: DataFrame): DataFrame = {
     val pairs = Dedup.hammingPairs64(fp, maxHamming = 3)
     val deg = pairs.select(col("a_id").as("id"))
       .unionAll(pairs.select(col("b_id").as("id")))
@@ -268,6 +275,31 @@ object Multimodal {
       .select(col("id").as("media_id"), col("fp").as("phash"),
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
       .orderBy(col("media_id"))
+  }
+
+  /** q77b: the REAL-decode twin of q77 (VERDICT r11 "What's missing #3") —
+    * the same dHash → pigeonhole → profile pipeline, but over the committed
+    * [[graft.sources.MediaFixture]] PNG table with `gridFromImage`
+    * (javax.imageio) supplying the luminance grid instead of the byte
+    * stub. The fixture stores the encoded pixels twice: as PNG bytes (what
+    * this query decodes) and as the raw `px` luminance array (what the
+    * DuckDB oracle rebuilds the grid from) — so the oracle row fails if
+    * the codec round-trip returns anything but the encoded pixels, putting
+    * a hash on the decode path that was previously property-checked only.
+    * Ignores `dir` by design: the fixture is repo-committed model data,
+    * not driver testdata.
+    */
+  def q77b(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(graft.sources.MediaFixture.fixtureDir)
+      .select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+    // perceptualHashes' mapPartitions batch shape with the real decoder —
+    // 8 bytes/asset leave the scan; payload bytes never shuffle
+    val fp = media.mapPartitions { rows =>
+      rows.map { case (id, bytes) => (id, dhash64(gridFromImage(bytes))) }
+    }.toDF("id", "fp")
+    neardupProfile(fp)
   }
 
   /** Metadata/bytes query over the binary column — md5/length/prefix are
@@ -322,15 +354,22 @@ object Multimodal {
     * The real-pixel dHash path stays property-checked on planted PNGs
     * (MultimodalSpec); this row pins the registered stub path end-to-end.
     */
-  private def dhashOracle: String = {
-    val cells = GridW * GridH            // 72 grid cells
-    val bits = GridH * (GridW - 1)       // 64 hash bits
-    val M = BigInt(1) << 64
-    val H = BigInt(1) << 63
-    val terms = (0 until bits).map { k =>
+  /** The 64 dHash bit terms over a `grid` list column (1-based DuckDB
+    * indexing), assembled in HUGEINT — shared by the q77 (stub-grid) and
+    * q77b (real-pixel) oracles so both mirror `dhash64` from the same
+    * generated SQL.
+    */
+  private def dhashTermsSql: String =
+    (0 until GridH * (GridW - 1)).map { k =>
       val left = (k / (GridW - 1)) * GridW + (k % (GridW - 1)) + 1 // 1-based
       s"CASE WHEN grid[${left + 1}] > grid[$left] THEN ${BigInt(1) << k} ELSE 0 END"
     }.mkString(" + ")
+
+  private def dhashOracle: String = {
+    val cells = GridW * GridH            // 72 grid cells
+    val M = BigInt(1) << 64
+    val H = BigInt(1) << 63
+    val terms = dhashTermsSql
     s"""WITH d AS (
        |  SELECT doc_id AS media_id, text,
        |    octet_length(CAST(text AS BLOB)) AS n
@@ -367,11 +406,58 @@ object Multimodal {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** DuckDB mirror of q77b: rebuild the luminance grid from the fixture's
+    * `px` array (cell i = mean of its 4×4 block — the pixels are constant
+    * per block, so the mean is the exact block value in both Float and
+    * DOUBLE), then the same generated dHash bit terms, signed re-center,
+    * all-pairs Hamming ≤ 3, and neighbor counts as the q77 oracle. The
+    * engine never reads `px` and the oracle never reads `media`, so a
+    * codec round-trip that returns anything but the encoded pixels
+    * hash-mismatches this row.
+    */
+  private def q77bOracle: String = {
+    import graft.sources.MediaFixture.{Block, W}
+    val cells = GridW * GridH
+    val M = BigInt(1) << 64
+    val H = BigInt(1) << 63
+    s"""WITH m AS (
+       |  SELECT media_id, px
+       |  FROM read_parquet('${graft.sources.MediaFixture.fixtureDir}/*.parquet')),
+       |cells AS (
+       |  SELECT media_id, i.i AS i,
+       |    list_avg(list_transform(generate_series(0, ${Block * Block - 1}),
+       |      j -> px[(i.i // $GridW * $Block + j // $Block) * $W
+       |              + (i.i % $GridW * $Block + j % $Block) + 1])) AS mval
+       |  FROM m, unnest(generate_series(0, ${cells - 1})) AS i(i)),
+       |g AS (SELECT media_id, list(mval ORDER BY i) AS grid
+       |      FROM cells GROUP BY media_id),
+       |hh AS (SELECT media_id, CAST($dhashTermsSql AS HUGEINT) AS uh FROM g),
+       |hs AS (
+       |  SELECT media_id,
+       |    CAST(CASE WHEN uh >= $H THEN uh - $M ELSE uh END AS BIGINT) AS phash
+       |  FROM hh),
+       |p AS (SELECT a.media_id AS a_id, b.media_id AS b_id
+       |      FROM hs a, hs b
+       |      WHERE a.media_id < b.media_id
+       |        AND bit_count(xor(a.phash, b.phash)) <= 3),
+       |deg AS (SELECT id, COUNT(*) AS nn FROM (
+       |          SELECT a_id AS id FROM p
+       |          UNION ALL SELECT b_id AS id FROM p) GROUP BY id)
+       |SELECT hs.media_id, hs.phash,
+       |  CAST(coalesce(deg.nn, 0) AS BIGINT) AS n_neighbors
+       |FROM hs LEFT JOIN deg ON deg.id = hs.media_id
+       |ORDER BY media_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // oracle added round 9: the registered stub path IS SQL-mirrorable
     // (byte-grid means + adjacent-pair bits + all-pairs Hamming); the
     // real-pixel decode stays property-checked (planted PNGs, MultimodalSpec)
     QueryDef("q77_image_neardup", q77, Some(dhashOracle)),
+    // round 12: the real javax.imageio decode path gets its own oracle row
+    // over the committed PNG fixture (engine decodes `media`, oracle
+    // recomputes from `px`)
+    QueryDef("q77b_image_neardup_decoded", q77b, Some(q77bOracle)),
     QueryDef("q28_multimodal_meta", q28,
       Some("""SELECT doc_id AS media_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

@@ -125,6 +125,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(total % 2 === 0)
   }
 
+  /** q77b fixture integrity + planted structure: the committed parquet's
+    * `px` must match regeneration from source (no silent fixture drift),
+    * the real decode must return exactly the encoded luminances, and the
+    * neighbor profile must realize the PLANTED Hamming design — pairs at
+    * distance 1/2/1/3 are mutual neighbors, the distance-5 pair and the
+    * six standalone assets are not. The DuckDB oracle re-derives the same
+    * profile from `px`; this spec is the engine-side ground truth for the
+    * planted distances themselves.
+    */
+  test("q77b: committed PNG fixture decodes to planted hashes and neighbor profile") {
+    import graft.sources.MediaFixture
+    val rows = spark.read.parquet(MediaFixture.fixtureDir)
+      .select("media_id", "media", "px").collect()
+    assert(rows.length === MediaFixture.NumAssets)
+    rows.foreach { r =>
+      val id = r.getLong(0).toInt
+      // committed px == regenerated pattern (fixture drift guard)
+      assert(r.getSeq[Int](2) === MediaFixture.pixels(id).toSeq, s"px drift id=$id")
+      // real decode returns the encoded block grid exactly
+      val grid = Multimodal.gridFromImage(r.getAs[Array[Byte]](1))
+      assert(grid.map(_.toInt).toSeq === MediaFixture.cellGrid(id).toSeq,
+        s"decode drift id=$id")
+    }
+    val profile = Multimodal.q77b(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val neighbors = Set(0L, 8L, 1L, 9L, 2L, 10L, 3L, 11L)
+    profile.foreach { case (id, nn) =>
+      assert(nn === (if (neighbors(id)) 1L else 0L), s"profile id=$id nn=$nn")
+    }
+  }
+
   test("frame sampling yields n frames of bounded size per asset") {
     val frames = Multimodal.sampleFrames(
       Multimodal.mediaTable(spark, dir), frameBytes = 32, nFrames = 4)
