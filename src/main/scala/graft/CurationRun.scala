@@ -53,54 +53,79 @@ import graft.sources.PartitionedParquet
   */
 object CurationRun {
 
+  /** Stage-wall timer for the scale audits (SCALE.md's CurationRun table):
+    * every stage boundary in [[run]] is an EAGER materialization
+    * (localCheckpoint / sink write), so wrapping the block bounds that
+    * stage's wall. stderr-only observability — no data-path effect.
+    */
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    System.err.println(
+      f"[curation-run] stage-wall $label%-12s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
   /** Execute the chain over `sfDir`'s documents table, write all sink
     * artifacts under `outDir`, and return the manifest (also written).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     // one parquet scan feeds the funnel AND both dimension fan-backs
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .localCheckpoint()
-    val funnel = Pipeline.curationStages(
-      docs.select(col("doc_id"), col("text")), Pipeline.EvalEvery)
+    val docs = timed("scan") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .localCheckpoint()
+    }
+    // curationStages materializes its member frames eagerly, so this block
+    // carries the quality-gate + exact-dedup + near-dedup wall
+    val funnel = timed("funnel") {
+      Pipeline.curationStages(
+        docs.select(col("doc_id"), col("text")), Pipeline.EvalEvery)
+    }
     // decontaminated survivors: stat + line-dedup input (gram-join lineage
     // behind it — materialize, q78 precedent)
-    val dec = funnel.last._2.localCheckpoint()
+    val dec = timed("decon_ckpt") { funnel.last._2.localCheckpoint() }
 
     // stage 5: strip corpus-duplicated lines (q80b's 64-bit-key form);
     // boilerplate-only docs empty out and leave the corpus here
-    val lined = Pipeline.lineDedupHashed(dec.select(col("doc_id"), col("text")))
-      .filter(col("n_kept") > 0)
-      .select(col("doc_id"), col("cleaned").as("text"))
-      .withColumn("n_tokens", graft.functions.text.tokenCount(col("text")))
-      .localCheckpoint()
+    val lined = timed("line_dedup") {
+      Pipeline.lineDedupHashed(dec.select(col("doc_id"), col("text")))
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("cleaned").as("text"))
+        .withColumn("n_tokens", graft.functions.text.tokenCount(col("text")))
+        .localCheckpoint()
+    }
 
     // stage 6: cut corpus-duplicated 8-token spans (q84); span-only docs
     // leave. Post-cut token count is exact arithmetic on spanCut's own
     // columns (kept = n_tokens - n_cut), not a re-tokenize.
-    val cut = Dedup.spanCut(lined.select(col("doc_id"), col("text")))
-      .filter(col("n_tokens") - col("n_cut") > 0)
-      .select(col("doc_id"), col("cleaned").as("text"),
-        (col("n_tokens") - col("n_cut")).as("n_tokens"))
-      .localCheckpoint()
+    val cut = timed("span_cut") {
+      Dedup.spanCut(lined.select(col("doc_id"), col("text")))
+        .filter(col("n_tokens") - col("n_cut") > 0)
+        .select(col("doc_id"), col("cleaned").as("text"),
+          (col("n_tokens") - col("n_cut")).as("n_tokens"))
+        .localCheckpoint()
+    }
 
     // stage 7: per-source cap (q89's salted two-phase rank — the verdict
     // frame is the artifact; the survivor frame is an id-only semi join)
-    val capVerdict = Pipeline.sourceCap(
-      cut.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
-      Pipeline.SourceCap).localCheckpoint()
-    val capped = cut.join(capVerdict.select(col("doc_id")), Seq("doc_id"))
-      .localCheckpoint()
+    val (capVerdict, capped) = timed("source_cap") {
+      val v = Pipeline.sourceCap(
+        cut.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        Pipeline.SourceCap).localCheckpoint()
+      (v, cut.join(v.select(col("doc_id")), Seq("doc_id")).localCheckpoint())
+    }
 
     // stage 8: language-mixture sampling (q75) — verdict keeps the losers
     // (audit trail); the corpus keeps the winners
-    val sampleVerdict = Pipeline.mixtureSample(
-      capped.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("text"))).localCheckpoint()
-    val sampled = capped
-      .join(sampleVerdict.filter(col("kept")).select(col("doc_id")),
-        Seq("doc_id"))
-      .localCheckpoint()
+    val (sampleVerdict, sampled) = timed("sampled") {
+      val v = Pipeline.mixtureSample(
+        capped.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("text"))).localCheckpoint()
+      (v, capped
+        .join(v.filter(col("kept")).select(col("doc_id")), Seq("doc_id"))
+        .localCheckpoint())
+    }
 
     // the funnel's last frame is re-read by the manifest stat AND the fates
     // fold — swap in the checkpointed copy so neither re-executes the
@@ -133,11 +158,13 @@ object CurationRun {
         Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("n_tokens"))
-    PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
-    capVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/source_cap")
-    sampleVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/sample")
-    fates.write.mode("overwrite").parquet(s"$outDir/verdicts/doc_fates")
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    timed("artifacts") {
+      PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
+      capVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/source_cap")
+      sampleVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/sample")
+      fates.write.mode("overwrite").parquet(s"$outDir/verdicts/doc_fates")
+      manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    }
     manifest
   }
 

@@ -552,47 +552,29 @@ object Similarity {
   def ivfProbesFor(cells: Int): Int =
     math.max(IvfProbes, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
-  /** q39: IVF ANN — a KMeans coarse quantizer assigns each vector to a cell;
-    * probes scan only their `IvfProbes` nearest cells. The centroid table is
-    * model state (IvfCells x dim — KB-scale), NOT data, so ranking the
-    * probe-side cells on the driver stays within the no-driver-data rule.
-    * Rows-only; recall vs exact q20 property-checked in SimilaritySpec.
+  /** q39: IVF ANN — the production retrieval form, sharing the family's ONE
+    * quantizer path ([[Quantizers.quantizerFor]], round 12 — previously a
+    * full-corpus 16-cell ML KMeans fit private to this query): bounded
+    * hash-keyed sample fit, √n cells ([[ivfCellsFor]]), flat plan-literal
+    * codebook below the 4096-cell cap and the two-level IMI product past
+    * it, √cells probe fan-out ([[ivfProbesFor]]). Corpus-wide assignment
+    * stays a native codegen'd expression (never ML `model.transform`,
+    * whose prediction column is a per-row Scala UDF). The one captured
+    * `count()` serves the empty short-circuit AND the cell sizing (q92b's
+    * single-probe idiom). Rows-only; recall vs exact q20
+    * property-checked in SimilaritySpec.
     */
   def q39(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val base = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
-      // null embeddings can't train or be assigned a cell (array_to_vector
-      // throws); the cosine tiers drop them via null propagation, the IVF
-      // tier drops them here
+      // null embeddings can't train or be assigned a cell; the cosine
+      // tiers drop them via null propagation, the IVF tier drops them here
       .filter(col("v").isNotNull)
-      .withColumn("fv", array_to_vector(col("v")))
-    // KMeans cannot train on an empty corpus — short-circuit with an empty,
-    // schema-correct result (the one isEmpty probe is fine for an operator
-    // that is inherently multi-job)
-    if (base.isEmpty) return emptyTopK(spark)
-    val model = new KMeans()
-      // random init + few iterations: k-means|| costs several extra
-      // distributed passes and an IVF quantizer only needs roughly-balanced
-      // cells, not converged-optimal ones (recall bound still asserted in
-      // SimilaritySpec)
-      .setK(IvfCells).setSeed(42).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(base)
-    // corpus-wide cell assignment via the native expression (inside
-    // FlatQuantizer), NOT model.transform: the ML prediction column is a
-    // per-row Scala UDF (plus an array_to_vector UDF under it) that would
-    // break whole-stage codegen on the one pass touching every vector. Same
-    // centroids, k=1, same argmin up to floating-point association: ML
-    // predict uses the norm-based fastSquaredDistance, so a near-exact tie
-    // between two centroids can resolve differently at the ulp level — an
-    // IVF cell boundary where either answer is fine, and the recall-bound
-    // spec tolerates the drift by construction
-    ivfTopK(base.drop("fv"),
-      FlatQuantizer(model.clusterCenters.map(_.toArray)))
+      .localCheckpoint()
+    val n = base.count()
+    if (n == 0) return emptyTopK(spark)
+    ivfTopK(base, Quantizers.quantizerFor(base, ivfCellsFor(n)))
   }
 
   /** Empty, schema-correct rankTopK result — the q39/q39b short-circuit for

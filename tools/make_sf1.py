@@ -1,6 +1,11 @@
 #!/usr/bin/env python3
 """Synthesize a 10x scale-up fixture (sf1) from sf0.1 (driver-side; NOT shipped).
-Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [copies]
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [copies] [off] [tables]
+
+A second decade (sf1 -> sf10) needs `off` above sf1's key domain (sf1 keys
+reach ~9*10M + base, so pass off=100000000); `tables` (comma-separated)
+restricts generation when only one table is needed at the next decade
+(e.g. `documents` for the CurationRun audit).
 
 Unions each table `copies` times with key offsets so referential integrity
 holds per copy (copy i's lineitems join copy i's orders, etc.) while the
@@ -37,12 +42,12 @@ KEYS = {
 SHARED = ["region", "nation"]
 
 
-def shift(table, name, i):
+def shift(table, name, i, off=OFF):
     cols = {}
     for field in table.schema:
         col = table[field.name]
         if field.name in KEYS.get(name, []):
-            col = pc.add(col, pa.scalar(i * OFF, type=field.type))
+            col = pc.add(col, pa.scalar(i * off, type=field.type))
         cols[field.name] = col
     t = pa.table(cols, schema=table.schema)
     if name == "documents" and i > 0:
@@ -69,14 +74,20 @@ def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sf1"
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    off = int(sys.argv[4]) if len(sys.argv) > 4 else OFF
+    only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
     os.makedirs(dst, exist_ok=True)
     for name in SHARED:
+        if only is not None and name not in only:
+            continue
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
         print(f"{name}: {t.num_rows} rows (shared)")
     for name in KEYS:
+        if only is not None and name not in only:
+            continue
         base = pq.read_table(os.path.join(src, f"{name}.parquet"))
-        out = pa.concat_tables(shift(base, name, i) for i in range(copies))
+        out = pa.concat_tables(shift(base, name, i, off) for i in range(copies))
         pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
         print(f"{name}: {base.num_rows} -> {out.num_rows} rows")
 
