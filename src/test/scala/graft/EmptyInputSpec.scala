@@ -43,7 +43,12 @@ class EmptyInputSpec extends AnyFunSuite {
   private val expectedRows = Map(
     "q54_promo_revenue" -> 1L,
     "q65_cms_counts" -> graft.operators.TextAnalysis.CmsProbes.size.toLong,
-    "q88_curation_funnel" -> 5L)
+    "q88_curation_funnel" -> 5L,
+    // q77b is dir-independent BY DESIGN (q00's class): it decodes the
+    // committed pixel-known PNG fixture, so an empty sf dir still yields
+    // one profile row per fixture asset
+    "q77b_image_neardup_decoded" ->
+      graft.sources.MediaFixture.NumAssets.toLong)
 
   test("every registered query runs on empty tables and returns 0 rows") {
     // q00 reads the fixed reference corpus, not the sf dir

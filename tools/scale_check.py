@@ -27,7 +27,15 @@ import sys
 # q92 exact hard-negative mining (probes x corpus = N^2/40; twin: q92b's
 # IVF-fed candidate generation feeding the same rank-and-gate tail).
 ANCHORS = {"q48": "q24", "q23": "q21", "q31": "q52", "q71": "q71b",
-           "q82": "q25", "q92": "q92b"}
+           "q82": "q25", "q92": "q92b",
+           # round 12: the deterministic-seed oracle twins hold their
+           # codebook FIXED at the fixture's 16 cells so the assignment
+           # arithmetic stays SQL-mirrorable at any sf — which makes q92c's
+           # per-probe scan n/4 and its total pair mass n^2/160 (quadratic
+           # BY DESIGN: its job is pinning the cell-join+gate+rank code
+           # with a DuckDB hash, not scaling; q92b's sqrt(n)-cell form is
+           # the scale path). q39b stays linear (5 fixed probes).
+           "q92c": "q92b"}
 SLACK = 1.3  # box noise band observed across rounds 3-6
 
 
