@@ -122,7 +122,53 @@ object Scalars {
       .orderBy(col("event_id"))
   }
 
+  /** Sketch precision for q95 (Datasketches lgConfigK): 2^12 registers,
+    * ~1.6% relative standard error, ~2 KB serialized per group.
+    */
+  val HllLgK = 12
+
+  /** q95: snapshot-mergeable distinct counting — the HLL sketch as a STORED
+    * binary column, not just a one-shot aggregate (q13_hll). The pipeline
+    * need: per-source vocabulary size tracked across daily snapshots
+    * without rescanning history — build per-(source, lang) sketches (the
+    * "snapshot grain"), persist them, and answer per-source questions by
+    * UNIONING sketches (hll_union_agg), never re-reading tokens. Register
+    * state is a slot-wise max, so sketches are order-independent and merge
+    * under any tree — the same mergeability contract as q64's Misra-Gries
+    * and q65's Count-Min, here for set cardinality.
+    *
+    * Output per source: the estimate from unioned sub-sketches next to the
+    * estimate from a direct one-pass sketch — ScalarsSpec asserts they are
+    * IDENTICAL (register max is associative) and both within ±5% of the
+    * exact distinct count. Rows-only for the driver (the oracle engine
+    * cannot mirror the sketch hash family).
+    *
+    * Shape for 100 TB: the token stream aggregates to |sources|×|langs|
+    * sketch rows (~2 KB each) map-side; the union pass touches only those
+    * rows. Cross-snapshot, the rescan cost is zero by construction.
+    */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        explode(text.cleanTokens(col("text"))).as("tok"))
+    val perSnapshot = toks
+      .groupBy(col("source"), col("lang"))
+      .agg(hll_sketch_agg(col("tok"), lit(HllLgK)).as("sketch"))
+    val merged = perSnapshot
+      .groupBy(col("source"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sketch"), lit(false))).as("est_merged"))
+    val direct = toks
+      .groupBy(col("source"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("tok"), lit(HllLgK))).as("est_direct"))
+    merged.join(direct, Seq("source"))
+      .select(col("source"), col("est_merged"), col("est_direct"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q95_hll_union", q95, None),
     QueryDef("q43_map_scalars", q43,
       Some("""SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,

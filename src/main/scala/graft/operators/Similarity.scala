@@ -759,7 +759,70 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q96: per-dimension embedding statistics — the profiling pass that
+    * precedes every embedding-tier operator: per dimension, the count,
+    * mean, and standard deviation across the corpus. What it buys at
+    * curation time: dead dimensions (std 0) and mean-shifted encoders
+    * surface immediately, and the (mean, std) table IS the whitening
+    * transform SemDeDup-style pipelines apply before cosine work.
+    *
+    * Determinism: each float quantizes to q = floor(v·1e4) (exact,
+    * order-independent — the fixed-point money discipline), so n/Σq/Σq²
+    * are exact integers in both engines; mean/std then take one IEEE
+    * double expression each (sqrt is correctly-rounded, unlike ln/exp, so
+    * it's allowed in hash-checked output). The quantized std is a
+    * well-defined statistic of the quantized values, not an approximation
+    * of the float std — documented, and identical cross-engine.
+    *
+    * Shape for 100 TB: explode fans n×d rows but the aggregate is keyed by
+    * the d-sized dim space — partial aggregation collapses each task to d
+    * rows of 3 longs, so the exchange moves #partitions×d tiny rows no
+    * matter the corpus size. Σq² stays in Long range until ~1e10 vectors
+    * (4e8 per element × rows); past that the q-scale drops a digit.
+    */
+  def q96(spark: SparkSession, dir: String): DataFrame =
+    embeddingStats(Tables.embeddings(spark, dir))
+
+  /** The q96 core over any (embedding ARRAY<FLOAT>) frame — planted specs
+    * run it directly.
+    */
+  def embeddingStats(emb: DataFrame): DataFrame = {
+    val x = emb
+      .filter(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("int").as("dim"),
+        floor(col("col").cast("double") * lit(10000)).cast("long").as("q"))
+    x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ss"))
+      .select(col("dim"), col("n"), col("s").as("sum_q"),
+        floor(col("s").cast("double") * lit(100) / col("n"))
+          .cast("long").as("mean_e6"),
+        floor(sqrt(greatest(
+          (col("ss").cast("double") - col("s").cast("double") * col("s")
+            / col("n")) / col("n"), lit(0.0))) * lit(100))
+          .cast("long").as("std_e6"))
+      .orderBy(col("dim"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q96_embedding_stats", q96,
+      // quantize-then-aggregate makes the sums exact integers; mean/std
+      // are single IEEE double expressions with identical association in
+      // both engines (see q96 docs)
+      Some("""WITH x AS (
+        |  SELECT CAST(i AS INT) AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |  WHERE embedding IS NOT NULL),
+        |g AS (SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS ss
+        |      FROM x GROUP BY dim)
+        |SELECT dim, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_q,
+        |  CAST(FLOOR(CAST(s AS DOUBLE) * 100 / n) AS BIGINT) AS mean_e6,
+        |  CAST(FLOOR(sqrt(greatest(
+        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n,
+        |    0)) * 100) AS BIGINT) AS std_e6
+        |FROM g ORDER BY dim""".stripMargin)),
     QueryDef("q85_semantic_dedup", q85,
       Some(s"""WITH RECURSIVE
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

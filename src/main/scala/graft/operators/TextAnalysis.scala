@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.text
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY §2.9 Q19 + the
@@ -347,6 +347,59 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q94 weight table: the per-token weight of the hashed-feature linear
+    * classifier, in milli-units ([-1000, 1000]). Production quality
+    * classifiers (the fastText/CCNet stage) ship a trained weight vector
+    * indexed by feature hash; here the weight IS a deterministic function
+    * of the token's md5 (a 60-bit draw mod 2001, centered), standing in for
+    * the trained table so the DuckDB oracle can recompute the exact scores.
+    * The scale property is identical either way: the "model" travels inside
+    * the expression (or as a broadcast map lookup for a real table) — no
+    * join, no shuffle, scoring is pure map-side work in the scan's codegen.
+    */
+  private def featWeight(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10)
+      .cast("long") % 2001 - 1000
+
+  /** q94: quality-classifier scoring — the model-based filter stage of the
+    * curation pipeline (CCNet/DataComp's fastText gate), as a hashed-
+    * feature linear classifier: score(doc) = Σ w(token) over token
+    * OCCURRENCES (a bag-of-words dot product), verdict = score >= 0.
+    * Integer milli-unit weights keep every engine's sum exact (the
+    * fixed-point money discipline); mean_e6 is the per-token mean weight in
+    * micro-units (one IEEE double division, deterministic cross-engine).
+    *
+    * Shape for 100 TB: weights evaluate per row inside whole-stage codegen
+    * (md5 + conv + arithmetic, no UDF); the per-doc rollup is the only
+    * exchange, and it's map-side combinable. A doc with no tokens scores
+    * (0, 0, 0, keep) — no-signal is not a drop reason at this stage.
+    */
+  def q94(spark: SparkSession, dir: String): DataFrame =
+    classifierScores(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q94 core over any (doc_id, text) frame — planted specs run it
+    * directly.
+    */
+  def classifierScores(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("doc_id"),
+        explode(graft.functions.text.cleanTokens(col("text"))).as("tok"))
+      .select(col("doc_id"), featWeight(col("tok")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_milli"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_milli"), lit(0L)).as("score_milli"),
+        floor(coalesce(col("score_milli"), lit(0L)).cast("double") * lit(1000)
+          / greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)))
+          .cast("long").as("mean_e6"),
+        (coalesce(col("score_milli"), lit(0L)) >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q91: corpus-fit language-model score — a CCNet-style quality signal
     * computed from the corpus itself, no external model: fit an add-one-
     * smoothed bigram LM on the whole corpus, then score every doc by its
@@ -440,6 +493,28 @@ object TextAnalysis {
         |  round(coalesce(per.al, 0.0), 4) AS avg_logprob
         |FROM base b LEFT JOIN per ON per.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin)),
+    QueryDef("q94_classifier_score", q94,
+      // the weight table is recomputed from md5 in both engines, so the
+      // integer milli-unit sums are exact; mean_e6 is one double division
+      // + floor (the q81 oov_e6 idiom)
+      Some("""WITH t0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       t -> t <> '')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM t0),
+        |per AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM w GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(per.s, 0) AS BIGINT) AS score_milli,
+        |  CAST(FLOOR(CAST(coalesce(per.s, 0) AS DOUBLE) * 1000 /
+        |    greatest(coalesce(per.n, 0), 1)) AS BIGINT) AS mean_e6,
+        |  (coalesce(per.s, 0) >= 0) AS keep
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q81_oov_rate", q81,
       Some(s"""WITH t0 AS (
         |  SELECT doc_id,

@@ -321,4 +321,20 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("lambdafunction"), p.take(500))
     }
   }
+
+  test("q94: classifier weights evaluate in codegen; per-doc rollup is two-phase") {
+    val p = plan(graft.operators.TextAnalysis.q94(spark, dir))
+    assert(!p.contains("UDF("), "classifier scoring fell out of codegen")
+    // partial then final aggregate — the token stream combines map-side
+    // before the doc-keyed exchange
+    assert(p.contains("HashAggregate"), p.take(400))
+    assert(ops(p, "HashAggregate") >= 2, "no two-phase aggregate")
+  }
+
+  test("q96: dim stats partial-aggregate before the d-sized exchange; scan reads only the vectors") {
+    val p = plan(graft.operators.Similarity.q96(spark, dir))
+    assert(ops(p, "HashAggregate") >= 2, "no map-side partial aggregation")
+    assert(!p.contains("Join"), "stats must not join")
+    assert(!p.contains("label:int"), "scan reads pruned label column")
+  }
 }

@@ -100,4 +100,30 @@ class ScalarsSpec extends AnyFunSuite {
         s"$flag: cap $cap rank [$lo,$hi] vs target $target (n=$n)")
     }
   }
+
+  /** q95: the merged-from-sub-sketches estimate must EQUAL the direct
+    * one-pass estimate (HLL register state is a slot-wise max — associative
+    * and order-independent, so the union of per-(source, lang) sketches is
+    * bit-equivalent to sketching the union), and both must land within ±5%
+    * of the exact per-source distinct token count.
+    */
+  test("q95 HLL union-of-parts equals direct sketch; both within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.text.cleanTokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("tok")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Scalars.q95(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === exact.keySet)
+    for ((src, (merged, direct)) <- got) {
+      assert(merged === direct,
+        s"$src: union-of-parts $merged != direct $direct")
+      val e = exact(src)
+      assert(math.abs(direct - e).toDouble / e <= 0.05,
+        s"$src: sketch $direct vs exact $e drifts > 5%")
+    }
+  }
 }

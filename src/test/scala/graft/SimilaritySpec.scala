@@ -382,4 +382,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1.0)
     assert(math.abs(r.getDouble(3) - 0.2) < 1e-9, s"margin ${r.getDouble(3)}")
   }
+
+  /** q96: planted per-dimension stats, hand-computed in the quantized
+    * domain. dim1 is constant (std 0), dim2 is ±1 (mean 0, std exactly 1),
+    * dim3 has a known non-trivial mean/std; a null embedding row changes
+    * nothing.
+    */
+  test("embedding stats: hand-computed quantized mean/std per dim, nulls excluded") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.5f, 1.0f, 0.1f)),
+      (2L, Seq(0.5f, -1.0f, 0.3f)),
+      (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingStats(emb).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // dim1: q = 5000, 5000 -> n 2, sum 10000, mean_e6 500000, std 0
+    assert(got(1) === ((2L, 10000L, 500000L, 0L)))
+    // dim2: q = 10000, -10000 -> mean 0, var 1e8, std 1e4 -> std_e6 1e6
+    assert(got(2) === ((2L, 0L, 0L, 1000000L)))
+    // dim3: q = floor(0.1f*1e4)=1000 (0.1f widens just above 0.1),
+    // floor(0.3f*1e4)=3000 (0.3f widens just above 0.3); mean 2000 q-units
+    // -> 200000 e6-units; var = 1e6 q^2, std = 1000 q-units -> 100000
+    assert(got(3) === ((2L, 4000L, 200000L, 100000L)))
+  }
 }

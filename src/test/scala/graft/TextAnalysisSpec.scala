@@ -154,4 +154,47 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 0L, 0.0),
       (4L, 0L, 0.0)))
   }
+
+  /** q94 classifier: the hashed-feature weight table recomputed in plain
+    * Scala (md5 → first 15 hex chars → mod 2001, centered), scores summed
+    * over token OCCURRENCES; token-less and null-text docs report
+    * (0, 0, 0, keep).
+    */
+  test("classifier score matches the plain-Scala weight model; edge docs keep") {
+    import spark.implicits._
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    def model(s: String): (Long, Long) = {
+      val toks = tokens(s)
+      (toks.size.toLong, toks.map(weight).sum)
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox the"), // repeated token counts twice
+      (2L, "zzz"),
+      (3L, "..."),                     // tokenless
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScores(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    def row(id: Long, s: String): (Long, Long, Long, Long, Boolean) = {
+      val (n, sum) = model(s)
+      (id, n, sum, math.floor(sum.toDouble * 1000 / math.max(n, 1)).toLong,
+        sum >= 0)
+    }
+    assert(got === Array(
+      row(1L, "the quick brown fox the"),
+      row(2L, "zzz"),
+      (3L, 0L, 0L, 0L, true),
+      (4L, 0L, 0L, 0L, true)))
+    // the model is exercised on both verdicts somewhere in the vocabulary:
+    // weights span negative and positive values
+    val ws = Seq("the", "quick", "brown", "fox", "zzz").map(weight)
+    assert(ws.exists(_ < 0) && ws.exists(_ > 0),
+      s"degenerate weight draw: $ws")
+  }
 }
