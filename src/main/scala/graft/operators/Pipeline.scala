@@ -932,7 +932,74 @@ object Pipeline {
       |GROUP BY tr.doc_id, tr.n_grams
       |ORDER BY doc_id""".stripMargin
 
+  /** q97: corpus health report — the data-quality monitor a production
+    * pipeline runs on every snapshot before (and after) curation: per
+    * source plus a ROLLUP total, document count, null-text count,
+    * exact-duplicate membership (docs whose md5(text) appears ≥2 anywhere
+    * in the corpus — dup CLUSTERS cross sources, so the count is
+    * corpus-keyed but reported per source), token and character mass, and
+    * per-source language spread. Drift in any column between snapshots is
+    * the first alarm for ingest regressions (a feed gone null, a mirror
+    * double-ingested, a language filter silently off).
+    *
+    * Shape for 100 TB: one md5-keyed count (q18's fixed-width-key
+    * discipline — texts never shuffle, the hash does), one join back on the
+    * same key, then a rollup whose partial aggregates collapse to
+    * |sources|+1 rows map-side. Null-text docs hash to NULL and are never
+    * dup members (a missing payload is a null-rate fact, not a duplicate).
+    */
+  def q97(spark: SparkSession, dir: String): DataFrame =
+    corpusHealth(Tables.documents(spark, dir))
+
+  /** The q97 core over any documents-shaped frame — planted specs run it
+    * directly.
+    */
+  def corpusHealth(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("lang"), col("n_chars"),
+      col("text"), md5(col("text").cast("binary")).as("h"))
+    val dupCounts = d.filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(count(lit(1)).as("hc"))
+    d.join(dupCounts, Seq("h"), "left")
+      .select(col("source"), col("lang"), col("n_chars"),
+        when(col("text").isNull, 1L).otherwise(0L).as("nullt"),
+        (coalesce(col("hc"), lit(0L)) >= 2).cast("long").as("isd"),
+        // size(null) = -1 under Spark's legacy default — a null payload
+        // must contribute 0 tokens, not subtract one
+        when(col("text").isNull, lit(0L))
+          .otherwise(text.tokenCount(col("text"))).as("nt"))
+      .rollup(col("source"))
+      .agg(
+        grouping(col("source")).cast("int").as("g_src"),
+        count(lit(1)).as("n_docs"),
+        sum(col("nullt")).as("n_null_text"),
+        sum(col("isd")).as("n_dup_docs"),
+        coalesce(sum(col("nt")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy(col("g_src"), col("source").asc_nulls_first)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q97_corpus_health", q97,
+      Some("""WITH d AS (
+        |  SELECT source, lang, n_chars, text, md5(text) AS h,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                         t -> t <> '')) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (SELECT h, COUNT(*) AS hc FROM d WHERE h IS NOT NULL GROUP BY h),
+        |f AS (SELECT d.*, (coalesce(c.hc, 0) >= 2) AS isd
+        |      FROM d LEFT JOIN c USING (h))
+        |SELECT source,
+        |  CAST(GROUPING(source) AS INT) AS g_src,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_text,
+        |  CAST(SUM(CASE WHEN isd THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(coalesce(SUM(nt), 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM f GROUP BY ROLLUP (source)
+        |ORDER BY g_src, source NULLS FIRST""".stripMargin)),
     QueryDef("q63_label_profile", q63,
       Some(s"""$cleanedCte
         |SELECT label, COUNT(*) AS n_docs, AVG(n_tokens) AS avg_tokens

@@ -515,4 +515,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L) === ((Some(1), 1L, "only line")))
     assert(got(2L) === ((None, 0L, "")))
   }
+
+  /** q97 corpus health: a planted corpus with a CROSS-source dup pair, a
+    * within-source dup pair, null texts, and mixed langs — every report
+    * column hand-computed. Dup membership is corpus-keyed ("aa bb" in web
+    * and books are BOTH dups); null-text docs count in n_null_text but
+    * never as dups, even though two share the null "value".
+    */
+  test("corpus health report: per-source and rollup rows hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb", "en", "web", 5L),      // dup with 4 (cross-source)
+      (2L, "cc dd ee", "en", "web", 8L),   // unique
+      (3L, null, "de", "web", 0L),         // null text
+      (4L, "aa bb", "en", "books", 5L),    // dup with 1
+      (5L, "ff gg", "fr", "books", 5L),    // dup with 6 (within-source)
+      (6L, "ff gg", "fr", "books", 5L),    // dup with 5
+      (7L, null, null, "books", 0L))       // null text AND lang
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Pipeline.corpusHealth(docs).collect()
+      .map(r => ((if (r.isNullAt(0)) "<total>" else r.getString(0)), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))).toMap
+    // (n_docs, n_null_text, n_dup_docs, n_tokens, sum_chars, n_langs)
+    assert(got(("web", 0)) === ((3L, 1L, 1L, 5L, 13L, 2L)))
+    assert(got(("books", 0)) === ((4L, 1L, 3L, 6L, 15L, 2L)))
+    assert(got(("<total>", 1)) === ((7L, 2L, 4L, 11L, 28L, 3L)))
+  }
 }
