@@ -12,20 +12,21 @@ import graft.sources.PartitionedParquet
   * intermediate files; here the whole chain is one lazily-planned Spark job
   * graph with explicit materialization points).
   *
-  *   q44 gates → q18 exact dedup → q21+q56 near-dup resolution → q57-style
-  *   eval-window doc drop   (= q88's five funnel stages, BY CONSTRUCTION:
+  *   q44 gates → q94 classifier gate → q18 exact dedup → q21+q56 near-dup
+  *   resolution → q57-style
+  *   eval-window doc drop   (= q88's six funnel stages, BY CONSTRUCTION:
   *   the run consumes [[Pipeline.curationStages]]'s own frames, so the
-  *   manifest's first five rows hash-match the q88 oracle without any
+  *   manifest's first six rows hash-match the q88 oracle without any
   *   re-implementation)
   *   → q80b corpus-duplicated line strip (hashed production form)
   *   → q84 duplicated-span surgery
   *   → q89 per-source cap (salted two-phase)
   *   → q75 language-mixture sampling.
   *
-  * q86's eval-window CUT is deliberately absent: the funnel's stage 4
+  * q86's eval-window CUT is deliberately absent: the funnel's stage 5
   * already DROPS every doc sharing an eval window (q88's doc-drop policy),
   * so the surgical cut over its survivors flags nothing by construction —
-  * a run that prefers surgery to dropping would swap stage 4 for q86, not
+  * a run that prefers surgery to dropping would swap stage 5 for q86, not
   * run both.
   *
   * Artifacts under `outDir`:
@@ -48,7 +49,7 @@ import graft.sources.PartitionedParquet
   * re-executing a gram-explode or CC lineage per branch), and (b) id-only
   * joins to fan dimension columns (lang, source) back onto survivor frames
   * — text never rides a join it doesn't need. The doc-fates table is a
-  * fold of id-only left joins (nine frames of strictly nested survivor
+  * fold of id-only left joins (ten frames of strictly nested survivor
   * sets), never a text shuffle.
   */
 object CurationRun {
@@ -86,7 +87,7 @@ object CurationRun {
     // behind it — materialize, q78 precedent)
     val dec = timed("decon_ckpt") { funnel.last._2.localCheckpoint() }
 
-    // stage 5: strip corpus-duplicated lines (q80b's 64-bit-key form);
+    // stage 6: strip corpus-duplicated lines (q80b's 64-bit-key form);
     // boilerplate-only docs empty out and leave the corpus here
     val lined = timed("line_dedup") {
       Pipeline.lineDedupHashed(dec.select(col("doc_id"), col("text")))
@@ -96,7 +97,7 @@ object CurationRun {
         .localCheckpoint()
     }
 
-    // stage 6: cut corpus-duplicated 8-token spans (q84); span-only docs
+    // stage 7: cut corpus-duplicated 8-token spans (q84); span-only docs
     // leave. Post-cut token count is exact arithmetic on spanCut's own
     // columns (kept = n_tokens - n_cut), not a re-tokenize.
     val cut = timed("span_cut") {
@@ -107,7 +108,7 @@ object CurationRun {
         .localCheckpoint()
     }
 
-    // stage 7: per-source cap (q89's salted two-phase rank — the verdict
+    // stage 8: per-source cap (q89's salted two-phase rank — the verdict
     // frame is the artifact; the survivor frame is an id-only semi join)
     val (capVerdict, capped) = timed("source_cap") {
       val v = Pipeline.sourceCap(
@@ -116,7 +117,7 @@ object CurationRun {
       (v, cut.join(v.select(col("doc_id")), Seq("doc_id")).localCheckpoint())
     }
 
-    // stage 8: language-mixture sampling (q75) — verdict keeps the losers
+    // stage 9: language-mixture sampling (q75) — verdict keeps the losers
     // (audit trail); the corpus keeps the winners
     val (sampleVerdict, sampled) = timed("sampled") {
       val v = Pipeline.mixtureSample(

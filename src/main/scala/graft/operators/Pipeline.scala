@@ -169,8 +169,10 @@ object Pipeline {
   /** q88: curation funnel report — the per-stage artifact a full curation
     * RUN ships (every stage is a shipped operator, composed in the order a
     * production pipeline applies them): train-side raw corpus → quality
-    * gates (q44's three) → exact dedup (min-id per md5) → near-dup
-    * resolution (q21 pairs at 0.8 + q56 CC, component min survives) →
+    * gates (q44's three) → model gate (q94's classifier at the
+    * [[ClassifierFloorE6]] operating point) → exact dedup (min-id per md5)
+    * → near-dup resolution (q21 pairs at 0.8 + q56 CC, component min
+    * survives) →
     * benchmark decontamination (drop docs sharing any 8-token window with
     * an eval doc — the doc-DROP policy; q86 is the surgical alternative).
     * One row per stage: (stage_idx, stage, docs, tokens) — the "how much
@@ -180,7 +182,7 @@ object Pipeline {
     * are one codegen'd projection; dedup one md5 shuffle; pairs ids-only
     * banded joins; decontam a broadcast membership test). The reused
     * survivor frames are localCheckpoint-materialized (q78's lesson) so the
-    * five stat branches re-read materialized partitions instead of
+    * six stat branches re-read materialized partitions instead of
     * re-executing the gate/window/CC lineage per branch; each stat is a
     * two-long aggregate.
     */
@@ -210,7 +212,8 @@ object Pipeline {
         col("docs"), col("tokens"))
 
   /** The funnel's staged survivor frames, in stage order, each carrying
-    * (doc_id, text, n_tokens, …): raw → quality → exact_dedup → near_dedup
+    * (doc_id, text, n_tokens, …): raw → quality → classifier →
+    * exact_dedup → near_dedup
     * → decontaminated. Exposed so [[graft.CurationRun]] can WRITE the same
     * frames q88 counts — manifest parity with the q88 oracle is then by
     * construction, not by re-implementation.
@@ -230,7 +233,14 @@ object Pipeline {
         text.tokenSetRatio(col("text"), text.stopwords("en")).as("sw_ratio"))
     val qual = base.filter(col("n_tokens") >= 20 &&
       col("alpha_ratio") >= 0.5 && col("sw_ratio") <= 0.5)
-    val exs = qual
+    // model gate (q94's scorer at the funnel's operating point): the
+    // id-only semi join keeps the gate off the text payload's shuffle path
+    val clfIds = TextAnalysis.classifierScoresUnsorted(
+        qual.select(col("doc_id"), col("text")))
+      .filter(col("mean_e6") >= ClassifierFloorE6)
+      .select(col("doc_id"))
+    val clf = qual.join(clfIds, Seq("doc_id"))
+    val exs = clf
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text").cast("binary")))
           .orderBy(col("doc_id"))))
@@ -257,9 +267,21 @@ object Pipeline {
       .join(broadcast(evalGh), Seq("gh"))
       .select(col("doc_id")).distinct()
     val dec = nears.join(hits, Seq("doc_id"), "left_anti")
-    Seq("raw" -> base, "quality" -> qual, "exact_dedup" -> exs,
-      "near_dedup" -> nears, "decontaminated" -> dec)
+    Seq("raw" -> base, "quality" -> qual, "classifier" -> clf,
+      "exact_dedup" -> exs, "near_dedup" -> nears, "decontaminated" -> dec)
   }
+
+  /** The funnel's classifier operating point, on q94's mean_e6 scale
+    * (mean per-token weight in micro-milli-units). The weight table is a
+    * zero-mean md5 stand-in for a trained model (TextAnalysis.q94 docs), so
+    * a 90-token doc's mean has σ ≈ 61,000 e6-units — the floor sits ~5σ
+    * out, cutting only deliberately weight-stuffed documents (the planted
+    * funnel spec) while ordinary corpus docs pass. With a REAL trained
+    * weight table this constant is the calibrated precision/recall
+    * operating point; the gate's plan shape (map-side scoring + id-only
+    * semi join) is identical either way.
+    */
+  val ClassifierFloorE6: Long = -300000L
 
   /** q89: per-source document cap — keep at most `cap` docs per source, the
     * over-represented-domain downsampling step of web-corpus curation. The
@@ -1124,9 +1146,20 @@ object Pipeline {
         |qual AS (
         |  SELECT * FROM base
         |  WHERE n_tokens >= 20 AND alpha_ratio >= 0.5 AND sw_ratio <= 0.5),
+        |clfs AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(CAST(SUM(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+        |        % 2001 - 1000) AS DOUBLE) * 1000 / COUNT(*)) AS BIGINT) AS m
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '')) AS tok
+        |        FROM qual) GROUP BY doc_id),
+        |clf AS (
+        |  SELECT q.* FROM qual q JOIN clfs USING (doc_id)
+        |  WHERE clfs.m >= ${ClassifierFloorE6}),
         |exr AS (
         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |  FROM qual),
+        |  FROM clf),
         |exs AS (SELECT doc_id, text, n_tokens FROM exr WHERE rn = 1),
         |sh AS (
         |  SELECT doc_id,
@@ -1177,11 +1210,13 @@ object Pipeline {
         |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tokens FROM base
         |  UNION ALL SELECT CAST(1 AS INT), 'quality', COUNT(*),
         |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM qual
-        |  UNION ALL SELECT CAST(2 AS INT), 'exact_dedup', COUNT(*),
+        |  UNION ALL SELECT CAST(2 AS INT), 'classifier', COUNT(*),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM clf
+        |  UNION ALL SELECT CAST(3 AS INT), 'exact_dedup', COUNT(*),
         |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM exs
-        |  UNION ALL SELECT CAST(3 AS INT), 'near_dedup', COUNT(*),
+        |  UNION ALL SELECT CAST(4 AS INT), 'near_dedup', COUNT(*),
         |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM nears
-        |  UNION ALL SELECT CAST(4 AS INT), 'decontaminated', COUNT(*),
+        |  UNION ALL SELECT CAST(5 AS INT), 'decontaminated', COUNT(*),
         |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM dec)
         |ORDER BY stage_idx""".stripMargin)),
     QueryDef("q89_source_cap", q89,

@@ -379,9 +379,14 @@ object TextAnalysis {
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   /** The q94 core over any (doc_id, text) frame — planted specs run it
-    * directly.
+    * directly; the q88 funnel consumes the unsorted form (it joins on
+    * doc_id, so a presentation sort would only add a range exchange).
     */
-  def classifierScores(docs: DataFrame): DataFrame = {
+  def classifierScores(docs: DataFrame): DataFrame =
+    classifierScoresUnsorted(docs).orderBy(col("doc_id"))
+
+  /** [[classifierScores]] without the presentation sort. */
+  def classifierScoresUnsorted(docs: DataFrame): DataFrame = {
     val per = docs
       .select(col("doc_id"),
         explode(graft.functions.text.cleanTokens(col("text"))).as("tok"))
@@ -397,7 +402,6 @@ object TextAnalysis {
           / greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)))
           .cast("long").as("mean_e6"),
         (coalesce(col("score_milli"), lit(0L)) >= 0).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** q91: corpus-fit language-model score — a CCNet-style quality signal

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** End-to-end curation run against the sf0.001 fixture: one command must
   * produce sink artifacts whose funnel rows match q88's (the driver's
-  * oracle gate for the same five stages), plus the run-only extension
+  * oracle gate for the same six stages), plus the run-only extension
   * stages and verdict tables consistent with the corpus it wrote.
   */
 class CurationRunSpec extends AnyFunSuite {
@@ -21,15 +21,15 @@ class CurationRunSpec extends AnyFunSuite {
     d
   }
 
-  test("manifest's first five rows equal q88's funnel (the oracle surface)") {
+  test("manifest's first six rows equal q88's funnel (the oracle surface)") {
     val manifest = spark.read.parquet(s"$outDir/manifest")
       .orderBy(col("stage_idx")).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val q88 = Pipeline.q88(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(manifest.take(5) === q88, "funnel drift vs the q88 oracle surface")
-    assert(manifest.map(_._1).toSeq === (0 until 9),
-      "nine stages, contiguous indices")
+    assert(manifest.take(6) === q88, "funnel drift vs the q88 oracle surface")
+    assert(manifest.map(_._1).toSeq === (0 until 10),
+      "ten stages, contiguous indices")
     // every knife only removes: docs and tokens are monotone non-increasing
     // after the raw stage (raw counts null-text docs that quality drops)
     manifest.sliding(2).drop(1).foreach { case Array(a, b) =>

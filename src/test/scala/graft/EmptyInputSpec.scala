@@ -35,15 +35,15 @@ class EmptyInputSpec extends AnyFunSuite {
     * empty input — ANSI semantics, and what the DuckDB oracle produces.
     * q65's global Count-Min aggregate likewise answers every probe with an
     * estimate of 0 on an empty corpus — one row per probe is the sketch
-    * giving the right answer, not a leak. q88's funnel report is five such
+    * giving the right answer, not a leak. q88's funnel report is six such
     * global aggregates unioned (one per curation stage): an empty corpus
     * correctly reports 0 docs / 0 tokens at every stage, matching the
-    * oracle's UNION ALL of five COUNT(*) branches.
+    * oracle's UNION ALL of six COUNT(*) branches.
     */
   private val expectedRows = Map(
     "q54_promo_revenue" -> 1L,
     "q65_cms_counts" -> graft.operators.TextAnalysis.CmsProbes.size.toLong,
-    "q88_curation_funnel" -> 5L,
+    "q88_curation_funnel" -> 6L,
     // q77b is dir-independent BY DESIGN (q00's class): it decodes the
     // committed pixel-known PNG fixture, so an empty sf dir still yields
     // one profile row per fixture asset

@@ -342,9 +342,15 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  /** q88 curation funnel: one doc planted per knife — quality-fail, exact
-    * copy, near-dup, benchmark-contaminated — plus one clean survivor, with
-    * hand-computed doc/token counts at every stage.
+  /** q88 curation funnel: one doc planted per knife — quality-fail,
+    * classifier-fail (25 copies of "xe", whose md5 stand-in weight is -985
+    * milli so the mean sits far below [[Pipeline.ClassifierFloorE6]]; its
+    * vocabulary is disjoint from every other doc so it is no one's dup,
+    * near-dup, or contamination), exact copy, near-dup,
+    * benchmark-contaminated — plus one clean survivor, with hand-computed
+    * doc/token counts at every stage. The a/a2/b docs' mean weights sit
+    * well inside the floor (≈ -92k/-101k/-21k e6-units vs -300k), so only
+    * the planted doc dies at the model gate.
     */
   test("curation funnel counts every stage's planted fates") {
     import spark.implicits._
@@ -357,6 +363,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = Seq(
       (10L, evalSpan), // eval side (id % 10 == 0): the benchmark
       (1L, "too short"), // fails the 20-token gate
+      (6L, Seq.fill(25)("xe").mkString(" ")), // fails the classifier gate
       (2L, a), (3L, a), // exact pair — min id 2 survives
       (4L, a2), // near-dup of 2 (3-gram j ≈ 0.93) — component min 2 survives
       (5L, b)) // clean until the eval window at its tail contaminates it
@@ -364,11 +371,12 @@ class PipelineSpec extends AnyFunSuite {
     val got = Pipeline.curationFunnel(docs, 10L).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got === Array(
-      (0, "raw", 5L, 362L),
-      (1, "quality", 4L, 360L),
-      (2, "exact_dedup", 3L, 270L),
-      (3, "near_dedup", 2L, 180L),
-      (4, "decontaminated", 1L, 90L)))
+      (0, "raw", 6L, 387L),
+      (1, "quality", 5L, 385L),
+      (2, "classifier", 4L, 360L),
+      (3, "exact_dedup", 3L, 270L),
+      (4, "near_dedup", 2L, 180L),
+      (5, "decontaminated", 1L, 90L)))
   }
 
   /** A null-text doc is a raw DOC (it arrived) but contributes NULL — not
@@ -386,9 +394,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Array(
       (0, "raw", 2L, 90L),
       (1, "quality", 1L, 90L),
-      (2, "exact_dedup", 1L, 90L),
-      (3, "near_dedup", 1L, 90L),
-      (4, "decontaminated", 1L, 90L)))
+      (2, "classifier", 1L, 90L),
+      (3, "exact_dedup", 1L, 90L),
+      (4, "near_dedup", 1L, 90L),
+      (5, "decontaminated", 1L, 90L)))
   }
 
   /** q89 source cap, exactness of the salted two-phase rank: on the real
