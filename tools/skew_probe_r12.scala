@@ -24,7 +24,10 @@ for (d <- Seq(clean, skew); t <- Seq("documents", "embeddings"))
   spark.read.parquet(s"$d/$t.parquet").count()
 
 val names = Seq("q94_classifier_score", "q95_hll_union",
-  "q96_embedding_stats", "q97_corpus_health")
+  "q96_embedding_stats", "q97_corpus_health",
+  // re-measured after the classifier gate joined the funnel (the r11 row
+  // predates the stage)
+  "q88_curation_funnel")
 
 val best = scala.collection.mutable.Map[(String, String), Double]()
 def once(name: String, dir: String): Unit = {
