@@ -40,6 +40,14 @@ object vecexprs {
     ColumnBridge.column(
       NearestCellsExpr(ColumnBridge.expression(v),
         centroids.map(_.toVector).toVector, k))
+
+  /** Plain inner product Σ aᵢ·bᵢ (left-to-right fold, bit-compatible with
+    * DuckDB's `list_inner_product`) — the PQ-ADC lookup-table builder
+    * (Similarity.pqAdcTopK) runs this on the bounded probe side only.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -89,6 +97,53 @@ object CosineSimExpr {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Plain inner product of two `array<double>` columns (no normalization).
+  * Same shape/contracts as [[CosineSimExpr]]: null on length mismatch, a
+  * tight primitive loop with sequential left-to-right accumulation so the
+  * result is bit-identical to DuckDB's `list_inner_product` on the same
+  * doubles.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"dot_product needs array<double>, got $l, $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[ArrayData]; val r = b.asInstanceOf[ArrayData]
+    if (l.numElements() != r.numElements()) null
+    else DotProductExpr.compute(l, r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.expressions.DotProductExpr.compute($a, $b);
+         |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductExpr {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
   }
 }
 

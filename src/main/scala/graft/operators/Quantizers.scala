@@ -175,6 +175,34 @@ object Quantizers {
     (cbA, cbB)
   }
 
+  /** Fit the M per-subspace product-quantization codebooks (k codewords
+    * each) for [[Similarity.pqAdcTopK]]: ONE shared bounded sample (the
+    * same per-row-hash-keyed discipline as every other fit here), then M
+    * independent KMeans fits over its disjoint dimension slices. Subspace
+    * bounds follow the integer rule lo_m = ⌊dim·m/M⌋ — the same arithmetic
+    * the encode pass and the DuckDB mirror use, so all three agree on
+    * ragged dims. Codebook state is M·k·(dim/M) = k·dim doubles — the SAME
+    * plan footprint as one k-centroid flat codebook, far under the 2 MB
+    * plan-literal bound.
+    */
+  def pqFitCodebooks(clean: DataFrame, m: Int,
+      k: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = fitSample(clean, k).localCheckpoint()
+    val n = sample.count().toInt
+    require(n > 0, "PQ quantizer cannot fit an empty corpus")
+    val dim = sample.select(col("v")).head().getSeq[Double](0).length
+    require(dim >= m, s"PQ needs dim >= $m subspaces, got $dim")
+    (0 until m).toArray.map { i =>
+      val lo = dim * i / m
+      val hi = dim * (i + 1) / m
+      kmeansCenters(
+        sample.select(array_to_vector(
+          slice(col("v"), lit(lo + 1), lit(hi - lo))).as("fv")),
+        math.min(k, n))
+    }
+  }
+
   /** The bounded deterministic fit sample (see [[fitCentroids]] for why the
     * key is per-row and the order total); ≥ 16 points per requested center
     * so the fit is never center-starved.

@@ -638,6 +638,172 @@ object Similarity {
     ivfTopK(base, FlatQuantizer(seeds))
   }
 
+  // ---- Product quantization (PQ-ADC) --------------------------------------
+
+  /** PQ geometry: M subspaces × K codewords per subspace. The demo point
+    * (8 × 16, 4-bit codes over the fixture's 64 dims) keeps the oracle's
+    * cross-join CTEs fixture-sized; the production knobs are M = 8–64,
+    * K = 256 (one BYTE per code). The scale claim PQ adds on top of the
+    * IVF family: the corpus's RESIDENT form shrinks from dim floats to M
+    * bytes + id per row (768-dim float corpus → 3 KB/vector becomes
+    * 8–64 B, a 48–384× residency cut), so the scored pass of a
+    * 10^11-vector search reads terabytes, not petabytes. IVF-PQ —
+    * [[Quantizers.quantizerFor]] cells for routing, codes for scoring —
+    * is exactly the FAISS production layout; here the two tiers stay
+    * orthogonal (q39 demonstrates routing, q98 scoring) so each is
+    * verified in isolation.
+    */
+  val PqSubspaces = 8
+
+  /** Codewords per subspace (see [[PqSubspaces]]). */
+  val PqCodewords = 16
+
+  /** ADC shortlist size per probe before the exact refine (4 × [[TopK]] —
+    * the FAISS IVFPQR rule of thumb). ADC ranks are approximate by
+    * construction; re-scoring this bounded shortlist with exact cosines
+    * buys back most of the quantization's rank error for R·dim extra
+    * float reads per probe — measured on the fixture it lifts top-10
+    * recall from ~0.5 (raw ADC order) to the SimilaritySpec floor.
+    */
+  val PqShortlist = 40
+
+  /** Subspace m covers dims [⌊dim·m/M⌋, ⌊dim·(m+1)/M⌋) — the same integer
+    * rule the trained fit ([[Quantizers.pqFitCodebooks]]) and the DuckDB
+    * mirror apply, so all agree on ragged dims.
+    */
+  private def pqOffsets(widths: Array[Int]): Array[Int] =
+    widths.scanLeft(0)(_ + _)
+
+  /** Slice the M per-subspace codebooks out of K whole-vector seeds (the
+    * q39b/q93 deterministic-codebook idiom: the K lowest-id vectors ARE
+    * the model state, so the whole encode→ADC path is SQL-mirrorable).
+    */
+  def pqCodebooksFromSeeds(
+      seeds: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    val dim = seeds.head.length
+    require(dim >= PqSubspaces,
+      s"PQ needs dim >= $PqSubspaces subspaces, got $dim")
+    (0 until PqSubspaces).toArray.map { m =>
+      val lo = dim * m / PqSubspaces
+      val hi = dim * (m + 1) / PqSubspaces
+      seeds.map(s => s.slice(lo, hi))
+    }
+  }
+
+  /** PQ encode + asymmetric-distance (ADC) shortlist + exact refine over a
+    * clean (vec_id, v) frame, given fitted per-subspace codebooks.
+    *
+    * Encode is ONE codegen'd pass ([[vecexprs.nearestCells]] per subspace —
+    * subspace 0 rides the expression's documented width-truncation, the
+    * rest pay one native `slice`), and the encoded frame is materialized:
+    * the scored pass reads (vec_id, M ints), never the vectors — that IS
+    * the PQ claim, visible in the plan.
+    *
+    * Scoring is true lookup-table ADC, O(M) per pair instead of O(dim):
+    * each bounded probe precomputes its M K-entry inner-product tables
+    * (lut_m[j] = ⟨pv_m, cb_m[j]⟩ — [[vecexprs.dotProduct]], probe rows
+    * only) plus |pv|²; each codeword's |cb_m[j]|² is a plan literal.
+    * Because subspaces partition the dims,
+    *   ⟨pv, x̂⟩ = Σ_m lut_m[code_m]   and   |x̂|² = Σ_m n2_m[code_m],
+    * so the per-pair work is M `element_at` lookups and adds (statically
+    * unrolled, whole-stage codegen — the ImiQuantizer idiom), one divide,
+    * two sqrt. Sums run in subspace order, matching the oracle's pivoted
+    * left-assoc addition bit for bit — so ADC doubles are bit-identical
+    * cross-engine and the UNROUNDED shortlist rank (ties by neighbor_id)
+    * cannot diverge.
+    *
+    * The final order is the [[PqShortlist]]-bounded exact refine: ADC's
+    * top R per probe re-scored with true cosines (probes × R rows — the
+    * only place vectors are read after encode), then [[rankTopK]].
+    */
+  def pqAdcTopK(base: DataFrame,
+      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val widths = cbs.map(_.head.length)
+    val offsets = pqOffsets(widths)
+    val codeCols = cbs.zipWithIndex.map { case (cb, i) =>
+      val sub = if (i == 0) col("v")
+        else slice(col("v"), lit(offsets(i) + 1), lit(widths(i)))
+      element_at(vecexprs.nearestCells(sub, cb, 1), 1).as(s"c$i")
+    }
+    // the resident form: M small ints per vector, vectors dropped
+    val codes = base.select(col("vec_id") +: codeCols: _*).localCheckpoint()
+    val lutCols = cbs.zipWithIndex.map { case (cb, i) =>
+      array(cb.toIndexedSeq.map(cw =>
+        vecexprs.dotProduct(
+          slice(col("v"), lit(offsets(i) + 1), lit(widths(i))),
+          typedLit(cw.toSeq))): _*).as(s"lut$i")
+    }
+    val probeLut = base.filter(col("vec_id") < 5).select(
+      col("vec_id").as("probe_id") +:
+        vecexprs.dotProduct(col("v"), col("v")).as("np2") +: lutCols: _*)
+    // |cb_m[j]|² as plan literals, same left-to-right fold as the oracle's
+    // list_inner_product(csub, csub)
+    val n2Lits = cbs.map(cb => typedLit(cb.map { cw =>
+      var acc = 0.0; var i = 0
+      while (i < cw.length) { acc += cw(i) * cw(i); i += 1 }
+      acc
+    }.toSeq))
+    val ip = cbs.indices
+      .map(i => element_at(col(s"lut$i"), col(s"c$i") + 1)).reduce(_ + _)
+    val n2 = cbs.indices
+      .map(i => element_at(n2Lits(i), col(s"c$i") + 1)).reduce(_ + _)
+    val shortlist = codes.crossJoin(broadcast(probeLut))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (ip / (sqrt(col("np2")) * sqrt(n2))).as("adc"))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc").desc, col("neighbor_id"))))
+      .filter(col("arnk") <= PqShortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    // refine: exact cosine over the bounded shortlist only — probes×R rows
+    // broadcast to fetch their vectors; the corpus still never shuffles
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    base.select(col("vec_id").as("neighbor_id"), col("v"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        vecexprs.cosineSim(col("pv"), col("v")).as("c"))
+      .transform(rankTopK)
+  }
+
+  /** q98: PQ-ADC similarity search, production form — per-subspace KMeans
+    * codebooks fit on the family's bounded hash-keyed sample
+    * ([[Quantizers.pqFitCodebooks]]), feeding [[pqAdcTopK]]. Rows-only;
+    * ADC-vs-exact recall is property-checked in SimilaritySpec (the
+    * codebook fit is init-dependent, q39's situation exactly).
+    */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint()
+    if (base.count() == 0) return emptyTopK(spark)
+    pqAdcTopK(base,
+      Quantizers.pqFitCodebooks(base, PqSubspaces, PqCodewords))
+  }
+
+  /** q98b: q98's DETERMINISTIC-SEED twin (q39b's idiom) — the
+    * [[PqCodewords]] lowest-id vectors, sliced per subspace, ARE the
+    * codebooks, so the literal [[pqAdcTopK]] encode→LUT→ADC-rank code q98
+    * runs is exactly DuckDB-mirrorable: per-subspace argmin via
+    * row_number over a seed cross join, the ADC sum via a pivoted
+    * per-subspace inner-product join. Only the init-dependent KMeans fit
+    * stays property-only.
+    */
+  def q98b(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val seeds = base.orderBy(col("vec_id")).limit(PqCodewords)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty) return emptyTopK(spark)
+    pqAdcTopK(base, pqCodebooksFromSeeds(seeds))
+  }
+
   // ---- Semantic dedup (SemDeDup shape) ------------------------------------
 
   /** Cosine threshold for the semantic-dedup verdict — the production
@@ -950,6 +1116,69 @@ object Similarity {
         |  FROM sc)
         |SELECT probe_id, rnk, neighbor_id, round(c, $ScoreDp) AS score
         |FROM r WHERE rnk <= $TopK ORDER BY probe_id, rnk""".stripMargin)),
+    QueryDef("q98_pq_adc", q98, None),
+    // q98b pins the SAME pqAdcTopK encode→LUT→ADC-rank code q98 runs, with
+    // the init-free lowest-id codebooks (q39b's idiom). The mirror encodes
+    // by per-(vector, subspace) argmin over the seed slices, then rebuilds
+    // the ADC sums by pivoting the per-subspace inner products into
+    // m-ascending left-assoc additions — the engine's exact fold order.
+    QueryDef("q98b_pq_adc_seeded", q98b,
+      Some {
+        val ipSum = (0 until PqSubspaces)
+          .map(i => s"max(CASE WHEN m = $i THEN ip END)").mkString(" + ")
+        val n2Sum = (0 until PqSubspaces)
+          .map(i => s"max(CASE WHEN m = $i THEN q END)").mkString(" + ")
+        s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |s AS (SELECT v AS sv,
+        |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |          AS cw
+        |      FROM e ORDER BY vec_id LIMIT $PqCodewords),
+        |ms AS (SELECT CAST(unnest(range($PqSubspaces)) AS INTEGER) AS m),
+        |sub AS (SELECT ms.m, s.cw,
+        |    s.sv[(len(s.sv)*ms.m)//$PqSubspaces + 1 :
+        |         (len(s.sv)*(ms.m+1))//$PqSubspaces] AS csub
+        |  FROM s CROSS JOIN ms),
+        |enc AS (SELECT e.vec_id, sub.m, sub.cw,
+        |    list_distance(e.v[(len(e.v)*sub.m)//$PqSubspaces + 1 :
+        |                      (len(e.v)*(sub.m+1))//$PqSubspaces],
+        |      sub.csub) AS d
+        |  FROM e CROSS JOIN sub),
+        |a AS (SELECT vec_id, m, cw,
+        |        row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cw)
+        |          AS rn
+        |      FROM enc),
+        |codes AS (SELECT vec_id, m, cw FROM a WHERE rn = 1),
+        |p AS (SELECT vec_id AS probe_id, v AS pv,
+        |        list_inner_product(v, v) AS np2
+        |      FROM e WHERE vec_id < 5),
+        |parts AS (SELECT p.probe_id, c.vec_id AS neighbor_id, c.m, p.np2,
+        |    list_inner_product(
+        |      p.pv[(len(p.pv)*c.m)//$PqSubspaces + 1 :
+        |           (len(p.pv)*(c.m+1))//$PqSubspaces], sub.csub) AS ip,
+        |    list_inner_product(sub.csub, sub.csub) AS q
+        |  FROM codes c JOIN sub ON sub.m = c.m AND sub.cw = c.cw
+        |    CROSS JOIN p
+        |  WHERE c.vec_id <> p.probe_id),
+        |sc AS (SELECT probe_id, neighbor_id,
+        |    ($ipSum) / (sqrt(max(np2)) * sqrt($n2Sum)) AS adc
+        |  FROM parts GROUP BY probe_id, neighbor_id),
+        |sl AS (SELECT probe_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY adc DESC, neighbor_id) AS arnk
+        |    FROM sc) WHERE arnk <= $PqShortlist),
+        |ref AS (SELECT sl.probe_id, sl.neighbor_id,
+        |    list_cosine_similarity(p.pv, n.v) AS c
+        |  FROM sl JOIN p ON p.probe_id = sl.probe_id
+        |    JOIN e n ON n.vec_id = sl.neighbor_id),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS INTEGER)
+        |      AS rnk
+        |  FROM ref)
+        |SELECT probe_id, rnk, neighbor_id, round(c, $ScoreDp) AS score
+        |FROM r WHERE rnk <= $TopK ORDER BY probe_id, rnk""".stripMargin
+      }),
     QueryDef("q92b_hard_negatives_ivf", q92b, None),
     // q92c pins the SAME hardNegativesQuantized code q92b runs, with the
     // init-free lowest-id codebook (q39b's idiom): assignment + probe

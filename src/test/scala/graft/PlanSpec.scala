@@ -275,6 +275,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "per-row UDF crept into the q92b path")
   }
 
+  test("q98: PQ LUTs broadcast to the codes frame; no UDF, no cartesian") {
+    // the ADC scored pass must be codes × broadcast probe-LUTs (the corpus
+    // never exchanges), the refine joins must broadcast their bounded
+    // shortlist/probe sides, and encode + LUT build + ADC arithmetic must
+    // all be native expressions — a UDF or interpreted lambda on the
+    // encode pass would break codegen on the one pass touching every
+    // vector
+    val p = plan(Similarity.q98b(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("ScalaUDF") && !p.contains("lambdafunction"),
+      "interpreted code crept into the PQ path")
+  }
+
   test("q93: seeds and stats broadcast; the corpus never shuffles for assignment") {
     // the quantizer seeds and the K-row cluster stats are the ONLY join
     // inputs — both must broadcast; the argmin must be a map-side-combined

@@ -259,6 +259,59 @@ class SimilaritySpec extends AnyFunSuite {
       assert(exact(k) === ivf(k), s"score drift on $k"))
   }
 
+  /** q98/q98b PQ-ADC: the refined top-10 must recover most of the exact
+    * top-10. Measured on this fixture (deterministic: hash-keyed fit
+    * sample + seed-42 KMeans for q98, lowest-id seeds for q98b): trained
+    * 0.66 / seeded 0.68 at sf0.001, 0.66 / 0.64 at sf0.01 — so 0.6 fails
+    * on any quiet encode, LUT, or shortlist degradation without flaking
+    * on the fixture's own variation across SFs.
+    */
+  test("PQ-ADC (q98 trained, q98b seeded) recall@10 vs exact (q20) is >= 0.6") {
+    val exact = pairs(Similarity.q20(spark, dir))
+    assert(exact.size === 50)
+    val rt = (exact & pairs(Similarity.q98(spark, dir))).size.toDouble / exact.size
+    val rs = (exact & pairs(Similarity.q98b(spark, dir))).size.toDouble / exact.size
+    assert(rt >= 0.6, s"trained PQ recall $rt below bound")
+    assert(rs >= 0.6, s"seeded PQ recall $rs below bound")
+  }
+
+  /** Planted lossless-codebook property: when every corpus vector IS one
+    * of the codeword seeds, per-subspace encode is exact (the distance-0
+    * argmin is the vector's own slice), reconstruction is the original
+    * vector, and the 40-row shortlist holds all 15 candidates — so the
+    * refined output must equal the exact cosine ranking, hand-computed in
+    * plain Scala with CosineSimExpr's fold order. A wrong slice boundary,
+    * a transposed LUT index, or a dropped shortlist row all break exact
+    * equality here. dim=16 over 8 subspaces exercises 2-wide slices.
+    */
+  test("PQ-ADC on a corpus of codewords reproduces the exact ranking") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val vecs = (0 until Similarity.PqCodewords)
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "v")
+    val cbs = Similarity.pqCodebooksFromSeeds(vecs.map(_._2).toArray)
+    val got = Similarity.pqAdcTopK(df, cbs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = for {
+      p <- 0L until 5L
+      (ic, r) <- vecs.filter(_._1 != p)
+        .map { case (i, v) => (i, cos(vecs(p.toInt)._2, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(10).zipWithIndex
+    } yield (p, r + 1, ic._1,
+      BigDecimal(ic._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.toSeq === want.toSeq)
+  }
+
   /** q92b empty-corpus short-circuit: KMeans cannot fit zero vectors (q39
     * precedent) — the twin must return an empty, schema-correct frame
     * rather than throw.
