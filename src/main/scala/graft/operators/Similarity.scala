@@ -804,6 +804,117 @@ object Similarity {
     pqAdcTopK(base, pqCodebooksFromSeeds(seeds))
   }
 
+  // ---- Semantic decontamination -------------------------------------------
+
+  /** Eval stride for the semantic-decon anchor: every 10th vector plays the
+    * benchmark side (bounded like q82's probe contract — real eval suites
+    * are thousands of items against a 100 TB train corpus).
+    */
+  val SemDeconEvery = 10
+
+  /** q99: semantic decontamination — the embedding-space member of the
+    * decontamination family (q57/q66 n-gram detect, q86 surgery, q90
+    * eval-side view): for every TRAIN vector, its maximum cosine to any
+    * EVAL vector and the eval item achieving it; `contaminated` = rounded
+    * max cosine ≥ the [[SemDedupCosine]] bar. This is the leak n-gram
+    * decon cannot see — an eval item paraphrased, translated, or
+    * re-templated into train shares no 8-token window but sits at
+    * near-dup cosine; SemDeDup-era pipelines run exactly this screen
+    * between embedding dedup and training.
+    *
+    * Exact anchor: eval broadcasts (bounded by contract), train never
+    * shuffles, and the per-train argmax is a map-side-combined
+    * `min(struct(-c, eval_id))` (q93's argmin idiom — a window here would
+    * shuffle the full train × eval score mass). Still labeled an anchor:
+    * score cost is train × eval; the production twin q99b prunes it to
+    * cell-mates via the family's shared quantizer.
+    */
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    semanticDecon(
+      e.filter(pmod(col("vec_id"), lit(SemDeconEvery)) === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("ev")),
+      e.filter(pmod(col("vec_id"), lit(SemDeconEvery)) =!= 0),
+      SemDedupCosine)
+  }
+
+  /** The q99 core over any eval (eval_id, ev) / train (vec_id, v) frames —
+    * planted specs run it directly. Ties on the rounded max break toward
+    * the lowest eval_id (the struct ordering), matching the oracle's
+    * row_number.
+    */
+  def semanticDecon(evalSet: DataFrame, train: DataFrame,
+      threshold: Double): DataFrame =
+    train.crossJoin(broadcast(evalSet))
+      .select(col("vec_id"), col("eval_id"),
+        round(vecexprs.cosineSim(col("v"), col("ev")), ScoreDp).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("eval_id"))).as("m"))
+      .select(col("vec_id"), col("m.eval_id").as("eval_id"),
+        (-col("m.nc")).as("cosine"),
+        (-col("m.nc") >= lit(threshold)).as("contaminated"))
+      .orderBy(col("vec_id"))
+
+  /** q99b: q99's PRODUCTION twin — the same per-train argmax fed by the
+    * family's shared quantizer instead of the full train × eval score:
+    * train rows take their single nearest cell (one codegen'd pass), eval
+    * items explode to their [[ivfProbesFor]] cells and broadcast, and only
+    * cell-mates are scored — the q92b contract applied to decontamination,
+    * shrinking scored pairs from train × eval to train × (cell-mate
+    * evals). Train rows with no eval cell-mate fan back as clean with a
+    * null (eval_id, cosine): at a 0.95 bar, a contaminated pair is
+    * near-identical, and near-identical vectors share a nearest cell with
+    * the same soft-assignment argument as q85. Rows-only; planted
+    * agreement with the exact q99 is spec-checked in SimilaritySpec.
+    */
+  def q99b(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    semanticDeconQuantized(
+      e.filter(pmod(col("vec_id"), lit(SemDeconEvery)) === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("ev")),
+      e.filter(pmod(col("vec_id"), lit(SemDeconEvery)) =!= 0),
+      SemDedupCosine)
+  }
+
+  /** The quantized q99 candidate generator + shared argmax/fan-back tail —
+    * planted specs run it directly.
+    */
+  def semanticDeconQuantized(evalSet: DataFrame, train: DataFrame,
+      threshold: Double): DataFrame = {
+    val tr = train.localCheckpoint()
+    // one captured count: empty short-circuit AND cell sizing (the q92b
+    // single-probe idiom)
+    val n = tr.count()
+    if (n == 0)
+      return tr.select(col("vec_id"), lit(null).cast("long").as("eval_id"),
+        lit(null).cast("double").as("cosine"), lit(false).as("contaminated"))
+    val quant = Quantizers.quantizerFor(tr, ivfCellsFor(n))
+    val assigned = tr.select(col("vec_id"), col("v"),
+      quant.assign(col("v")).as("cell"))
+    val evalCells = evalSet.select(col("eval_id"), col("ev"),
+      explode(quant.probeCells(col("ev"), ivfProbesFor(quant.nCells)))
+        .as("cell"))
+    val hits = assigned.join(broadcast(evalCells), Seq("cell"))
+      .select(col("vec_id"), col("eval_id"),
+        round(vecexprs.cosineSim(col("v"), col("ev")), ScoreDp).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("eval_id"))).as("m"))
+      .select(col("vec_id"), col("m.eval_id").as("eval_id"),
+        (-col("m.nc")).as("cosine"),
+        (-col("m.nc") >= lit(threshold)).as("contaminated"))
+    tr.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("eval_id"), col("cosine"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- Semantic dedup (SemDeDup shape) ------------------------------------
 
   /** Cosine threshold for the semantic-dedup verdict — the production
@@ -1179,6 +1290,23 @@ object Similarity {
         |SELECT probe_id, rnk, neighbor_id, round(c, $ScoreDp) AS score
         |FROM r WHERE rnk <= $TopK ORDER BY probe_id, rnk""".stripMargin
       }),
+    QueryDef("q99_semantic_decon", q99,
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e
+        |       WHERE vec_id % $SemDeconEvery = 0),
+        |tr AS (SELECT vec_id, v FROM e WHERE vec_id % $SemDeconEvery <> 0),
+        |sc AS (SELECT tr.vec_id, ev.eval_id,
+        |    round(list_cosine_similarity(tr.v, ev.evv), $ScoreDp) AS c
+        |  FROM tr CROSS JOIN ev),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY c DESC, eval_id) AS rn
+        |  FROM sc)
+        |SELECT vec_id, eval_id, c AS cosine,
+        |  c >= $SemDedupCosine AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+    QueryDef("q99b_semantic_decon_ivf", q99b, None),
     QueryDef("q92b_hard_negatives_ivf", q92b, None),
     // q92c pins the SAME hardNegativesQuantized code q92b runs, with the
     // init-free lowest-id codebook (q39b's idiom): assignment + probe

@@ -290,6 +290,27 @@ class PlanSpec extends AnyFunSuite {
       "interpreted code crept into the PQ path")
   }
 
+  test("q99: eval side broadcasts in both decon forms; argmax is an aggregate") {
+    // the exact anchor must broadcast the bounded eval set (train never
+    // exchanges for the score join) and run the per-train argmax as a
+    // map-side-combined aggregate — a window would shuffle the full
+    // train × eval score mass; the IVF twin must keep the cell join
+    // broadcast with no cartesian fallback
+    val p = plan(Similarity.q99(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // struct-typed min plans as SortAggregate (not hash-aggregable) — still
+    // two phases (partial before the exchange), which is what matters
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"),
+      "argmax not an aggregate")
+    assert(!p.contains("Window"), "argmax fell back to a window shuffle")
+    val pb = plan(Similarity.q99b(spark, dir))
+    assert(pb.contains("BroadcastHashJoin"), pb.take(500))
+    assert(!pb.contains("CartesianProduct"), pb.take(1500))
+    assert(!pb.contains("ScalaUDF"), "per-row UDF crept into the q99b path")
+  }
+
   test("q93: seeds and stats broadcast; the corpus never shuffles for assignment") {
     // the quantizer seeds and the K-row cluster stats are the ONLY join
     // inputs — both must broadcast; the argmin must be a map-side-combined

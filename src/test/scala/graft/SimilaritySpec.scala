@@ -312,6 +312,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  /** q99/q99b semantic decon on a planted frame: two eval items, one train
+    * doc that is a near-identical paraphrase of eval 0 (cosine ≥ 0.95 —
+    * asserted on the fixture first, so a bad seed fails as a fixture
+    * error), and well-separated clean background. BOTH the exact anchor
+    * and the quantized twin must flag exactly the planted doc against
+    * eval 0 with the same rounded cosine, and report every background doc
+    * clean — the quantized form additionally proves the no-cell-mate
+    * fan-back keeps every train row.
+    */
+  test("semantic decon flags a planted paraphrase in both exact and IVF forms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val e0 = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val e30 = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val leak = { val v = e0.clone(); v(3) += 0.001; unit(v) }
+    val bg = (0 until 15).map(i =>
+      (40L + i, unit(Array.fill(dim)(rnd.nextGaussian()))))
+    assert(cos(e0, leak) >= 0.95, "fixture: paraphrase drifted too far")
+    for ((id, v) <- bg; (en, ev) <- Seq(("e0", e0), ("e30", e30)))
+      assert(cos(v, ev) < 0.95, s"fixture: background $id too close to $en")
+    val evalDf = Seq((0L, e0.toSeq), (30L, e30.toSeq)).toDF("eval_id", "ev")
+    val trainDf = ((11L, leak.toSeq) +: bg.map { case (i, v) => (i, v.toSeq) })
+      .toDF("vec_id", "v")
+    def fates(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getLong(0) -> ((r.getBoolean(3),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))))
+      .toMap
+    val exact = fates(Similarity.semanticDecon(
+      evalDf, trainDf, Similarity.SemDedupCosine))
+    val quant = fates(Similarity.semanticDeconQuantized(
+      evalDf, trainDf, Similarity.SemDedupCosine))
+    for (m <- Seq(exact, quant)) {
+      assert(m.keySet === (Set(11L) ++ bg.map(_._1)), "a train row vanished")
+      assert(m(11L)._1 === true, "planted paraphrase not flagged")
+      assert(m(11L)._2.map(_._1) === Some(0L), "flag against the wrong eval")
+      bg.foreach { case (id, _) =>
+        assert(!m(id)._1, s"background $id wrongly contaminated") }
+    }
+    assert(exact(11L)._2 === quant(11L)._2, "flagged score drifted across forms")
+  }
+
   /** q92b empty-corpus short-circuit: KMeans cannot fit zero vectors (q39
     * precedent) — the twin must return an empty, schema-correct frame
     * rather than throw.
