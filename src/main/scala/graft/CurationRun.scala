@@ -159,8 +159,23 @@ object CurationRun {
         Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("n_tokens"))
+
+    // stage 10: training-shard assignment (q100) over the survivors — the
+    // run's OUTPUT is a training-READY corpus: shard-partitioned files
+    // whose on-disk row order (pos within shard) IS the deterministic
+    // training order, re-runnable to identical bytes and epoch-reseedable
+    // via Pipeline.ShuffleSalt
+    val sharded = timed("shards") {
+      corpus.join(
+          Pipeline.trainShards(sampled.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("shard"), col("pos")),
+          Seq("doc_id"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("lang"),
+          col("source"), col("text"), col("n_tokens"))
+    }
     timed("artifacts") {
       PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
+      PartitionedParquet.write(sharded, s"$outDir/shards", "shard", "pos")
       capVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/source_cap")
       sampleVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/sample")
       fates.write.mode("overwrite").parquet(s"$outDir/verdicts/doc_fates")

@@ -1001,7 +1001,78 @@ object Pipeline {
       .orderBy(col("g_src"), col("source").asc_nulls_first)
   }
 
+  /** Output shards for the q100 training shuffle. Demo-sized; at 100 TB
+    * this is ~10^5 (shard ≈ file ≈ a few GB), and nothing below depends on
+    * the constant staying small.
+    */
+  val ShardCount = 64
+
+  /** Shuffle-epoch salt: a new salt is a fresh deterministic permutation
+    * (multi-epoch training reshuffles by bumping it).
+    */
+  val ShuffleSalt = "shuffle:1:"
+
+  /** q100: training-shard assignment — the deterministic global shuffle a
+    * pretraining run ends with: every curated doc gets a shard and a
+    * position within it, keyed ONLY on md5(salt ‖ doc_id), so the
+    * permutation is reproducible (a crashed writer re-runs to the same
+    * bytes), re-seedable per epoch ([[ShuffleSalt]]), and independent of
+    * input order and of text (null-text docs shuffle like any other — the
+    * same class q87 defends). Output carries n_tokens so the shard
+    * balance audit is one GROUP BY away.
+    *
+    * Shape for 100 TB: shard = md5 mod [[ShardCount]] gives one bounded
+    * exchange (uniform by construction — no hot shard exists to salt);
+    * position is a SHARD-LOCAL sort (each task orders its own ~n/shards
+    * rows) — never a global ORDER BY through one partition, which is how
+    * naive "shuffle the corpus" jobs die at scale. The writer composes as
+    * repartition(shard) + sortWithinPartitions(sk) + partitioned parquet
+    * (the `sources/PartitionedParquet` sink), making shard files whose
+    * ON-DISK row order IS the training order.
+    */
+  def q100(spark: SparkSession, dir: String): DataFrame =
+    trainShards(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q100 core over any (doc_id, text) frame — the model spec runs it
+    * directly.
+    */
+  def trainShards(docs: DataFrame): DataFrame = {
+    val keyed = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        // null text = 0 trainable tokens (q97's accounting), NOT the
+        // legacy size(null) = -1 the bare tokenCount yields under ANSI-off
+        when(col("text").isNull, lit(0L))
+          .otherwise(text.tokenCount(col("text"))).as("n_tokens"),
+        md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))
+          .cast("binary")).as("sk"))
+      .withColumn("shard",
+        pmod(conv(substring(col("sk"), 1, 8), 16, 10).cast("long"),
+          lit(ShardCount.toLong)).cast("int"))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("sk"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q100_train_shards", q100,
+      Some(s"""WITH k AS (
+        |  SELECT doc_id,
+        |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                                  t -> t <> '')) AS BIGINT), 0) AS n_tokens,
+        |    md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT *,
+        |    CAST(CAST('0x' || substr(sk, 1, 8) AS BIGINT) % $ShardCount
+        |      AS INTEGER) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY sk, doc_id) AS INTEGER) AS pos,
+        |  n_tokens
+        |FROM s ORDER BY shard, pos""".stripMargin)),
     QueryDef("q97_corpus_health", q97,
       Some("""WITH d AS (
         |  SELECT source, lang, n_chars, text, md5(text) AS h,

@@ -188,19 +188,26 @@ object Quantizers {
   def pqFitCodebooks(clean: DataFrame, m: Int,
       k: Int): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.functions.array_to_vector
+    import scala.collection.parallel.CollectionConverters._
     val sample = fitSample(clean, k).localCheckpoint()
     val n = sample.count().toInt
     require(n > 0, "PQ quantizer cannot fit an empty corpus")
     val dim = sample.select(col("v")).head().getSeq[Double](0).length
     require(dim >= m, s"PQ needs dim >= $m subspaces, got $dim")
-    (0 until m).toArray.map { i =>
+    // the M fits are independent jobs over the one materialized sample —
+    // submit them concurrently (driver threads; local[32] has the slack,
+    // and on a cluster the scheduler interleaves their tiny stages).
+    // Sequential fits made the fit wall M× one fit and dominated q98.
+    // .par preserves index order, and each fit is seed-42 deterministic,
+    // so the codebooks are bit-identical to the sequential form's.
+    (0 until m).toArray.par.map { i =>
       val lo = dim * i / m
       val hi = dim * (i + 1) / m
       kmeansCenters(
         sample.select(array_to_vector(
           slice(col("v"), lit(lo + 1), lit(hi - lo))).as("fv")),
         math.min(k, n))
-    }
+    }.toArray
   }
 
   /** The bounded deterministic fit sample (see [[fitCentroids]] for why the

@@ -72,4 +72,33 @@ class CurationRunSpec extends AnyFunSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(shipped === corpusIds, "doc_fates 'sampled' set != corpus")
   }
+
+  /** Stage 10 (q100): the shards artifact must be a PERMUTATION of the
+    * shipped corpus — every corpus doc exactly once, shard dirs
+    * Hive-partitioned, positions contiguous from 1 within each shard, and
+    * each doc's (shard, pos) equal to what q100's registered core assigns
+    * (the writer may not drift from the assignment the oracle hashes).
+    */
+  test("shards artifact is a training-ready permutation of the corpus") {
+    val corpusIds = spark.read.parquet(s"$outDir/corpus")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val shards = spark.read.parquet(s"$outDir/shards")
+      .select(col("doc_id"), col("shard"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(shards.map(_._1).toSet === corpusIds, "shards != corpus doc set")
+    assert(shards.length === corpusIds.size, "a doc appears twice")
+    shards.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted === (1 to rows.size).toArray,
+        s"shard $shard positions not contiguous") }
+    val shardDirs = new java.io.File(s"$outDir/shards").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.startsWith("shard=")),
+      "shards must be Hive-partitioned by shard")
+    import spark.implicits._
+    val want = Pipeline.trainShards(
+        spark.read.parquet(s"$outDir/corpus").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("shard"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(shards.toSet === want, "written shards drifted from q100's assignment")
+  }
 }

@@ -551,4 +551,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(("books", 0)) === ((4L, 1L, 3L, 6L, 15L, 2L)))
     assert(got(("<total>", 1)) === ((7L, 2L, 4L, 11L, 28L, 3L)))
   }
+
+  /** q100 training-shard assignment against a plain-Scala model: shard =
+    * first 8 md5 hex digits of (salt ‖ doc_id) mod ShardCount, position =
+    * rank of (md5, doc_id) within the shard — computed independently with
+    * MessageDigest. The fixture plants a null-text doc (counts 0-token but
+    * must shuffle like any other), input rows arrive in scrambled order
+    * (the permutation must not care), and the whole assignment must be a
+    * permutation: every input doc exactly once, positions contiguous from
+    * 1 within each shard.
+    */
+  test("training shards match the md5 model and form a permutation") {
+    import spark.implicits._
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (1L to 40L).toSeq
+    val docs = scala.util.Random.shuffle(
+      ids.map(i => (i, if (i == 7L) null else s"tok " * i.toInt)))
+      .toDF("doc_id", "text")
+    val model = ids.map { i =>
+      val sk = hex(Pipeline.ShuffleSalt + i)
+      val shard = (java.lang.Long.parseLong(sk.take(8), 16) %
+        Pipeline.ShardCount).toInt
+      (i, shard, sk, if (i == 7L) 0L else i)
+    }
+    val want = model.groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case (r, k) =>
+        (r._1, shard, k + 1, r._4)
+      }
+    }.sortBy(r => (r._2, r._3))
+    val got = Pipeline.trainShards(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.map(_._1).sorted === ids, "not a permutation of the input")
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted === (1 to rows.size),
+        s"shard $shard positions not contiguous") }
+  }
 }

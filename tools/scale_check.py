@@ -35,7 +35,12 @@ ANCHORS = {"q48": "q24", "q23": "q21", "q31": "q52", "q71": "q71b",
            # BY DESIGN: its job is pinning the cell-join+gate+rank code
            # with a DuckDB hash, not scaling; q92b's sqrt(n)-cell form is
            # the scale path). q39b stays linear (5 fixed probes).
-           "q92c": "q92b"}
+           "q92c": "q92b",
+           # q99 exact semantic decon scores train x eval where eval is the
+           # n/10 stride — pairs grow 100x per decade by construction (the
+           # eval side is bounded in production; q99b's cell-mate pruning
+           # is the scale path)
+           "q99": "q99b"}
 SLACK = 1.3  # box noise band observed across rounds 3-6
 
 
