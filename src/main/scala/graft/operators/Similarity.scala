@@ -718,24 +718,52 @@ object Similarity {
     */
   def pqAdcTopK(base: DataFrame,
       cbs: Array[Array[Array[Double]]]): DataFrame = {
-    val widths = cbs.map(_.head.length)
-    val offsets = pqOffsets(widths)
-    val codeCols = cbs.zipWithIndex.map { case (cb, i) =>
-      val sub = if (i == 0) col("v")
-        else slice(col("v"), lit(offsets(i) + 1), lit(widths(i)))
-      element_at(vecexprs.nearestCells(sub, cb, 1), 1).as(s"c$i")
-    }
     // the resident form: M small ints per vector, vectors dropped
-    val codes = base.select(col("vec_id") +: codeCols: _*).localCheckpoint()
-    val lutCols = cbs.zipWithIndex.map { case (cb, i) =>
-      array(cb.toIndexedSeq.map(cw =>
-        vecexprs.dotProduct(
-          slice(col("v"), lit(offsets(i) + 1), lit(widths(i))),
-          typedLit(cw.toSeq))): _*).as(s"lut$i")
-    }
+    val codes = base.select(col("vec_id") +: pqCodeCols(cbs): _*)
+      .localCheckpoint()
     val probeLut = base.filter(col("vec_id") < 5).select(
       col("vec_id").as("probe_id") +:
-        vecexprs.dotProduct(col("v"), col("v")).as("np2") +: lutCols: _*)
+        vecexprs.dotProduct(col("v"), col("v")).as("np2") +: pqLutCols(cbs): _*)
+    val shortlist = codes.crossJoin(broadcast(probeLut))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .transform(pqAdcShortlist(cbs))
+    pqRefine(base, shortlist)
+  }
+
+  /** Per-subspace code columns c0..cM-1 from `v` — one codegen'd
+    * [[vecexprs.nearestCells]] per subspace (subspace 0 rides the
+    * documented width truncation, the rest pay one native slice).
+    */
+  private def pqCodeCols(cbs: Array[Array[Array[Double]]]): Seq[Column] = {
+    val offsets = pqOffsets(cbs.map(_.head.length))
+    cbs.zipWithIndex.map { case (cb, i) =>
+      val sub = if (i == 0) col("v")
+        else slice(col("v"), lit(offsets(i) + 1), lit(cb.head.length))
+      element_at(vecexprs.nearestCells(sub, cb, 1), 1).as(s"c$i")
+    }.toSeq
+  }
+
+  /** Probe-side LUT columns lut0..lutM-1 from `v`: lut_m[j] = ⟨v_m,
+    * cb_m[j]⟩, statically unrolled [[vecexprs.dotProduct]]s (probe rows
+    * only).
+    */
+  private def pqLutCols(cbs: Array[Array[Array[Double]]]): Seq[Column] = {
+    val offsets = pqOffsets(cbs.map(_.head.length))
+    cbs.zipWithIndex.map { case (cb, i) =>
+      array(cb.toIndexedSeq.map(cw =>
+        vecexprs.dotProduct(
+          slice(col("v"), lit(offsets(i) + 1), lit(cb.head.length)),
+          typedLit(cw.toSeq))): _*).as(s"lut$i")
+    }.toSeq
+  }
+
+  /** The ADC rank over joined (codes × probe-LUT) rows: score from M
+    * element_at lookups (codeword norms as plan literals, sums in
+    * m-ascending left-assoc order — the oracle's exact fold), unrounded
+    * rank with neighbor_id ties, top [[PqShortlist]] per probe.
+    */
+  private def pqAdcShortlist(cbs: Array[Array[Array[Double]]])(
+      joined: DataFrame): DataFrame = {
     // |cb_m[j]|² as plan literals, same left-to-right fold as the oracle's
     // list_inner_product(csub, csub)
     val n2Lits = cbs.map(cb => typedLit(cb.map { cw =>
@@ -747,8 +775,7 @@ object Similarity {
       .map(i => element_at(col(s"lut$i"), col(s"c$i") + 1)).reduce(_ + _)
     val n2 = cbs.indices
       .map(i => element_at(n2Lits(i), col(s"c$i") + 1)).reduce(_ + _)
-    val shortlist = codes.crossJoin(broadcast(probeLut))
-      .filter(col("vec_id") =!= col("probe_id"))
+    joined
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         (ip / (sqrt(col("np2")) * sqrt(n2))).as("adc"))
       .withColumn("arnk", row_number().over(
@@ -756,8 +783,12 @@ object Similarity {
           .orderBy(col("adc").desc, col("neighbor_id"))))
       .filter(col("arnk") <= PqShortlist)
       .select(col("probe_id"), col("neighbor_id"))
-    // refine: exact cosine over the bounded shortlist only — probes×R rows
-    // broadcast to fetch their vectors; the corpus still never shuffles
+  }
+
+  /** Exact-cosine refine over the bounded shortlist — probes×R rows
+    * broadcast to fetch their vectors; the corpus still never shuffles.
+    */
+  private def pqRefine(base: DataFrame, shortlist: DataFrame): DataFrame = {
     val probes = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     base.select(col("vec_id").as("neighbor_id"), col("v"))
@@ -766,6 +797,70 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         vecexprs.cosineSim(col("pv"), col("v")).as("c"))
       .transform(rankTopK)
+  }
+
+  /** IVF-PQ retrieval: the two tiers COMPOSED — the FAISS production
+    * layout. The corpus's resident form is (vec_id, cell, M codes):
+    * routing metadata plus compressed payload, one codegen'd encode pass
+    * for both. Probes explode to their [[ivfProbesFor]] cells AND carry
+    * their ADC LUTs, so the scored pass is a cell equi-join reading codes
+    * only — per-probe scanned mass ~n^(3/4) rows × M bytes, against the
+    * flat q98's n × M bytes and the exact q20's n × dim floats. The
+    * shortlist refine is unchanged ([[pqRefine]]).
+    */
+  def ivfPqTopK(base: DataFrame, quant: CellQuantizer,
+      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val codes = base.select(
+      col("vec_id") +: quant.assign(col("v")).as("cell") +: pqCodeCols(cbs): _*)
+      .localCheckpoint()
+    val probeLut = base.filter(col("vec_id") < 5).select(
+      col("vec_id").as("probe_id") +:
+        vecexprs.dotProduct(col("v"), col("v")).as("np2") +:
+        explode(quant.probeCells(col("v"), ivfProbesFor(quant.nCells)))
+          .as("cell") +: pqLutCols(cbs): _*)
+    val shortlist = codes.join(broadcast(probeLut), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .transform(pqAdcShortlist(cbs))
+    pqRefine(base, shortlist)
+  }
+
+  /** q101: IVF-PQ, production form — the trained coarse quantizer (q39's)
+    * routes, trained PQ codebooks (q98's) score, exact refine orders.
+    * Rows-only; recall vs exact q20 and score-parity-on-overlap are
+    * property-checked in SimilaritySpec.
+    */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint()
+    val n = base.count()
+    if (n == 0) return emptyTopK(spark)
+    ivfPqTopK(base, Quantizers.quantizerFor(base, ivfCellsFor(n)),
+      Quantizers.pqFitCodebooks(base, PqSubspaces, PqCodewords))
+  }
+
+  /** q101b: q101's DETERMINISTIC-SEED twin — ONE seed set (the
+    * max([[IvfCells]], [[PqCodewords]]) lowest-id vectors) supplies both
+    * the coarse cells (q39b's codebook) and the per-subspace PQ codebooks
+    * (q98b's slices), so the composed route→ADC→refine path is exactly
+    * DuckDB-mirrorable: q39b's assignment CTEs produce the cell-mate
+    * pairs, q98b's encode/LUT CTEs produce the ADC sums over exactly
+    * those pairs, and the final CTEs refine — the full production ANN
+    * stack under one oracle hash.
+    */
+  def q101b(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val seeds = base.orderBy(col("vec_id"))
+      .limit(math.max(IvfCells, PqCodewords))
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty) return emptyTopK(spark)
+    ivfPqTopK(base, FlatQuantizer(seeds.take(IvfCells)),
+      pqCodebooksFromSeeds(seeds.take(PqCodewords)))
   }
 
   /** q98: PQ-ADC similarity search, production form — per-subspace KMeans
@@ -1272,6 +1367,87 @@ object Similarity {
         |  FROM codes c JOIN sub ON sub.m = c.m AND sub.cw = c.cw
         |    CROSS JOIN p
         |  WHERE c.vec_id <> p.probe_id),
+        |sc AS (SELECT probe_id, neighbor_id,
+        |    ($ipSum) / (sqrt(max(np2)) * sqrt($n2Sum)) AS adc
+        |  FROM parts GROUP BY probe_id, neighbor_id),
+        |sl AS (SELECT probe_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY adc DESC, neighbor_id) AS arnk
+        |    FROM sc) WHERE arnk <= $PqShortlist),
+        |ref AS (SELECT sl.probe_id, sl.neighbor_id,
+        |    list_cosine_similarity(p.pv, n.v) AS c
+        |  FROM sl JOIN p ON p.probe_id = sl.probe_id
+        |    JOIN e n ON n.vec_id = sl.neighbor_id),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS INTEGER)
+        |      AS rnk
+        |  FROM ref)
+        |SELECT probe_id, rnk, neighbor_id, round(c, $ScoreDp) AS score
+        |FROM r WHERE rnk <= $TopK ORDER BY probe_id, rnk""".stripMargin
+      }),
+    QueryDef("q101_ivf_pq", q101, None),
+    // q101b pins the SAME ivfPqTopK route→ADC→refine code q101 runs, with
+    // ONE lowest-id seed set feeding both tiers: q39b's assignment CTEs
+    // (s/nd/ar/asg/pc) produce the cell-mate pairs, q98b's encode/LUT CTEs
+    // (sq/ms/sub/enc/ae/codes) produce the ADC sums over exactly those
+    // pairs, then the shared shortlist + exact-refine CTEs finish — the
+    // full production ANN stack under one DuckDB hash.
+    QueryDef("q101b_ivf_pq_seeded", q101b,
+      Some {
+        val ipSum = (0 until PqSubspaces)
+          .map(i => s"max(CASE WHEN m = $i THEN ip END)").mkString(" + ")
+        val n2Sum = (0 until PqSubspaces)
+          .map(i => s"max(CASE WHEN m = $i THEN q END)").mkString(" + ")
+        s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |s AS (SELECT v AS sv,
+        |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |          AS cell
+        |      FROM e ORDER BY vec_id LIMIT $IvfCells),
+        |nd AS (SELECT e.vec_id, s.cell, list_distance(e.v, s.sv) AS d
+        |       FROM e CROSS JOIN s),
+        |ar AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+        |          AS rn
+        |       FROM nd),
+        |asg AS (SELECT vec_id, cell FROM ar WHERE rn = 1),
+        |pc AS (SELECT vec_id AS probe_id, cell FROM ar
+        |       WHERE vec_id < 5 AND rn <= $IvfProbes),
+        |pairs AS (SELECT pc.probe_id, asg.vec_id AS neighbor_id
+        |          FROM asg JOIN pc USING (cell)
+        |          WHERE asg.vec_id <> pc.probe_id),
+        |sq AS (SELECT v AS sv,
+        |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |          AS cw
+        |       FROM e ORDER BY vec_id LIMIT $PqCodewords),
+        |ms AS (SELECT CAST(unnest(range($PqSubspaces)) AS INTEGER) AS m),
+        |sub AS (SELECT ms.m, sq.cw,
+        |    sq.sv[(len(sq.sv)*ms.m)//$PqSubspaces + 1 :
+        |          (len(sq.sv)*(ms.m+1))//$PqSubspaces] AS csub
+        |  FROM sq CROSS JOIN ms),
+        |enc AS (SELECT e.vec_id, sub.m, sub.cw,
+        |    list_distance(e.v[(len(e.v)*sub.m)//$PqSubspaces + 1 :
+        |                      (len(e.v)*(sub.m+1))//$PqSubspaces],
+        |      sub.csub) AS d
+        |  FROM e CROSS JOIN sub),
+        |ae AS (SELECT vec_id, m, cw,
+        |        row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cw)
+        |          AS rn
+        |       FROM enc),
+        |codes AS (SELECT vec_id, m, cw FROM ae WHERE rn = 1),
+        |p AS (SELECT vec_id AS probe_id, v AS pv,
+        |        list_inner_product(v, v) AS np2
+        |      FROM e WHERE vec_id < 5),
+        |parts AS (SELECT pr.probe_id, pr.neighbor_id, c.m, p.np2,
+        |    list_inner_product(
+        |      p.pv[(len(p.pv)*c.m)//$PqSubspaces + 1 :
+        |           (len(p.pv)*(c.m+1))//$PqSubspaces], sub.csub) AS ip,
+        |    list_inner_product(sub.csub, sub.csub) AS q
+        |  FROM pairs pr
+        |    JOIN codes c ON c.vec_id = pr.neighbor_id
+        |    JOIN sub ON sub.m = c.m AND sub.cw = c.cw
+        |    JOIN p ON p.probe_id = pr.probe_id),
         |sc AS (SELECT probe_id, neighbor_id,
         |    ($ipSum) / (sqrt(max(np2)) * sqrt($n2Sum)) AS adc
         |  FROM parts GROUP BY probe_id, neighbor_id),

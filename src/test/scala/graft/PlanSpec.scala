@@ -311,6 +311,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!pb.contains("ScalaUDF"), "per-row UDF crept into the q99b path")
   }
 
+  test("q101: IVF-PQ scored pass is a broadcast cell equi-join over codes") {
+    // the composed stack must keep both tiers' contracts at once: the
+    // probe-cell × LUT frame broadcasts into a cell EQUI-join (never the
+    // flat q98 cross product, never a cartesian), and all encode/ADC
+    // arithmetic stays native
+    val p = plan(Similarity.q101b(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("ScalaUDF") && !p.contains("lambdafunction"),
+      "interpreted code crept into the IVF-PQ path")
+  }
+
   test("q93: seeds and stats broadcast; the corpus never shuffles for assignment") {
     // the quantizer seeds and the K-row cluster stats are the ONLY join
     // inputs — both must broadcast; the argmin must be a map-side-combined

@@ -275,6 +275,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rs >= 0.6, s"seeded PQ recall $rs below bound")
   }
 
+  /** q101/q101b IVF-PQ (the composed production stack): recall vs exact
+    * q20 with measured-honest floors — trained 0.46 (sf0.001) / 0.62
+    * (sf0.01; √n cells prune harder as n grows), seeded 0.78 / 0.80 —
+    * so 0.4 / 0.7 fail on any quiet routing or ADC degradation. Every
+    * overlapping pair must carry the IDENTICAL rounded score: the refine
+    * is exact cosine by construction, so a score drift means the refine
+    * read the wrong vector.
+    */
+  test("IVF-PQ (q101 trained, q101b seeded) recall floors hold; refined scores exact") {
+    def scored(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("probe_id", "neighbor_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = scored(Similarity.q20(spark, dir))
+    assert(exact.size === 50)
+    val trained = scored(Similarity.q101(spark, dir))
+    val seeded = scored(Similarity.q101b(spark, dir))
+    val rt = (exact.keySet & trained.keySet).size.toDouble / exact.size
+    val rs = (exact.keySet & seeded.keySet).size.toDouble / exact.size
+    assert(rt >= 0.4, s"trained IVF-PQ recall $rt below bound")
+    assert(rs >= 0.7, s"seeded IVF-PQ recall $rs below bound")
+    for (m <- Seq(trained, seeded); k <- exact.keySet & m.keySet)
+      assert(exact(k) === m(k), s"refined score drift on $k")
+  }
+
   /** Planted lossless-codebook property: when every corpus vector IS one
     * of the codeword seeds, per-subspace encode is exact (the distance-0
     * argmin is the vector's own slice), reconstruction is the original
