@@ -102,6 +102,43 @@ class QuantizerSpec extends AnyFunSuite {
     * from 35 points); the soft top-2 probe in subspace A covers the
     * boundary-straddle case exactly as flat soft assignment does.
     */
+  /** PQ codebook fitting: M codebooks of ≤ k codewords whose widths follow
+    * the shared ⌊dim·m/M⌋ integer rule on a RAGGED dim (10 dims over 4
+    * subspaces → widths 2,3,2,3), each codeword inside the value range of
+    * its own slice — a transposed slice (codebook m fit on the wrong dims)
+    * fails the range check because the synthetic ranges differ per dim
+    * block. Determinism: two fits over the same frame are bit-identical
+    * (the .par fan-out must not introduce order dependence).
+    */
+  test("pqFitCodebooks: ragged-dim slice widths, per-slice value ranges, deterministic") {
+    val n = 500L
+    // dim 10: block b (dims 2b..2b+1...) — give each dim a distinct offset
+    // so a codeword fit on the wrong dims lands outside the slice's range
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(9)), j =>
+        (pmod(xxhash64(col("id"), j), lit(100L)).cast("double") / lit(100.0))
+          + j.cast("double") * lit(10.0)).as("v"))
+    val m = 4
+    val cbs = Quantizers.pqFitCodebooks(base, m, 8)
+    assert(cbs.length === m)
+    val dim = 10
+    val widths = (0 until m).map(i => dim * (i + 1) / m - dim * i / m)
+    assert(cbs.map(_.head.length).toSeq === widths) // 2,3,2,3
+    var off = 0
+    for ((cb, i) <- cbs.zipWithIndex) {
+      assert(cb.length <= 8 && cb.nonEmpty)
+      for (cw <- cb; (x, j) <- cw.zipWithIndex) {
+        val d = off + j
+        assert(x >= d * 10.0 && x < d * 10.0 + 1.0,
+          s"codebook $i codeword dim $j value $x outside its slice's range")
+      }
+      off += widths(i)
+    }
+    val again = Quantizers.pqFitCodebooks(base, m, 8)
+    assert(cbs.map(_.map(_.toSeq).toSeq).toSeq ===
+      again.map(_.map(_.toSeq).toSeq).toSeq, "fit not deterministic")
+  }
+
   test("semantic dedup through a forced IMI quantizer resolves the planted clique identically") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
