@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Pipeline}
+import graft.operators.{Dedup, Pipeline, Similarity}
 import graft.sources.PartitionedParquet
 
 /** The end-to-end curation RUN: every stage of the shipped curation family,
@@ -18,10 +18,12 @@ import graft.sources.PartitionedParquet
   *   the run consumes [[Pipeline.curationStages]]'s own frames, so the
   *   manifest's first six rows hash-match the q88 oracle without any
   *   re-implementation)
+  *   → q85 semantic dedup (SemDeDup, over survivors carrying embeddings)
   *   → q80b corpus-duplicated line strip (hashed production form)
   *   → q84 duplicated-span surgery
   *   → q89 per-source cap (salted two-phase)
-  *   → q75 language-mixture sampling.
+  *   → q75 language-mixture sampling
+  *   → q100 training-shard assignment (the `shards/` artifact).
   *
   * q86's eval-window CUT is deliberately absent: the funnel's stage 5
   * already DROPS every doc sharing an eval window (q88's doc-drop policy),
@@ -49,7 +51,7 @@ import graft.sources.PartitionedParquet
   * re-executing a gram-explode or CC lineage per branch), and (b) id-only
   * joins to fan dimension columns (lang, source) back onto survivor frames
   * — text never rides a join it doesn't need. The doc-fates table is a
-  * fold of id-only left joins (ten frames of strictly nested survivor
+  * fold of id-only left joins (eleven frames of strictly nested survivor
   * sets), never a text shuffle.
   */
 object CurationRun {
@@ -87,17 +89,40 @@ object CurationRun {
     // behind it — materialize, q78 precedent)
     val dec = timed("decon_ckpt") { funnel.last._2.localCheckpoint() }
 
-    // stage 6: strip corpus-duplicated lines (q80b's 64-bit-key form);
+    // stage 6: semantic dedup (q85, the SemDeDup step) over survivors that
+    // CARRY embeddings — text dedup cannot see a paraphrased copy, the
+    // embedding space can. Docs without an embedding pass through
+    // unjudged (they were never clusterable); each ≥ 0.95-cosine
+    // component keeps its min doc_id. The drop set is an id-only
+    // left-anti join — text never rides the vector machinery.
+    val semdeduped = timed("sem_dedup") {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.vectors.toDouble(col("embedding")).as("v"))
+        .filter(col("v").isNotNull)
+      val subject = dec.select(col("doc_id")).join(emb, Seq("doc_id"))
+      val verdict = Similarity.semanticDedup(
+        subject.select(col("doc_id").as("vec_id")),
+        subject.select(col("doc_id").as("vec_id"), col("v")),
+        Similarity.SemDedupCosine)
+      dec.join(
+          verdict.filter(!col("is_kept"))
+            .select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+
+    // stage 7: strip corpus-duplicated lines (q80b's 64-bit-key form);
     // boilerplate-only docs empty out and leave the corpus here
     val lined = timed("line_dedup") {
-      Pipeline.lineDedupHashed(dec.select(col("doc_id"), col("text")))
+      Pipeline.lineDedupHashed(semdeduped.select(col("doc_id"), col("text")))
         .filter(col("n_kept") > 0)
         .select(col("doc_id"), col("cleaned").as("text"))
         .withColumn("n_tokens", graft.functions.text.tokenCount(col("text")))
         .localCheckpoint()
     }
 
-    // stage 7: cut corpus-duplicated 8-token spans (q84); span-only docs
+    // stage 8: cut corpus-duplicated 8-token spans (q84); span-only docs
     // leave. Post-cut token count is exact arithmetic on spanCut's own
     // columns (kept = n_tokens - n_cut), not a re-tokenize.
     val cut = timed("span_cut") {
@@ -108,7 +133,7 @@ object CurationRun {
         .localCheckpoint()
     }
 
-    // stage 8: per-source cap (q89's salted two-phase rank — the verdict
+    // stage 9: per-source cap (q89's salted two-phase rank — the verdict
     // frame is the artifact; the survivor frame is an id-only semi join)
     val (capVerdict, capped) = timed("source_cap") {
       val v = Pipeline.sourceCap(
@@ -117,7 +142,7 @@ object CurationRun {
       (v, cut.join(v.select(col("doc_id")), Seq("doc_id")).localCheckpoint())
     }
 
-    // stage 9: language-mixture sampling (q75) — verdict keeps the losers
+    // stage 10: language-mixture sampling (q75) — verdict keeps the losers
     // (audit trail); the corpus keeps the winners
     val (sampleVerdict, sampled) = timed("sampled") {
       val v = Pipeline.mixtureSample(
@@ -132,7 +157,7 @@ object CurationRun {
     // fold — swap in the checkpointed copy so neither re-executes the
     // gram-explode decontamination lineage
     val stages = (funnel.init :+ (funnel.last._1 -> dec)) ++
-      Seq("line_dedup" -> lined, "span_cut" -> cut,
+      Seq("sem_dedup" -> semdeduped, "line_dedup" -> lined, "span_cut" -> cut,
         "source_cap" -> capped, "sampled" -> sampled)
     val manifest = stages.zipWithIndex
       .map { case ((name, df), i) => Pipeline.funnelStat(df, i, name) }
@@ -160,7 +185,7 @@ object CurationRun {
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("n_tokens"))
 
-    // stage 10: training-shard assignment (q100) over the survivors — the
+    // stage 11: training-shard assignment (q100) over the survivors — the
     // run's OUTPUT is a training-READY corpus: shard-partitioned files
     // whose on-disk row order (pos within shard) IS the deterministic
     // training order, re-runnable to identical bytes and epoch-reseedable

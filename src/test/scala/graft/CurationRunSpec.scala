@@ -28,8 +28,9 @@ class CurationRunSpec extends AnyFunSuite {
     val q88 = Pipeline.q88(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(manifest.take(6) === q88, "funnel drift vs the q88 oracle surface")
-    assert(manifest.map(_._1).toSeq === (0 until 10),
-      "ten stages, contiguous indices")
+    assert(manifest.map(_._1).toSeq === (0 until 11),
+      "eleven stages, contiguous indices")
+    assert(manifest.map(_._2).contains("sem_dedup"), "SemDeDup stage missing")
     // every knife only removes: docs and tokens are monotone non-increasing
     // after the raw stage (raw counts null-text docs that quality drops)
     manifest.sliding(2).drop(1).foreach { case Array(a, b) =>
