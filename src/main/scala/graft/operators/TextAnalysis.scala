@@ -404,6 +404,46 @@ object TextAnalysis {
         (coalesce(col("score_milli"), lit(0L)) >= 0).as("keep"))
   }
 
+  /** q102's threshold grid: mean_e6 operating points from -1,000,000 (the
+    * weight floor — keeps everything) to +200,000, step 100,000. The
+    * deployed q88 gate ([[Pipeline.ClassifierFloorE6]] = -300,000) is a
+    * grid point, so the sweep JUSTIFIES the operating point instead of
+    * asserting it.
+    */
+  val GateSweepThresholds: Seq[Long] = (-10L to 2L).map(_ * 100000L)
+
+  /** q102: classifier-gate operating-point sweep — the calibration table a
+    * team reads before picking a model-gate threshold (the step between
+    * training a quality classifier and deploying it in the funnel): for
+    * every candidate threshold, the docs and tokens that would survive
+    * `mean_e6 >= thr`, with the deployed q88 point flagged. One scoring
+    * pass (q94's — the weights evaluate inside the scan's codegen), then a
+    * broadcast 13-row grid fan-out into a map-side-combinable aggregate:
+    * the exchange is 13 rows per task regardless of corpus size.
+    */
+  def q102(spark: SparkSession, dir: String): DataFrame =
+    gateSweep(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q102 core over any (doc_id, text) frame — the model spec runs it
+    * directly.
+    */
+  def gateSweep(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grid = GateSweepThresholds.toDF("thr_e6")
+    classifierScoresUnsorted(docs)
+      .crossJoin(broadcast(grid))
+      .groupBy(col("thr_e6"))
+      .agg(
+        sum(when(col("mean_e6") >= col("thr_e6"), 1L).otherwise(0L))
+          .as("kept_docs"),
+        sum(when(col("mean_e6") >= col("thr_e6"), col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .select(col("thr_e6"), col("kept_docs"), col("kept_tokens"),
+        (col("thr_e6") === Pipeline.ClassifierFloorE6).as("deployed"))
+      .orderBy(col("thr_e6"))
+  }
+
   /** q91: corpus-fit language-model score — a CCNet-style quality signal
     * computed from the corpus itself, no external model: fit an add-one-
     * smoothed bigram LM on the whole corpus, then score every doc by its
@@ -519,6 +559,34 @@ object TextAnalysis {
         |  (coalesce(per.s, 0) >= 0) AS keep
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q102_gate_sweep", q102,
+      // q94's scoring CTEs verbatim, then a 13-row grid cross join into
+      // the conditional counts — same md5 weight recomputation, so the
+      // kept sets are exact in both engines
+      Some(s"""WITH t0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       t -> t <> '')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM t0),
+        |per AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM w GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id,
+        |    CAST(coalesce(per.n, 0) AS BIGINT) AS n,
+        |    CAST(FLOOR(CAST(coalesce(per.s, 0) AS DOUBLE) * 1000 /
+        |      greatest(coalesce(per.n, 0), 1)) AS BIGINT) AS mean_e6
+        |  FROM documents d LEFT JOIN per USING (doc_id)),
+        |g AS (SELECT CAST(unnest(range(-10, 3)) AS BIGINT) * 100000 AS thr_e6)
+        |SELECT g.thr_e6,
+        |  CAST(SUM(CASE WHEN sc.mean_e6 >= g.thr_e6 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS kept_docs,
+        |  CAST(SUM(CASE WHEN sc.mean_e6 >= g.thr_e6 THEN sc.n ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens,
+        |  (g.thr_e6 = ${Pipeline.ClassifierFloorE6}) AS deployed
+        |FROM sc CROSS JOIN g
+        |GROUP BY g.thr_e6 ORDER BY thr_e6""".stripMargin)),
     QueryDef("q81_oov_rate", q81,
       Some(s"""WITH t0 AS (
         |  SELECT doc_id,

@@ -197,4 +197,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ws.exists(_ < 0) && ws.exists(_ > 0),
       s"degenerate weight draw: $ws")
   }
+
+  /** q102 gate sweep against the same plain-Scala weight model: per-doc
+    * mean_e6 computed independently, then every grid row's (kept_docs,
+    * kept_tokens) hand-folded. Structural properties on top: kept counts
+    * are monotone non-increasing in the threshold, the lowest grid point
+    * (the weight floor) keeps every doc, and exactly one row — the
+    * deployed q88 operating point — is flagged.
+    */
+  test("gate sweep matches the weight model, is monotone, and flags the deployed point") {
+    import spark.implicits._
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox the"), (2L, "zzz"), (3L, "..."),
+      (4L, null.asInstanceOf[String]), (5L, "quick quick quick"),
+      (6L, "fox brown zzz the"))
+    val docs = texts.toDF("doc_id", "text")
+    val scored = texts.map { case (_, s) =>
+      val toks = if (s == null) Seq.empty[String] else tokens(s)
+      val n = toks.size.toLong
+      val sum = toks.map(weight).sum
+      (n, math.floor(sum.toDouble * 1000 / math.max(n, 1)).toLong)
+    }
+    val want = TextAnalysis.GateSweepThresholds.map { thr =>
+      val kept = scored.filter(_._2 >= thr)
+      (thr, kept.size.toLong, kept.map(_._1).sum,
+        thr == graft.operators.Pipeline.ClassifierFloorE6)
+    }
+    val got = TextAnalysis.gateSweep(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === want)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"kept counts grew at thr ${b._1}") }
+    assert(got.head._2 === texts.size.toLong,
+      "the weight-floor threshold must keep every doc")
+    assert(got.count(_._4) === 1, "exactly one deployed row")
+  }
 }
