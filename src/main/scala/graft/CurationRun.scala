@@ -91,8 +91,13 @@ object CurationRun {
 
     // stage 6: semantic dedup (q85, the SemDeDup step) over survivors that
     // CARRY embeddings — text dedup cannot see a paraphrased copy, the
-    // embedding space can. Docs without an embedding pass through
-    // unjudged (they were never clusterable); each ≥ 0.95-cosine
+    // embedding space can. CONTRACT: the embeddings table is keyed so that
+    // vec_id == the doc_id of the document it embeds (TESTDATA.md's
+    // one-embedding-per-doc layout) — the join below depends on it, and
+    // CurationRunSpec asserts a non-trivial hit count so a schema drift
+    // that breaks the alignment fails loudly instead of silently turning
+    // this stage into a pass-through. Docs without an embedding pass
+    // through unjudged (they were never clusterable); each ≥ 0.95-cosine
     // component keeps its min doc_id. The drop set is an id-only
     // left-anti join — text never rides the vector machinery.
     val semdeduped = timed("sem_dedup") {

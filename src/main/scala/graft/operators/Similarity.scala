@@ -761,6 +761,14 @@ object Similarity {
     * element_at lookups (codeword norms as plan literals, sums in
     * m-ascending left-assoc order — the oracle's exact fold), unrounded
     * rank with neighbor_id ties, top [[PqShortlist]] per probe.
+    *
+    * Degenerate norms guard: a zero-norm probe (np2 = 0) or an all-zero
+    * reconstructed code (n2 = 0) would make the quotient NaN, and Spark
+    * sorts NaN FIRST under desc — handing such a probe an arbitrary
+    * NaN-ranked shortlist. The `when` guard nulls the score instead, and
+    * nulls sort LAST under desc, so degenerate rows drop out of the rank
+    * deterministically — the same null-propagation contract as the cosine
+    * tiers (cosineSim's 0/0 → null).
     */
   private def pqAdcShortlist(cbs: Array[Array[Array[Double]]])(
       joined: DataFrame): DataFrame = {
@@ -777,7 +785,8 @@ object Similarity {
       .map(i => element_at(n2Lits(i), col(s"c$i") + 1)).reduce(_ + _)
     joined
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (ip / (sqrt(col("np2")) * sqrt(n2))).as("adc"))
+        when(col("np2") > 0 && n2 > 0,
+          ip / (sqrt(col("np2")) * sqrt(n2))).as("adc"))
       .withColumn("arnk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("adc").desc, col("neighbor_id"))))
@@ -940,10 +949,19 @@ object Similarity {
     * planted specs run it directly. Ties on the rounded max break toward
     * the lowest eval_id (the struct ordering), matching the oracle's
     * row_number.
+    *
+    * Output contract (shared with [[semanticDeconQuantized]]): EVERY train
+    * row appears exactly once. A train row with no scored eval partner —
+    * only possible when the eval set is empty here, but routine for the
+    * quantized twin's cell pruning — fans back clean with a null
+    * (eval_id, cosine) and contaminated = false: an empty benchmark suite
+    * contaminates nothing, it doesn't erase the training corpus. With a
+    * non-empty eval set the cross join scores every train row, so the
+    * fan-back join changes nothing and the anchor's oracle hash holds.
     */
   def semanticDecon(evalSet: DataFrame, train: DataFrame,
-      threshold: Double): DataFrame =
-    train.crossJoin(broadcast(evalSet))
+      threshold: Double): DataFrame = {
+    val hits = train.crossJoin(broadcast(evalSet))
       .select(col("vec_id"), col("eval_id"),
         round(vecexprs.cosineSim(col("v"), col("ev")), ScoreDp).as("c"))
       .groupBy(col("vec_id"))
@@ -951,7 +969,12 @@ object Similarity {
       .select(col("vec_id"), col("m.eval_id").as("eval_id"),
         (-col("m.nc")).as("cosine"),
         (-col("m.nc") >= lit(threshold)).as("contaminated"))
+    train.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("eval_id"), col("cosine"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
       .orderBy(col("vec_id"))
+  }
 
   /** q99b: q99's PRODUCTION twin — the same per-train argmax fed by the
     * family's shared quantizer instead of the full train × eval score:
@@ -1368,11 +1391,13 @@ object Similarity {
         |    CROSS JOIN p
         |  WHERE c.vec_id <> p.probe_id),
         |sc AS (SELECT probe_id, neighbor_id,
-        |    ($ipSum) / (sqrt(max(np2)) * sqrt($n2Sum)) AS adc
+        |    CASE WHEN max(np2) > 0 AND ($n2Sum) > 0
+        |         THEN ($ipSum) / (sqrt(max(np2)) * sqrt($n2Sum)) END AS adc
         |  FROM parts GROUP BY probe_id, neighbor_id),
         |sl AS (SELECT probe_id, neighbor_id FROM (
         |    SELECT *, row_number() OVER (
-        |      PARTITION BY probe_id ORDER BY adc DESC, neighbor_id) AS arnk
+        |      PARTITION BY probe_id
+        |      ORDER BY adc DESC NULLS LAST, neighbor_id) AS arnk
         |    FROM sc) WHERE arnk <= $PqShortlist),
         |ref AS (SELECT sl.probe_id, sl.neighbor_id,
         |    list_cosine_similarity(p.pv, n.v) AS c
@@ -1449,11 +1474,13 @@ object Similarity {
         |    JOIN sub ON sub.m = c.m AND sub.cw = c.cw
         |    JOIN p ON p.probe_id = pr.probe_id),
         |sc AS (SELECT probe_id, neighbor_id,
-        |    ($ipSum) / (sqrt(max(np2)) * sqrt($n2Sum)) AS adc
+        |    CASE WHEN max(np2) > 0 AND ($n2Sum) > 0
+        |         THEN ($ipSum) / (sqrt(max(np2)) * sqrt($n2Sum)) END AS adc
         |  FROM parts GROUP BY probe_id, neighbor_id),
         |sl AS (SELECT probe_id, neighbor_id FROM (
         |    SELECT *, row_number() OVER (
-        |      PARTITION BY probe_id ORDER BY adc DESC, neighbor_id) AS arnk
+        |      PARTITION BY probe_id
+        |      ORDER BY adc DESC NULLS LAST, neighbor_id) AS arnk
         |    FROM sc) WHERE arnk <= $PqShortlist),
         |ref AS (SELECT sl.probe_id, sl.neighbor_id,
         |    list_cosine_similarity(p.pv, n.v) AS c
@@ -1478,10 +1505,11 @@ object Similarity {
         |  FROM tr CROSS JOIN ev),
         |r AS (SELECT *, row_number() OVER (
         |    PARTITION BY vec_id ORDER BY c DESC, eval_id) AS rn
-        |  FROM sc)
-        |SELECT vec_id, eval_id, c AS cosine,
-        |  c >= $SemDedupCosine AS contaminated
-        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+        |  FROM sc),
+        |best AS (SELECT vec_id, eval_id, c FROM r WHERE rn = 1)
+        |SELECT tr.vec_id, best.eval_id, best.c AS cosine,
+        |  coalesce(best.c >= $SemDedupCosine, FALSE) AS contaminated
+        |FROM tr LEFT JOIN best USING (vec_id) ORDER BY vec_id""".stripMargin)),
     QueryDef("q99b_semantic_decon_ivf", q99b, None),
     QueryDef("q92b_hard_negatives_ivf", q92b, None),
     // q92c pins the SAME hardNegativesQuantized code q92b runs, with the

@@ -425,21 +425,28 @@ object TextAnalysis {
     gateSweep(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   /** The q102 core over any (doc_id, text) frame — the model spec runs it
-    * directly.
+    * directly. The calibration table always has all
+    * [[GateSweepThresholds]] rows: the counts aggregate fans back onto the
+    * grid via a left join with coalesce-to-0, so an EMPTY corpus yields 13
+    * zero-count rows, not a vanished table (a calibration surface that
+    * disappears when its input is empty would surprise its consumers).
     */
   def gateSweep(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val grid = GateSweepThresholds.toDF("thr_e6")
-    classifierScoresUnsorted(docs)
+    val counts = classifierScoresUnsorted(docs)
       .crossJoin(broadcast(grid))
       .groupBy(col("thr_e6"))
       .agg(
         sum(when(col("mean_e6") >= col("thr_e6"), 1L).otherwise(0L))
-          .as("kept_docs"),
+          .as("kd"),
         sum(when(col("mean_e6") >= col("thr_e6"), col("n_tokens"))
-          .otherwise(0L)).as("kept_tokens"))
-      .select(col("thr_e6"), col("kept_docs"), col("kept_tokens"),
+          .otherwise(0L)).as("kt"))
+    grid.join(counts, Seq("thr_e6"), "left")
+      .select(col("thr_e6"),
+        coalesce(col("kd"), lit(0L)).as("kept_docs"),
+        coalesce(col("kt"), lit(0L)).as("kept_tokens"),
         (col("thr_e6") === Pipeline.ClassifierFloorE6).as("deployed"))
       .orderBy(col("thr_e6"))
   }
@@ -578,15 +585,16 @@ object TextAnalysis {
         |    CAST(FLOOR(CAST(coalesce(per.s, 0) AS DOUBLE) * 1000 /
         |      greatest(coalesce(per.n, 0), 1)) AS BIGINT) AS mean_e6
         |  FROM documents d LEFT JOIN per USING (doc_id)),
-        |g AS (SELECT CAST(unnest(range(-10, 3)) AS BIGINT) * 100000 AS thr_e6)
+        |g AS (SELECT CAST(unnest(range(-10, 3)) AS BIGINT) * 100000 AS thr_e6),
+        |cnt AS (SELECT g.thr_e6,
+        |    SUM(CASE WHEN sc.mean_e6 >= g.thr_e6 THEN 1 ELSE 0 END) AS kd,
+        |    SUM(CASE WHEN sc.mean_e6 >= g.thr_e6 THEN sc.n ELSE 0 END) AS kt
+        |  FROM sc CROSS JOIN g GROUP BY g.thr_e6)
         |SELECT g.thr_e6,
-        |  CAST(SUM(CASE WHEN sc.mean_e6 >= g.thr_e6 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS kept_docs,
-        |  CAST(SUM(CASE WHEN sc.mean_e6 >= g.thr_e6 THEN sc.n ELSE 0 END)
-        |    AS BIGINT) AS kept_tokens,
+        |  CAST(coalesce(cnt.kd, 0) AS BIGINT) AS kept_docs,
+        |  CAST(coalesce(cnt.kt, 0) AS BIGINT) AS kept_tokens,
         |  (g.thr_e6 = ${Pipeline.ClassifierFloorE6}) AS deployed
-        |FROM sc CROSS JOIN g
-        |GROUP BY g.thr_e6 ORDER BY thr_e6""".stripMargin)),
+        |FROM g LEFT JOIN cnt USING (thr_e6) ORDER BY thr_e6""".stripMargin)),
     QueryDef("q81_oov_rate", q81,
       Some(s"""WITH t0 AS (
         |  SELECT doc_id,

@@ -38,6 +38,19 @@ class CurationRunSpec extends AnyFunSuite {
     }
   }
 
+  test("sem_dedup's doc_id == vec_id keying contract holds on the fixture") {
+    // the SemDeDup stage joins documents to embeddings on doc_id == vec_id
+    // (one embedding per doc, same key — the declared CurationRun
+    // contract); if a fixture or schema change broke the alignment the
+    // stage would silently become a pass-through, so assert the join is
+    // non-trivial here
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val hits = docs.join(Tables.embeddings(spark, sfDir),
+      col("doc_id") === col("vec_id")).count()
+    assert(hits > 0, "documents ⋈ embeddings on doc_id == vec_id is empty — " +
+      "the sem_dedup stage's keying contract is broken")
+  }
+
   test("corpus artifact is lang-partitioned and matches the final stage row") {
     val corpus = spark.read.parquet(s"$outDir/corpus")
     val last = spark.read.parquet(s"$outDir/manifest")

@@ -48,7 +48,12 @@ class EmptyInputSpec extends AnyFunSuite {
     // committed pixel-known PNG fixture, so an empty sf dir still yields
     // one profile row per fixture asset
     "q77b_image_neardup_decoded" ->
-      graft.sources.MediaFixture.NumAssets.toLong)
+      graft.sources.MediaFixture.NumAssets.toLong,
+    // the calibration grid survives an empty corpus BY CONTRACT (round-13
+    // fix): all 13 thresholds appear with zero counts — a calibration
+    // table that vanishes when its input is empty surprises consumers
+    "q102_gate_sweep" ->
+      graft.operators.TextAnalysis.GateSweepThresholds.size.toLong)
 
   test("every registered query runs on empty tables and returns 0 rows") {
     // q00 reads the fixed reference corpus, not the sf dir

@@ -275,19 +275,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "per-row UDF crept into the q92b path")
   }
 
-  test("q98: PQ LUTs broadcast to the codes frame; no UDF, no cartesian") {
+  test("q98b (seeded) AND the trained q98 composition: PQ LUTs broadcast; no UDF, no cartesian") {
     // the ADC scored pass must be codes × broadcast probe-LUTs (the corpus
     // never exchanges), the refine joins must broadcast their bounded
     // shortlist/probe sides, and encode + LUT build + ADC arithmetic must
     // all be native expressions — a UDF or interpreted lambda on the
     // encode pass would break codegen on the one pass touching every
-    // vector
-    val p = plan(Similarity.q98b(spark, dir))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      p.take(500))
-    assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(!p.contains("ScalaUDF") && !p.contains("lambdafunction"),
-      "interpreted code crept into the PQ path")
+    // vector. Both the seeded twin and the TRAINED composition (q98's
+    // pqAdcTopK with fitted codebooks in the driver) are pinned here — a
+    // regression unique to the trained form must not hide behind the twin.
+    for (p <- Seq(plan(Similarity.q98b(spark, dir)),
+        plan(Similarity.q98(spark, dir)))) {
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        p.take(500))
+      assert(!p.contains("CartesianProduct"), p.take(1500))
+      assert(!p.contains("ScalaUDF") && !p.contains("lambdafunction"),
+        "interpreted code crept into the PQ path")
+    }
   }
 
   test("q99: eval side broadcasts in both decon forms; argmax is an aggregate") {

@@ -383,6 +383,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact(11L)._2 === quant(11L)._2, "flagged score drifted across forms")
   }
 
+  /** Empty-eval edge (round-13 contract fix): BOTH decon forms must fan
+    * every train row back clean when the eval set is empty — an empty
+    * benchmark suite contaminates nothing, it doesn't erase the training
+    * corpus. Before the fix the exact anchor dropped all train rows (a
+    * groupBy over an empty cross join yields no groups) while the
+    * quantized twin fanned them back, so the two forms disagreed on this
+    * edge.
+    */
+  test("semantic decon with an empty eval set keeps every train row clean in both forms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val train = (0L until 12L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "v")
+    val noEval = Seq.empty[(Long, Seq[Double])].toDF("eval_id", "ev")
+    for ((form, df) <- Seq(
+      "exact" -> Similarity.semanticDecon(noEval, train, Similarity.SemDedupCosine),
+      "quantized" -> Similarity.semanticDeconQuantized(
+        noEval, train, Similarity.SemDedupCosine))) {
+      val rows = df.collect()
+      assert(rows.length === 12, s"$form dropped train rows on empty eval")
+      rows.foreach { r =>
+        assert(r.isNullAt(1) && r.isNullAt(2) && !r.getBoolean(3),
+          s"$form: expected (null, null, false) fate on empty eval")
+      }
+    }
+  }
+
   /** q92b empty-corpus short-circuit: KMeans cannot fit zero vectors (q39
     * precedent) — the twin must return an empty, schema-correct frame
     * rather than throw.

@@ -238,4 +238,19 @@ class TextAnalysisSpec extends AnyFunSuite {
       "the weight-floor threshold must keep every doc")
     assert(got.count(_._4) === 1, "exactly one deployed row")
   }
+
+  /** Round-13 contract fix: the calibration grid must survive an empty
+    * corpus — all 13 threshold rows with zero counts, never a vanished
+    * table (the grid fans back via a left join with coalesce-to-0).
+    */
+  test("gate sweep on an empty corpus emits the full zero-count grid") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = TextAnalysis.gateSweep(empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSeq === TextAnalysis.GateSweepThresholds,
+      "grid rows missing on empty input")
+    assert(got.forall(r => r._2 == 0L && r._3 == 0L), "non-zero empty counts")
+    assert(got.count(_._4) === 1, "deployed flag must survive the empty edge")
+  }
 }
