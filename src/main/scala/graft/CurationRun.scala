@@ -3,8 +3,30 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Pipeline, Similarity}
-import graft.sources.PartitionedParquet
+import graft.operators.{Dedup, Pipeline, Quantizers, Similarity}
+import graft.sources.{ModelStore, PartitionedParquet}
+
+/** The tunable operating points of a curation run — every knife threshold
+  * that was a compile-time constant through round 12, now a run parameter
+  * so a recalibration (q102's classifier sweep, the ANN calibration table)
+  * doesn't require a rebuild. Defaults are the deployed constants, so a
+  * flag-less run is bit-identical to the pre-parameterized behavior and
+  * the q88 manifest parity holds.
+  *
+  * `reuseModels` points at a PRIOR run's outDir: the sem_dedup stage then
+  * RELOADS that run's fitted coarse codebook ([[ModelStore]]) instead of
+  * re-fitting — the production train-once/serve-many contract. Two
+  * snapshots curated under one codebook have comparable semantic-dedup
+  * verdicts (cell boundaries identical); re-fitting per job would move
+  * them. The run always writes the codebook it USED under
+  * `outDir/model/coarse`, so any run can seed the next.
+  */
+final case class CurationParams(
+    semDedupCosine: Double = Similarity.SemDedupCosine,
+    classifierFloorE6: Long = Pipeline.ClassifierFloorE6,
+    nearDupJaccard: Double = Pipeline.FunnelNearDupJaccard,
+    sourceCap: Int = Pipeline.SourceCap,
+    reuseModels: Option[String] = None)
 
 /** The end-to-end curation RUN: every stage of the shipped curation family,
   * chained as ONE artifact-writing job (reference: the pipeline a
@@ -35,12 +57,18 @@ import graft.sources.PartitionedParquet
   *   - `corpus/` — the cleaned corpus, Hive-partitioned by `lang` and
   *     doc_id-sorted within files ([[PartitionedParquet]]): (doc_id, lang,
   *     source, text, n_tokens)
+  *   - `model/coarse/` — the fitted (or reused) coarse-quantizer codebook
+  *     the sem_dedup stage ran under ([[ModelStore]] layout): the artifact
+  *     a later run reuses via [[CurationParams.reuseModels]]
   *   - `verdicts/source_cap/` — q89's kept set (doc_id, source, src_rank)
   *   - `verdicts/sample/` — q75's per-doc verdict (doc_id, lang, rate_e6,
   *     kept), losers included (the run's sampling audit trail)
   *   - `verdicts/doc_fates/` — every raw doc with the LAST stage it
   *     survived (doc_id, last_stage_idx, last_stage): the per-document
   *     "why did my doc disappear" answer
+  *   - `run_params/` — one row recording the operating points this run
+  *     used (provenance: a verdict table without its thresholds is not
+  *     reproducible)
   *   - `manifest/` — the q88 funnel extended with the run-only stages:
   *     (stage_idx, stage, docs, tokens), one row per stage.
   *
@@ -50,9 +78,11 @@ import graft.sources.PartitionedParquet
   * between-stages lesson: re-reading materialized partitions beats
   * re-executing a gram-explode or CC lineage per branch), and (b) id-only
   * joins to fan dimension columns (lang, source) back onto survivor frames
-  * — text never rides a join it doesn't need. The doc-fates table is a
-  * fold of id-only left joins (eleven frames of strictly nested survivor
-  * sets), never a text shuffle.
+  * — text never rides a join it doesn't need. The doc-fates table is ONE
+  * union of (doc_id, stage_idx) id-pairs over the eleven (strictly nested)
+  * survivor frames folded by a map-side-combinable `max` — one shuffle,
+  * replacing round 12's chain of ten sequential id-keyed left joins over
+  * the full raw-doc frame (the widest plan in the artifacts stage).
   */
 object CurationRun {
 
@@ -72,7 +102,11 @@ object CurationRun {
   /** Execute the chain over `sfDir`'s documents table, write all sink
     * artifacts under `outDir`, and return the manifest (also written).
     */
-  def run(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String, outDir: String): DataFrame =
+    run(spark, sfDir, outDir, CurationParams())
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      params: CurationParams): DataFrame = {
     // one parquet scan feeds the funnel AND both dimension fan-backs
     val docs = timed("scan") {
       Tables.documents(spark, sfDir)
@@ -83,7 +117,8 @@ object CurationRun {
     // carries the quality-gate + exact-dedup + near-dedup wall
     val funnel = timed("funnel") {
       Pipeline.curationStages(
-        docs.select(col("doc_id"), col("text")), Pipeline.EvalEvery)
+        docs.select(col("doc_id"), col("text")), Pipeline.EvalEvery,
+        params.classifierFloorE6, params.nearDupJaccard)
     }
     // decontaminated survivors: stat + line-dedup input (gram-join lineage
     // behind it — materialize, q78 precedent)
@@ -100,21 +135,38 @@ object CurationRun {
     // through unjudged (they were never clusterable); each ≥ 0.95-cosine
     // component keeps its min doc_id. The drop set is an id-only
     // left-anti join — text never rides the vector machinery.
+    // The quantizer is fit ONCE here (or reloaded from a prior run's
+    // artifact) and always persisted under model/coarse — see
+    // [[CurationParams.reuseModels]].
     val semdeduped = timed("sem_dedup") {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("doc_id"),
           graft.functions.vectors.toDouble(col("embedding")).as("v"))
         .filter(col("v").isNotNull)
       val subject = dec.select(col("doc_id")).join(emb, Seq("doc_id"))
-      val verdict = Similarity.semanticDedup(
-        subject.select(col("doc_id").as("vec_id")),
-        subject.select(col("doc_id").as("vec_id"), col("v")),
-        Similarity.SemDedupCosine)
-      dec.join(
-          verdict.filter(!col("is_kept"))
-            .select(col("vec_id").as("doc_id")),
-          Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("vec_id"), col("v"))
         .localCheckpoint()
+      val n = subject.count()
+      if (n == 0) dec // nothing clusterable: the stage judges no one
+      else {
+        val quant = params.reuseModels match {
+          case Some(prior) => timed("quant_load") {
+            ModelStore.loadQuantizer(spark, s"$prior/model/coarse")
+          }
+          case None => timed("quant_fit") {
+            Quantizers.quantizerFor(subject, Similarity.ivfCellsFor(n))
+          }
+        }
+        ModelStore.saveQuantizer(spark, quant, s"$outDir/model/coarse")
+        val verdict = Similarity.semanticDedupQuantized(
+          subject.select(col("vec_id")), subject,
+          params.semDedupCosine, quant)
+        dec.join(
+            verdict.filter(!col("is_kept"))
+              .select(col("vec_id").as("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+      }
     }
 
     // stage 7: strip corpus-duplicated lines (q80b's 64-bit-key form);
@@ -143,7 +195,7 @@ object CurationRun {
     val (capVerdict, capped) = timed("source_cap") {
       val v = Pipeline.sourceCap(
         cut.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
-        Pipeline.SourceCap).localCheckpoint()
+        params.sourceCap).localCheckpoint()
       (v, cut.join(v.select(col("doc_id")), Seq("doc_id")).localCheckpoint())
     }
 
@@ -170,19 +222,21 @@ object CurationRun {
       .orderBy(col("stage_idx"))
 
     // per-doc fate: survivor sets are strictly nested, so the last stage a
-    // doc appears in is its fate — a fold of id-only left joins
-    val fates = stages.zipWithIndex.tail.foldLeft(
-      stages.head._2.select(col("doc_id"),
-        lit(0).as("last_stage_idx"), lit(stages.head._1).as("last_stage"))) {
-      case (acc, ((name, df), i)) =>
-        acc.join(df.select(col("doc_id"), lit(true).as("hit")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("hit"), lit(i)).otherwise(col("last_stage_idx"))
-              .as("last_stage_idx"),
-            when(col("hit"), lit(name)).otherwise(col("last_stage"))
-              .as("last_stage"))
-    }
+    // doc appears in is its fate — ONE union of (doc_id, stage_idx) pairs
+    // folded by a map-side-combinable max, then a plan-literal name lookup.
+    // One shuffle total, vs round 12's ten chained id-keyed left joins
+    // over the full raw frame (the widest plan in the artifacts stage —
+    // equivalent by the nesting, measured cheaper at sf10).
+    val stageName = typedLit(
+      stages.zipWithIndex.map { case ((name, _), i) => i -> name }.toMap)
+    val fates = stages.zipWithIndex
+      .map { case ((_, df), i) =>
+        df.select(col("doc_id"), lit(i).as("stage_idx")) }
+      .reduce(_.union(_))
+      .groupBy(col("doc_id"))
+      .agg(max(col("stage_idx")).as("last_stage_idx"))
+      .select(col("doc_id"), col("last_stage_idx"),
+        element_at(stageName, col("last_stage_idx")).as("last_stage"))
 
     val corpus = sampled
       .join(docs.select(col("doc_id"), col("lang"), col("source")),
@@ -203,26 +257,62 @@ object CurationRun {
         .select(col("shard"), col("pos"), col("doc_id"), col("lang"),
           col("source"), col("text"), col("n_tokens"))
     }
+    // provenance: the operating points this run actually used — a verdict
+    // table without its thresholds is not reproducible
+    val runParams = {
+      import spark.implicits._
+      Seq((params.semDedupCosine, params.classifierFloorE6,
+        params.nearDupJaccard, params.sourceCap,
+        params.reuseModels.orNull))
+        .toDF("sem_dedup_cosine", "classifier_floor_e6", "neardup_jaccard",
+          "source_cap", "reused_models_from")
+    }
     timed("artifacts") {
       PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
       PartitionedParquet.write(sharded, s"$outDir/shards", "shard", "pos")
       capVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/source_cap")
       sampleVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/sample")
       fates.write.mode("overwrite").parquet(s"$outDir/verdicts/doc_fates")
+      runParams.coalesce(1).write.mode("overwrite").parquet(s"$outDir/run_params")
       manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
     }
     manifest
   }
 
+  /** Flag parsing for [[main]]: `--key value` pairs after the two
+    * positional args, defaults = the deployed constants.
+    */
+  def parseParams(flags: Seq[String]): CurationParams = {
+    require(flags.length % 2 == 0,
+      s"dangling flag: ${flags.lastOption.getOrElse("")}")
+    flags.grouped(2).foldLeft(CurationParams()) {
+      case (p, Seq("--sem-cosine", v)) => p.copy(semDedupCosine = v.toDouble)
+      case (p, Seq("--classifier-floor-e6", v)) =>
+        p.copy(classifierFloorE6 = v.toLong)
+      case (p, Seq("--neardup-jaccard", v)) =>
+        p.copy(nearDupJaccard = v.toDouble)
+      case (p, Seq("--source-cap", v)) => p.copy(sourceCap = v.toInt)
+      case (p, Seq("--reuse-models", v)) => p.copy(reuseModels = Some(v))
+      case (_, other) =>
+        throw new IllegalArgumentException(
+          s"unknown flag ${other.headOption.getOrElse("")}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CurationRun <sfDir> <outDir>")
+    require(args.length >= 2,
+      "usage: CurationRun <sfDir> <outDir> [--sem-cosine X] " +
+        "[--classifier-floor-e6 N] [--neardup-jaccard X] [--source-cap N] " +
+        "[--reuse-models priorOutDir]")
+    val params = parseParams(args.drop(2).toSeq)
     val spark = Sessions.local("graft-curation-run")
     val t0 = System.nanoTime()
-    val manifest = run(spark, args(0), args(1))
+    val manifest = run(spark, args(0), args(1), params)
     val rows = manifest.collect()
     val secs = (System.nanoTime() - t0) / 1e9
     rows.foreach(r => println(
       f"[curation-run] stage ${r.getInt(0)}%d ${r.getString(1)}%-15s docs=${r.getLong(2)}%d tokens=${r.getLong(3)}%d"))
+    println(s"[curation-run] params $params")
     println(f"[curation-run] wrote ${args(1)} in $secs%.1f s")
     spark.stop()
   }

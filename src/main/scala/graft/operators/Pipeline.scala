@@ -219,7 +219,19 @@ object Pipeline {
     * construction, not by re-implementation.
     */
   def curationStages(docs: DataFrame,
-      evalEvery: Long): Seq[(String, DataFrame)] = {
+      evalEvery: Long): Seq[(String, DataFrame)] =
+    curationStages(docs, evalEvery, ClassifierFloorE6, FunnelNearDupJaccard)
+
+  /** [[curationStages]] with the two tunable knives as parameters — the
+    * classifier operating point (q102's sweep is the calibration table
+    * that justifies a value) and the near-dup Jaccard bar. q88 and the
+    * default CurationRun use the deployed constants, so their oracle
+    * surfaces are unchanged; a recalibrated CurationRun passes the chosen
+    * points through without a rebuild.
+    */
+  def curationStages(docs: DataFrame, evalEvery: Long,
+      classifierFloorE6: Long,
+      nearDupJaccard: Double): Seq[(String, DataFrame)] = {
     import graft.functions.expressions.sketch
     val base = docs
       .filter(col("doc_id").isNotNull && col("doc_id") % evalEvery =!= 0)
@@ -237,7 +249,7 @@ object Pipeline {
     // id-only semi join keeps the gate off the text payload's shuffle path
     val clfIds = TextAnalysis.classifierScoresUnsorted(
         qual.select(col("doc_id"), col("text")))
-      .filter(col("mean_e6") >= ClassifierFloorE6)
+      .filter(col("mean_e6") >= classifierFloorE6)
       .select(col("doc_id"))
     val clf = qual.join(clfIds, Seq("doc_id"))
     val exs = clf
@@ -248,7 +260,7 @@ object Pipeline {
       .select(col("doc_id"), col("text"), col("n_tokens"))
       .localCheckpoint()
     val pairs = Dedup.nearDupPairsUnsorted(
-      exs.select(col("doc_id"), col("text")), 0.8)
+      exs.select(col("doc_id"), col("text")), nearDupJaccard)
       .select(col("a_id"), col("b_id"))
     val labels = Dedup.connectedComponents(
       exs.select(col("doc_id").as("v")), pairs)
@@ -282,6 +294,13 @@ object Pipeline {
     * semi join) is identical either way.
     */
   val ClassifierFloorE6: Long = -300000L
+
+  /** The funnel's near-dup Jaccard bar (the q21 estimated-Jaccard
+    * threshold its pair stage runs at). Like [[ClassifierFloorE6]], a
+    * deployed default that the parameterized [[curationStages]] overload
+    * lets a recalibrated run override without a rebuild.
+    */
+  val FunnelNearDupJaccard: Double = 0.8
 
   /** q89: per-source document cap — keep at most `cap` docs per source, the
     * over-represented-domain downsampling step of web-corpus curation. The

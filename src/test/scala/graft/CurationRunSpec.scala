@@ -87,6 +87,40 @@ class CurationRunSpec extends AnyFunSuite {
     assert(shipped === corpusIds, "doc_fates 'sampled' set != corpus")
   }
 
+  /** Round-13 #1: the run persists the coarse codebook it used
+    * (`model/coarse`), and a second run reusing it produces an IDENTICAL
+    * manifest with the fit skipped — the train-once/serve-many contract
+    * that makes two snapshots' semantic-dedup verdicts comparable.
+    */
+  test("a reuse-models rerun loads the prior codebook and reproduces the manifest exactly") {
+    // the first run (outDir) must have written its model artifact
+    val stored = graft.sources.ModelStore.loadQuantizer(
+      spark, s"$outDir/model/coarse")
+    assert(stored.nCells > 0, "first run wrote an empty codebook")
+    val reuseDir = Files.createTempDirectory("curation_run_reuse").toString
+    CurationRun.run(spark, sfDir, reuseDir,
+      CurationParams(reuseModels = Some(outDir))).collect()
+    def rows(d: String) = spark.read.parquet(s"$d/manifest")
+      .orderBy(col("stage_idx")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows(reuseDir) === rows(outDir),
+      "manifest drift under a reused codebook — verdicts not comparable")
+    // the reused run re-publishes the codebook it served from, so ANY run
+    // can seed the next; it must be the same model bit-for-bit
+    val republished = graft.sources.ModelStore.loadQuantizer(
+      spark, s"$reuseDir/model/coarse")
+    (stored, republished) match {
+      case (graft.operators.FlatQuantizer(a), graft.operators.FlatQuantizer(b)) =>
+        assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+          "republished codebook drifted")
+      case _ => fail("fixture-scale quantizer should be flat on both runs")
+    }
+    // provenance: the reuse source is recorded in run_params
+    val rp = spark.read.parquet(s"$reuseDir/run_params").head()
+    assert(rp.getAs[String]("reused_models_from") === outDir)
+  }
+
   /** Stage 10 (q100): the shards artifact must be a PERMUTATION of the
     * shipped corpus — every corpus doc exactly once, shard dirs
     * Hive-partitioned, positions contiguous from 1 within each shard, and

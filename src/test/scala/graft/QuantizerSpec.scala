@@ -139,6 +139,73 @@ class QuantizerSpec extends AnyFunSuite {
       again.map(_.map(_.toSeq).toSeq).toSeq, "fit not deterministic")
   }
 
+  /** Reload equality (round-13 #1): a persisted model must reproduce the
+    * fitted original EXACTLY — same centroid doubles, and therefore
+    * bit-identical assignments / probe fan-outs / ADC rankings. This is
+    * the train-once/serve-many contract: two corpus snapshots deduped
+    * under one reloaded codebook have comparable verdicts, where per-job
+    * refits would move the cell boundaries. The q39b/q98b oracles already
+    * pin the downstream machinery; these tests pin the save/load seam.
+    */
+  test("ModelStore round-trips a fitted flat quantizer: centroids and assignments bit-identical") {
+    import graft.functions.vectors
+    val tmp = java.nio.file.Files.createTempDirectory("modelstore").toString
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val fitted = Quantizers.quantizerFor(emb, Similarity.IvfCells)
+    graft.sources.ModelStore.saveQuantizer(spark, fitted, s"$tmp/coarse")
+    val loaded = graft.sources.ModelStore.loadQuantizer(spark, s"$tmp/coarse")
+    assert(loaded.isInstanceOf[FlatQuantizer])
+    assert(loaded.asInstanceOf[FlatQuantizer].centroids.map(_.toSeq).toSeq ===
+      fitted.asInstanceOf[FlatQuantizer].centroids.map(_.toSeq).toSeq,
+      "centroids drifted through the store")
+    val both = emb.select(fitted.assign(col("v")).as("a"),
+      loaded.assign(col("v")).as("b"),
+      fitted.probeCells(col("v"), Similarity.IvfProbes).as("pa"),
+      loaded.probeCells(col("v"), Similarity.IvfProbes).as("pb")).collect()
+    both.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1), "assignment drift after reload")
+      assert(r.getSeq[Int](2) === r.getSeq[Int](3), "probe drift after reload")
+    }
+  }
+
+  test("ModelStore round-trips an IMI quantizer: both codebooks and assignments bit-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("modelstore").toString
+    val df = synthetic(1000).localCheckpoint()
+    val (cbA, cbB) = Quantizers.fitImiCodebooks(df, Quantizers.FlatCellCap + 1)
+    val fitted = ImiQuantizer(cbA, cbB)
+    graft.sources.ModelStore.saveQuantizer(spark, fitted, s"$tmp/coarse")
+    val loaded = graft.sources.ModelStore.loadQuantizer(spark, s"$tmp/coarse")
+    assert(loaded.isInstanceOf[ImiQuantizer])
+    val l = loaded.asInstanceOf[ImiQuantizer]
+    assert(l.cbA.map(_.toSeq).toSeq === cbA.map(_.toSeq).toSeq, "cbA drift")
+    assert(l.cbB.map(_.toSeq).toSeq === cbB.map(_.toSeq).toSeq, "cbB drift")
+    assert(l.nCells === fitted.nCells)
+    val both = df.select(fitted.assign(col("v")).as("a"),
+      loaded.assign(col("v")).as("b")).collect()
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1),
+      "IMI assignment drift after reload"))
+  }
+
+  test("ModelStore round-trips PQ codebooks: the loaded model's ADC ranking is bit-identical") {
+    import graft.functions.vectors
+    val tmp = java.nio.file.Files.createTempDirectory("modelstore").toString
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint()
+    val cbs = Quantizers.pqFitCodebooks(
+      emb, Similarity.PqSubspaces, Similarity.PqCodewords)
+    graft.sources.ModelStore.savePqCodebooks(spark, cbs, s"$tmp/pq")
+    val loaded = graft.sources.ModelStore.loadPqCodebooks(spark, s"$tmp/pq")
+    assert(loaded.map(_.map(_.toSeq).toSeq).toSeq ===
+      cbs.map(_.map(_.toSeq).toSeq).toSeq, "PQ codebooks drifted")
+    val want = Similarity.pqAdcTopK(emb, cbs).collect().toSeq
+    val got = Similarity.pqAdcTopK(emb, loaded).collect().toSeq
+    assert(got === want, "ADC search results drifted under the loaded model")
+  }
+
   test("semantic dedup through a forced IMI quantizer resolves the planted clique identically") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
