@@ -48,6 +48,18 @@ object vecexprs {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The `k` jointly-nearest IMI product cells (a·|cbB|+b, ordered by
+    * dA(a)+dB(b) ascending, ties by cell id) — the multi-sequence probe
+    * order of the inverted multi-index, as ONE codegen'd expression. See
+    * [[ImiProbeCellsExpr]] for why a per-half top-k RECTANGLE (the
+    * round-12 formulation) is not this.
+    */
+  def imiProbeCells(v: Column, cbA: Array[Array[Double]],
+      cbB: Array[Array[Double]], k: Int): Column =
+    ColumnBridge.column(
+      ImiProbeCellsExpr(ColumnBridge.expression(v),
+        cbA.map(_.toVector).toVector, cbB.map(_.toVector).toVector, k))
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -246,6 +258,205 @@ object NearestCellsExpr {
       }
       taken(best) = true
       out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** The `k` jointly-nearest product cells of a two-codebook inverted
+  * multi-index, in exact joint-distance order — the multi-sequence probe
+  * semantics of Babenko & Lempitsky's IMI.
+  *
+  * Why this exists (round-13 measurement): the round-12 ImiQuantizer
+  * probed a per-half top-pa × top-pb RECTANGLE, which is NOT the k
+  * jointly-nearest product cells — a candidate whose A-half ranks 6th for
+  * the probe but whose B-half ranks 1st was unreachable at pa = 5, and the
+  * 200k-decade probe measured the consequence: hard-negative recall 0.000
+  * through the rectangle where the flat tier (whose probeCells ARE its k
+  * nearest cells) scored 1.000 on the same fan-out budget. This expression
+  * restores the flat tier's "k nearest cells, nearest first" contract for
+  * the product grid: rank each half's top-k (a pair in the joint top-k has
+  * both half-ranks ≤ k, so per-half top-k selections suffice), then walk
+  * the product grid best-first (binary heap on (dA+dB, cellId), frontier
+  * neighbors (i+1,j) and (i,j+1)) — the joint top-1 is (argmin dA,
+  * argmin dB), so `assign` = element 1 stays consistent with the round-12
+  * assignment bit-for-bit, per-half lowest-id tie-breaks included.
+  *
+  * Cost per row: the SAME two half-space distance sweeps as before
+  * (O((k1+k2)·dim/2)), one O(k·log k) heap walk on top. Both codebooks
+  * ride in this one expression — k1+k2 half-width centroids, the same
+  * plan-literal mass as the round-12 two-expression form.
+  */
+case class ImiProbeCellsExpr(child: Expression,
+    cbA: Vector[Vector[Double]], cbB: Vector[Vector[Double]], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"imi_probe_cells needs array<double>, got $t")
+    }
+
+  @transient private lazy val flatA: Array[Array[Double]] =
+    cbA.map(_.toArray).toArray
+  @transient private lazy val flatB: Array[Array[Double]] =
+    cbB.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ImiProbeCellsExpr.compute(input.asInstanceOf[ArrayData], flatA, flatB, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("cbA", flatA, "double[][]")
+    val bRef = ctx.addReferenceObj("cbB", flatB, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.ImiProbeCellsExpr
+         |  .compute($c, $aRef, $bRef, $k);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImiProbeCellsExpr = copy(child = newChild)
+}
+
+object ImiProbeCellsExpr {
+
+  /** Squared distances of `v[off, off+width)` to every centroid of `cb`
+    * (truncating to the shorter of centroid/remaining-vector width —
+    * NearestCellsExpr's documented rule applied per half).
+    */
+  private def halfDists(v: ArrayData, cb: Array[Array[Double]],
+      off: Int): Array[Double] = {
+    val d = new Array[Double](cb.length)
+    val avail = math.max(v.numElements() - off, 0)
+    var i = 0
+    while (i < cb.length) {
+      val c = cb(i)
+      val m = math.min(c.length, avail)
+      var acc = 0.0
+      var j = 0
+      while (j < m) { val x = c(j) - v.getDouble(off + j); acc += x * x; j += 1 }
+      d(i) = acc
+      i += 1
+    }
+    d
+  }
+
+  /** Indices of the `k` smallest distances, (distance, id) ascending —
+    * NearestCellsExpr.compute's selection (same NaN fallback: incomparable
+    * rows fall back to lowest untaken id, so degenerate vectors get a
+    * deterministic probe list instead of a crash).
+    */
+  private def topIdx(d: Array[Double], k: Int): Array[Int] = {
+    val n = d.length
+    val kk = math.min(k, n)
+    val out = new Array[Int](kk)
+    val taken = new Array[Boolean](n)
+    var s = 0
+    while (s < kk) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i) && d(i) < bestD) { best = i; bestD = d(i) }
+        i += 1
+      }
+      if (best == -1) {
+        var i = 0
+        while (best == -1) { if (!taken(i)) best = i else i += 1 }
+      }
+      taken(best) = true
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  def compute(v: ArrayData, cbA: Array[Array[Double]],
+      cbB: Array[Array[Double]], k: Int): ArrayData = {
+    val k2 = cbB.length
+    val split = if (cbA.length == 0) 0 else cbA(0).length
+    val dA = halfDists(v, cbA, 0)
+    val dB = halfDists(v, cbB, split)
+    val kk = math.min(k.toLong, cbA.length.toLong * k2).toInt
+    // per-half top-kk candidates: any joint top-kk pair has both half-ranks
+    // <= kk, so the walk never needs deeper per-half lists
+    val ia = topIdx(dA, kk)
+    val ib = topIdx(dB, kk)
+    // best-first walk of the ia x ib grid: heap of (sum, gridPos), ties by
+    // cell id so the order is total and deterministic; (0,0) is the joint
+    // argmin = the round-12 assignment
+    val out = new Array[Int](kk)
+    val heapSum = new Array[Double](kk * 2 + 2)
+    val heapPos = new Array[Int](kk * 2 + 2)
+    val heapCell = new Array[Long](kk * 2 + 2)
+    var heapN = 0
+    val seen = new java.util.HashSet[Integer]()
+    def lt(i: Int, j: Int): Boolean =
+      heapSum(i) < heapSum(j) ||
+        (!(heapSum(i) > heapSum(j)) && heapCell(i) < heapCell(j))
+    def push(pi: Int, pj: Int): Unit = {
+      val pos = pi * kk + pj
+      if (pi < ia.length && pj < ib.length && seen.add(pos)) {
+        val s = dA(ia(pi)) + dB(ib(pj))
+        val cell = ia(pi).toLong * k2 + ib(pj)
+        var c = heapN
+        heapSum(c) = s; heapPos(c) = pos; heapCell(c) = cell
+        heapN += 1
+        while (c > 0 && lt(c, (c - 1) / 2)) {
+          val p = (c - 1) / 2
+          val ts = heapSum(c); heapSum(c) = heapSum(p); heapSum(p) = ts
+          val tp = heapPos(c); heapPos(c) = heapPos(p); heapPos(p) = tp
+          val tc = heapCell(c); heapCell(c) = heapCell(p); heapCell(p) = tc
+          c = p
+        }
+      }
+    }
+    def pop(): Int = {
+      val top = heapPos(0)
+      heapN -= 1
+      heapSum(0) = heapSum(heapN); heapPos(0) = heapPos(heapN)
+      heapCell(0) = heapCell(heapN)
+      var c = 0
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1; val r = 2 * c + 2
+        var m = c
+        if (l < heapN && lt(l, m)) m = l
+        if (r < heapN && lt(r, m)) m = r
+        if (m == c) done = true
+        else {
+          val ts = heapSum(c); heapSum(c) = heapSum(m); heapSum(m) = ts
+          val tp = heapPos(c); heapPos(c) = heapPos(m); heapPos(m) = tp
+          val tc = heapCell(c); heapCell(c) = heapCell(m); heapCell(m) = tc
+          c = m
+        }
+      }
+      top
+    }
+    push(0, 0)
+    var s = 0
+    while (s < kk) {
+      // the frontier can momentarily empty under NaN sums (heap order
+      // degenerates); refill from the lowest unvisited grid row to stay
+      // total — mirrors topIdx's degenerate fallback
+      if (heapN == 0) {
+        var pi = 0
+        var filled = false
+        while (!filled && pi < ia.length) {
+          var pj = 0
+          while (!filled && pj < ib.length) {
+            if (!seen.contains(pi * kk + pj)) { push(pi, pj); filled = true }
+            pj += 1
+          }
+          pi += 1
+        }
+      }
+      val pos = pop()
+      val pi = pos / kk; val pj = pos % kk
+      out(s) = ia(pi) * k2 + ib(pj)
+      push(pi + 1, pj)
+      push(pi, pj + 1)
       s += 1
     }
     new GenericArrayData(out)

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *     nearest codewords, encoded as a*k2+b. Addressable cells grow as
   *     k1×k2 (up to FlatCellCap² ≈ 16.8M) while the plan carries only
   *     k1+k2 half-width centroids — both levels stay under the 2 MB
-  *     plan-literal bound, and assignment stays two codegen'd passes with
-  *     zero per-row lambdas.
+  *     plan-literal bound, and assignment + probe fan-out are ONE
+  *     codegen'd multi-sequence expression with zero per-row lambdas
+  *     ([[vecexprs.imiProbeCells]]).
   *
   * Every consumer keeps the same downstream shape: corpus rows get ONE (or
   * [[Similarity.SemProbeCells]] soft) cell(s), probes fan out to ~n cells,
@@ -34,9 +35,10 @@ sealed trait CellQuantizer {
     */
   def assign(v: Column): Column
 
-  /** ~n probe cells, nearest-first — the probe-side fan-out column
-    * (`array<int>`). May emit slightly more than n cells (the IMI grid
-    * probes a pa×pb rectangle) but always contains [[assign]]'s cell.
+  /** The min(n, nCells) nearest cells, nearest-first — the probe-side
+    * fan-out column (`array<int>`). Both implementations honor exact
+    * nearest-order (flat: one codebook ranking; IMI: the multi-sequence
+    * joint-distance walk), and element 1 is always [[assign]]'s cell.
     */
   def probeCells(v: Column, n: Int): Column
 }
@@ -52,38 +54,28 @@ final case class FlatQuantizer(centroids: Array[Array[Double]])
 }
 
 /** Two half-space codebooks; cell = nearestA(v[0:split)) * k2 +
-  * nearestB(v[split:dim)). `cbA` rows have length `split`, so the A-side
-  * lookup feeds the FULL vector and relies on [[vecexprs.nearestCells]]'s
-  * documented truncation to the centroid width — no per-row slice on the
-  * first half; only the B side pays one native `slice`.
+  * nearestB(v[split:dim)). Assignment AND probe fan-out both come from
+  * [[vecexprs.imiProbeCells]] — the multi-sequence expression that walks
+  * the product grid in exact joint-distance order, so `probeCells(v, n)`
+  * really IS the n nearest product cells (the flat tier's contract).
+  *
+  * Round-13 note: the previous formulation probed a per-half
+  * top-pa × top-pb RECTANGLE, which is not joint order — a cell whose
+  * A-half ranks just past pa was unreachable however close its B-half,
+  * and the 200k-decade probe measured the hole (hard-negative recall
+  * 0.000 through the rectangle vs 1.000 through flat at the same fan-out
+  * budget; retrieval recall was unaffected because top-cosine neighbors
+  * rank #1 in both halves). Joint order closes it with the same two
+  * half-space distance sweeps per row. The joint top-1 is (argmin A,
+  * argmin B), so assignments are bit-identical to the old form's.
   */
 final case class ImiQuantizer(cbA: Array[Array[Double]],
     cbB: Array[Array[Double]]) extends CellQuantizer {
-  private val k2 = cbB.length
-  private val split = cbA.headOption.map(_.length).getOrElse(0)
-  private def tailOf(v: Column): Column = slice(v, lit(split + 1), size(v))
-
-  override def nCells: Int = cbA.length * k2
+  override def nCells: Int = cbA.length * cbB.length
   override def assign(v: Column): Column =
-    element_at(vecexprs.nearestCells(v, cbA, 1), 1) * lit(k2) +
-      element_at(vecexprs.nearestCells(tailOf(v), cbB, 1), 1)
-
-  /** The pa×pb probe rectangle over the two codebooks (pa·pb ≥ n, sides
-    * capped at the codebook sizes), unrolled STATICALLY into element_at
-    * arithmetic — an interpreted `transform` lambda here would drop the
-    * corpus-wide soft-assignment pass (q85) out of whole-stage codegen;
-    * the two nearestCells calls are CSE'd by codegen so each evaluates
-    * once per row however many combos reference them.
-    */
-  override def probeCells(v: Column, n: Int): Column = {
-    val pa = math.min(cbA.length,
-      math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
-    val pb = math.min(k2, math.max(1, math.ceil(n.toDouble / pa).toInt))
-    val ca = vecexprs.nearestCells(v, cbA, pa)
-    val cb = vecexprs.nearestCells(tailOf(v), cbB, pb)
-    array((for (i <- 1 to pa; j <- 1 to pb)
-      yield element_at(ca, i) * lit(k2) + element_at(cb, j)): _*)
-  }
+    element_at(vecexprs.imiProbeCells(v, cbA, cbB, 1), 1)
+  override def probeCells(v: Column, n: Int): Column =
+    vecexprs.imiProbeCells(v, cbA, cbB, n)
 }
 
 /** Quantizer fitting: bounded hash-keyed samples + ML KMeans, flat up to

@@ -771,9 +771,24 @@ object Similarity {
     * tiers (cosineSim's 0/0 → null).
     */
   private def pqAdcShortlist(cbs: Array[Array[Array[Double]]])(
-      joined: DataFrame): DataFrame = {
-    // |cb_m[j]|² as plan literals, same left-to-right fold as the oracle's
-    // list_inner_product(csub, csub)
+      joined: DataFrame): DataFrame =
+    joined
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        pqAdcScoreCol(cbs).as("adc"))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc").desc, col("neighbor_id"))))
+      .filter(col("arnk") <= PqShortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+
+  /** The raw ADC score expression over a joined (codes × probe-LUT) row —
+    * the arithmetic [[pqAdcShortlist]] ranks by, shared with the q103
+    * calibration sweep so the sweep measures the literal deployed scoring.
+    * |cb_m[j]|² are plan literals with the same left-to-right fold as the
+    * oracle's list_inner_product(csub, csub); degenerate norms null out
+    * (see [[pqAdcShortlist]]'s guard note).
+    */
+  private def pqAdcScoreCol(cbs: Array[Array[Array[Double]]]): Column = {
     val n2Lits = cbs.map(cb => typedLit(cb.map { cw =>
       var acc = 0.0; var i = 0
       while (i < cw.length) { acc += cw(i) * cw(i); i += 1 }
@@ -783,15 +798,7 @@ object Similarity {
       .map(i => element_at(col(s"lut$i"), col(s"c$i") + 1)).reduce(_ + _)
     val n2 = cbs.indices
       .map(i => element_at(n2Lits(i), col(s"c$i") + 1)).reduce(_ + _)
-    joined
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        when(col("np2") > 0 && n2 > 0,
-          ip / (sqrt(col("np2")) * sqrt(n2))).as("adc"))
-      .withColumn("arnk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("adc").desc, col("neighbor_id"))))
-      .filter(col("arnk") <= PqShortlist)
-      .select(col("probe_id"), col("neighbor_id"))
+    when(col("np2") > 0 && n2 > 0, ip / (sqrt(col("np2")) * sqrt(n2)))
   }
 
   /** Exact-cosine refine over the bounded shortlist — probes×R rows
@@ -870,6 +877,150 @@ object Similarity {
     if (seeds.isEmpty) return emptyTopK(spark)
     ivfPqTopK(base, FlatQuantizer(seeds.take(IvfCells)),
       pqCodebooksFromSeeds(seeds.take(PqCodewords)))
+  }
+
+  // ---- ANN operating-point calibration (q103) -----------------------------
+
+  /** q103's probe-fan-out grid. The deployed [[IvfProbes]] (= the
+    * [[ivfProbesFor]] floor, and its exact value at the fixture's 16
+    * cells) is a grid point, so the sweep JUSTIFIES the operating point
+    * instead of asserting it — q102's discipline applied to the ANN tier.
+    */
+  val SweepProbes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** q103's ADC-shortlist grid; the deployed [[PqShortlist]] is a point. */
+  val SweepShortlists: Seq[Int] = Seq(10, 40, 160)
+
+  private def sweepGrid(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (for (p <- SweepProbes; r <- SweepShortlists) yield (p, r))
+      .toDF("nprobe", "shortlist")
+  }
+
+  /** q103: ANN operating-point sweep — the calibration table a team reads
+    * before picking the IVF-PQ knobs (probe fan-out × ADC shortlist), the
+    * step between fitting an index and serving it: for every grid point,
+    * the scanned candidate mass and the recall@[[TopK]] against the exact
+    * q20 ground truth, with the deployed (nprobe=[[IvfProbes]],
+    * shortlist=[[PqShortlist]]) point flagged. Recall here is EXACTLY the
+    * production stack's: a true top-k member reaches the output iff the
+    * probe rectangle covers its cell AND its ADC rank clears the
+    * shortlist — the bounded exact refine then always surfaces it — so
+    * |exact top-k ∩ shortlist| / |exact top-k| is the served recall, not
+    * a proxy.
+    *
+    * Cost shape: ONE encode pass and ONE cell join at the max fan-out
+    * produce every grid point — per-candidate probe-cell rank (prnk) and
+    * ADC score are computed once, then each fan-out is a filter + bounded
+    * per-probe window and each shortlist a threshold inside one
+    * map-side-combinable aggregate. 15 grid points cost one corpus scan
+    * plus |probes|-keyed windows, NOT 15 independent ANN runs. Like q102
+    * the output is grid-sized regardless of corpus, and like q102 the
+    * grid survives an empty corpus (zero counts, null recall). At 100 TB
+    * the calibration runs over a bounded corpus sample — the operating
+    * point transfers because recall depends on the quantizer geometry,
+    * not the corpus size — while the ground-truth column stays exact on
+    * that sample.
+    *
+    * Deterministic-seed codebooks (q101b's idiom) so the table is
+    * reproducible run-to-run; rows-only registry surface with the
+    * structural properties (shortlist monotonicity, scanned-mass
+    * saturation, deployed flag) spec-checked in SimilaritySpec.
+    */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val seeds = base.orderBy(col("vec_id"))
+      .limit(math.max(IvfCells, PqCodewords))
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty)
+      return sweepGrid(spark).select(col("nprobe"), col("shortlist"),
+        lit(0L).as("scanned_pairs"), lit(0L).as("hits"),
+        lit(0L).as("exact_pairs"), lit(null).cast("double").as("recall"),
+        (col("nprobe") === IvfProbes && col("shortlist") === PqShortlist)
+          .as("deployed"))
+        .orderBy(col("nprobe"), col("shortlist"))
+    annSweep(base, FlatQuantizer(seeds.take(IvfCells)),
+      pqCodebooksFromSeeds(seeds.take(PqCodewords)))
+  }
+
+  /** The q103 core over any clean (vec_id, v) frame and a fitted
+    * quantizer + PQ codebooks — specs run it directly, and a TRAINED
+    * (or [[graft.sources.ModelStore]]-reloaded) model plugs in the same
+    * way to calibrate the production index.
+    */
+  def annSweep(base: DataFrame, quant: CellQuantizer,
+      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val maxP = math.min(SweepProbes.max, quant.nCells)
+    // the resident form once (q101's encode pass), reused by every point
+    val codes = base.select(
+      col("vec_id") +: quant.assign(col("v")).as("cell") +: pqCodeCols(cbs): _*)
+      .localCheckpoint()
+    // probe side: ALL maxP ranked cells (prnk = how deep a fan-out must
+    // reach to see this cell) + the ADC LUTs, broadcast once
+    val pl = base.filter(col("vec_id") < 5).select(
+      col("vec_id").as("probe_id") +:
+        vecexprs.dotProduct(col("v"), col("v")).as("np2") +:
+        quant.probeCells(col("v"), maxP).as("pcells") +: pqLutCols(cbs): _*)
+    val probeCells = pl.select(
+      col("probe_id") +: col("np2") +:
+        posexplode(col("pcells")).as(Seq("pos", "cell")) +:
+        cbs.indices.map(i => col(s"lut$i")): _*)
+      .withColumn("prnk", col("pos") + 1)
+    // each candidate scored ONCE with its reach depth; every grid point is
+    // a filter over this frame
+    val scored = codes.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("prnk"), pqAdcScoreCol(cbs).as("adc"))
+      .localCheckpoint()
+    val graded = SweepProbes.map { p =>
+      scored.filter(col("prnk") <= math.min(p, maxP))
+        .withColumn("arnk", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(col("adc").desc, col("neighbor_id"))))
+        .select(lit(p).as("nprobe"), col("probe_id"), col("neighbor_id"),
+          col("arnk"))
+    }.reduce(_.union(_))
+    // exact ground truth: q20's ranking over the same clean frame
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val exact = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        vecexprs.cosineSim(col("pv"), col("v")).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("neighbor_id"), lit(true).as("is_true"))
+      .localCheckpoint()
+    val tot = exact.agg(count(lit(1)).as("exact_pairs"))
+    val slGrid = SweepShortlists.toDF("shortlist")
+    val counts = graded
+      .join(broadcast(exact), Seq("probe_id", "neighbor_id"), "left")
+      .crossJoin(broadcast(slGrid))
+      .groupBy(col("nprobe"), col("shortlist"))
+      .agg(count(lit(1)).as("sp"),
+        sum(when(col("arnk") <= col("shortlist") && col("is_true"), 1L)
+          .otherwise(0L)).as("h"))
+    sweepGrid(spark)
+      .join(counts, Seq("nprobe", "shortlist"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("nprobe"), col("shortlist"),
+        coalesce(col("sp"), lit(0L)).as("scanned_pairs"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        col("exact_pairs"),
+        when(col("exact_pairs") > 0,
+          round(coalesce(col("h"), lit(0L)) / col("exact_pairs"), 6))
+          .as("recall"),
+        (col("nprobe") === IvfProbes && col("shortlist") === PqShortlist)
+          .as("deployed"))
+      .orderBy(col("nprobe"), col("shortlist"))
   }
 
   /** q98: PQ-ADC similarity search, production form — per-subspace KMeans
@@ -1411,6 +1562,7 @@ object Similarity {
         |FROM r WHERE rnk <= $TopK ORDER BY probe_id, rnk""".stripMargin
       }),
     QueryDef("q101_ivf_pq", q101, None),
+    QueryDef("q103_ann_sweep", q103, None),
     // q101b pins the SAME ivfPqTopK route→ADC→refine code q101 runs, with
     // ONE lowest-id seed set feeding both tiers: q39b's assignment CTEs
     // (s/nd/ar/asg/pc) produce the cell-mate pairs, q98b's encode/LUT CTEs

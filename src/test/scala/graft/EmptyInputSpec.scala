@@ -53,7 +53,12 @@ class EmptyInputSpec extends AnyFunSuite {
     // fix): all 13 thresholds appear with zero counts — a calibration
     // table that vanishes when its input is empty surprises consumers
     "q102_gate_sweep" ->
-      graft.operators.TextAnalysis.GateSweepThresholds.size.toLong)
+      graft.operators.TextAnalysis.GateSweepThresholds.size.toLong,
+    // same contract for the ANN calibration grid: 5 fan-outs × 3
+    // shortlists with zero counts and null recall on an empty corpus
+    "q103_ann_sweep" ->
+      (graft.operators.Similarity.SweepProbes.size *
+        graft.operators.Similarity.SweepShortlists.size).toLong)
 
   test("every registered query runs on empty tables and returns 0 rows") {
     // q00 reads the fixed reference corpus, not the sf dir

@@ -84,6 +84,33 @@ class QuantizerSpec extends AnyFunSuite {
       }
   }
 
+  /** Round-13: the IMI probe order is EXACT joint-distance order (the
+    * multi-sequence walk), not the per-half rectangle it replaced — the
+    * 200k probe measured the rectangle missing every moderate-cosine
+    * hard negative (recall 0.000 vs flat's 1.000) because a cell whose
+    * A-half ranked just past pa was unreachable however close its B-half.
+    * Hand-computed grids below include exactly such a case.
+    */
+  test("IMI probe cells follow exact joint-distance order, not a per-half rectangle") {
+    import spark.implicits._
+    val cbA = Array(Array(0.0), Array(1.0), Array(2.0), Array(50.0))
+    val cbB = Array(Array(0.0), Array(50.0))
+    val q = ImiQuantizer(cbA, cbB)
+    // v = [0,0]: dA = [0,1,4,2500], dB = [0,2500] — the 3 jointly-nearest
+    // cells are (a0,b0),(a1,b0),(a2,b0) = 0,2,4: reaching A-rank 3 with
+    // B-rank 1, which a 2x2 rectangle (the round-12 shape at n=3) cannot
+    val got = Seq((1L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+      .select(q.probeCells(col("v"), 3).as("pc"), q.assign(col("v")).as("c"))
+      .head()
+    assert(got.getSeq[Int](0) === Seq(0, 2, 4), "not joint-distance order")
+    assert(got.getInt(1) === 0, "assign must equal the joint top-1")
+    // v = [1.4, 20]: dA = [1.96, .16, .36, 2362], dB = [400, 900] —
+    // full 6-cell enumeration interleaves the halves by summed distance
+    val pc2 = Seq((2L, Seq(1.4, 20.0))).toDF("vec_id", "v")
+      .select(q.probeCells(col("v"), 6).as("pc")).head().getSeq[Int](0)
+    assert(pc2 === Seq(2, 4, 0, 3, 5, 1), s"got $pc2")
+  }
+
   test("IMI assignment and probe fan-out stay codegen-native: no ScalaUDF, no interpreted lambda") {
     val df = synthetic(1000).localCheckpoint()
     val (cbA, cbB) = Quantizers.fitImiCodebooks(df, Quantizers.FlatCellCap + 1)

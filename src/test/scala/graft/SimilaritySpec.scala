@@ -383,6 +383,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact(11L)._2 === quant(11L)._2, "flagged score drifted across forms")
   }
 
+  /** q103 ANN calibration sweep: structural properties of the table the
+    * operating point is read from. Recall is monotone in the SHORTLIST at
+    * fixed fan-out (a larger shortlist is a superset); scanned mass is
+    * monotone in the fan-out, identical across shortlists (it measures the
+    * candidate join, not the rank), and saturates at probes×(N−1) when
+    * every cell is probed; exactly one row — the deployed
+    * (IvfProbes, PqShortlist) point — is flagged. Recall need NOT be
+    * monotone in the fan-out at a fixed shortlist (new candidates can
+    * out-ADC a true neighbor out of a bounded shortlist), which is exactly
+    * why the table exists — asserting that would bake in the fallacy the
+    * sweep is meant to expose.
+    */
+  test("ANN sweep: shortlist-monotone recall, saturating scanned mass, one deployed row") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.q103(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getBoolean(6)))
+    assert(got.length ===
+      Similarity.SweepProbes.size * Similarity.SweepShortlists.size)
+    assert(got.count(_._7) === 1, "exactly one deployed row")
+    assert(got.find(_._7).map(r => (r._1, r._2)) ===
+      Some((Similarity.IvfProbes, Similarity.PqShortlist)))
+    val byProbe = got.groupBy(_._1)
+    for ((p, rows) <- byProbe) {
+      assert(rows.map(_._3).distinct.length === 1,
+        s"scanned mass varies across shortlists at nprobe=$p")
+      // recall monotone non-decreasing in the shortlist
+      rows.sortBy(_._2).map(_._6.get).toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b >= a, s"recall dropped as the shortlist grew at nprobe=$p")
+        case _ => ()
+      }
+      rows.foreach(r => assert(r._4 <= r._5, "hits exceed the truth set"))
+    }
+    // scanned mass monotone in fan-out; full fan-out covers the corpus
+    val sp = Similarity.SweepProbes.map(p => byProbe(p).head._3)
+    sp.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b >= a, "scanned mass shrank as the fan-out grew")
+      case _ => ()
+    }
+    val n = Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .count()
+    assert(sp.last === 5L * (n - 1),
+      "probing every cell must scan the whole corpus per probe")
+    assert(got.forall(r => r._5 === 50L), "5 probes × top-10 ground truth")
+  }
+
   /** Empty-eval edge (round-13 contract fix): BOTH decon forms must fan
     * every train row back clean when the eval set is empty — an empty
     * benchmark suite contaminates nothing, it doesn't erase the training
