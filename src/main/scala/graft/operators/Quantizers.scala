@@ -41,6 +41,17 @@ sealed trait CellQuantizer {
     * joint-distance walk), and element 1 is always [[assign]]'s cell.
     */
   def probeCells(v: Column, n: Int): Column
+
+  /** How many times the flat tier's co-scaled fan-out this quantizer needs
+    * for equal coverage. Flat: 1 by definition. IMI: 2 — its centroids are
+    * a GRID of per-half marginals, not free joint KMeans centers, so the
+    * same probed-cell count covers the manifold less adaptively; measured
+    * at the 200k decade (tools/imi_fanout_probe), hard-negative recall
+    * through a 462-cell IMI steps 0.0 → 1.0 between 1× and 2× the ⌈√k⌉
+    * fan-out where flat hits 1.0 at exactly 1×. Consumers multiply
+    * [[Similarity.ivfProbesFor]] by this (capped at nCells).
+    */
+  def probeWidthFactor: Int = 1
 }
 
 /** One plan-literal codebook (the pre-round-12 behavior, unchanged). */
@@ -76,6 +87,7 @@ final case class ImiQuantizer(cbA: Array[Array[Double]],
     element_at(vecexprs.imiProbeCells(v, cbA, cbB, 1), 1)
   override def probeCells(v: Column, n: Int): Column =
     vecexprs.imiProbeCells(v, cbA, cbB, n)
+  override def probeWidthFactor: Int = 2 // measured — see the trait doc
 }
 
 /** Quantizer fitting: bounded hash-keyed samples + ML KMeans, flat up to

@@ -235,7 +235,7 @@ object Similarity {
     val assigned = cand.select(col("id"), col("label"), col("v"),
       quant.assign(col("v")).as("cell"))
     val probeCells = probes.select(col("probe_id"), col("plabel"), col("pv"),
-      explode(quant.probeCells(col("pv"), ivfProbesFor(quant.nCells)))
+      explode(quant.probeCells(col("pv"), ivfProbesFor(quant)))
         .as("cell"))
     assigned.join(broadcast(probeCells), Seq("cell"))
       .transform(hardNegRank(k))
@@ -552,6 +552,18 @@ object Similarity {
   def ivfProbesFor(cells: Int): Int =
     math.max(IvfProbes, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
+  /** Quantizer-aware fan-out: the ⌈√cells⌉ co-scaling times the
+    * quantizer's [[CellQuantizer.probeWidthFactor]] (capped at the cell
+    * count). Flat quantizers keep the exact pre-round-13 fan-out (factor
+    * 1 — every oracle-pinned seeded twin is unchanged); the IMI product
+    * grid probes 2×, the measured operating point where its hard-negative
+    * recall matches flat's at equal cell count (trait doc has the decade
+    * measurement).
+    */
+  def ivfProbesFor(quant: CellQuantizer): Int =
+    math.min(quant.nCells,
+      ivfProbesFor(quant.nCells) * quant.probeWidthFactor)
+
   /** q39: IVF ANN — the production retrieval form, sharing the family's ONE
     * quantizer path ([[Quantizers.quantizerFor]], round 12 — previously a
     * full-corpus 16-cell ML KMeans fit private to this query): bounded
@@ -605,7 +617,7 @@ object Similarity {
     val probeRows = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val probeCells = probeRows.select(col("probe_id"), col("pv"),
-      explode(quant.probeCells(col("pv"), ivfProbesFor(quant.nCells)))
+      explode(quant.probeCells(col("pv"), ivfProbesFor(quant)))
         .as("cell"))
     assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -658,14 +670,20 @@ object Similarity {
   /** Codewords per subspace (see [[PqSubspaces]]). */
   val PqCodewords = 16
 
-  /** ADC shortlist size per probe before the exact refine (4 × [[TopK]] —
-    * the FAISS IVFPQR rule of thumb). ADC ranks are approximate by
-    * construction; re-scoring this bounded shortlist with exact cosines
-    * buys back most of the quantization's rank error for R·dim extra
-    * float reads per probe — measured on the fixture it lifts top-10
-    * recall from ~0.5 (raw ADC order) to the SimilaritySpec floor.
+  /** ADC shortlist size per probe before the exact refine. ADC ranks are
+    * approximate by construction; re-scoring this bounded shortlist with
+    * exact cosines buys back the quantization's rank error for R·dim
+    * extra float reads per probe.
+    *
+    * Round-13 operating point: 160 = 16 × [[TopK]], chosen FROM the q103
+    * calibration sweep at the 200k decade (SCALE.md) — recall@10 there is
+    * entirely shortlist-bound (0.08 / 0.50 / 1.00 at R = 10 / 40 / 160,
+    * for every fan-out and for both K = 16 and K = 256 codebooks), so the
+    * previous 4×TopK FAISS-rule default was the binding constraint on the
+    * whole IVF-PQ stack while costing only 120 more exact re-scores per
+    * probe to fix — the sweep exists precisely to catch this.
     */
-  val PqShortlist = 40
+  val PqShortlist = 160
 
   /** Subspace m covers dims [⌊dim·m/M⌋, ⌊dim·(m+1)/M⌋) — the same integer
     * rule the trained fit ([[Quantizers.pqFitCodebooks]]) and the DuckDB
@@ -832,7 +850,7 @@ object Similarity {
     val probeLut = base.filter(col("vec_id") < 5).select(
       col("vec_id").as("probe_id") +:
         vecexprs.dotProduct(col("v"), col("v")).as("np2") +:
-        explode(quant.probeCells(col("v"), ivfProbesFor(quant.nCells)))
+        explode(quant.probeCells(col("v"), ivfProbesFor(quant)))
           .as("cell") +: pqLutCols(cbs): _*)
     val shortlist = codes.join(broadcast(probeLut), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -1167,7 +1185,7 @@ object Similarity {
     val assigned = tr.select(col("vec_id"), col("v"),
       quant.assign(col("v")).as("cell"))
     val evalCells = evalSet.select(col("eval_id"), col("ev"),
-      explode(quant.probeCells(col("ev"), ivfProbesFor(quant.nCells)))
+      explode(quant.probeCells(col("ev"), ivfProbesFor(quant)))
         .as("cell"))
     val hits = assigned.join(broadcast(evalCells), Seq("cell"))
       .select(col("vec_id"), col("eval_id"),
