@@ -233,6 +233,14 @@ object Pipeline {
       classifierFloorE6: Long,
       nearDupJaccard: Double): Seq[(String, DataFrame)] = {
     import graft.functions.expressions.sketch
+    // base and clf are each consumed by SEVERAL actions downstream (their
+    // own funnel stat, every later stage's lineage, and CurationRun's
+    // doc-fates union) — materialize both so no consumer re-executes the
+    // tokenize/ratio projection or, far worse, the classifier's
+    // token-explode scoring pass. Round-13 measurement: at the sf10 decade
+    // the UNCHECKPOINTED clf lineage re-ran the 447k-doc scoring explode
+    // once for the manifest stats and once for the fates fold, dominating
+    // a 209 s artifacts stage whose actual sink writes are seconds.
     val base = docs
       .filter(col("doc_id").isNotNull && col("doc_id") % evalEvery =!= 0)
       .select(col("doc_id"), col("text"),
@@ -243,6 +251,7 @@ object Pipeline {
           .as("n_tokens"),
         text.alphaRatio(col("text")).as("alpha_ratio"),
         text.tokenSetRatio(col("text"), text.stopwords("en")).as("sw_ratio"))
+      .localCheckpoint()
     val qual = base.filter(col("n_tokens") >= 20 &&
       col("alpha_ratio") >= 0.5 && col("sw_ratio") <= 0.5)
     // model gate (q94's scorer at the funnel's operating point): the
@@ -251,7 +260,7 @@ object Pipeline {
         qual.select(col("doc_id"), col("text")))
       .filter(col("mean_e6") >= classifierFloorE6)
       .select(col("doc_id"))
-    val clf = qual.join(clfIds, Seq("doc_id"))
+    val clf = qual.join(clfIds, Seq("doc_id")).localCheckpoint()
     val exs = clf
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text").cast("binary")))
@@ -1075,7 +1084,125 @@ object Pipeline {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** q105's "this crawl's new arrivals" slice: docs with
+    * doc_id % DriftHoldout == DriftHoldout − 1 are absent from the
+    * previous snapshot — a deterministic 10% stand-in for an incremental
+    * crawl, the same bounded-slice idiom as q82/q92/q99's probe strides.
+    */
+  val DriftHoldout = 10L
+
+  /** q105: curation snapshot drift report — the between-runs diff every
+    * periodically-recrawled corpus needs: for each document of the current
+    * snapshot, its curation fate NOW vs its fate in the PREVIOUS snapshot
+    * (quality gates + exact-dedup keeper — the funnel's deterministic
+    * prefix), and the churn class: `arrived` (not in the previous crawl),
+    * `stable` (same fate), `changed`. The non-obvious churn this surfaces
+    * is REGRADING: a document that was its duplicate-cluster's keeper can
+    * LOSE keeper status when a new lower-id copy arrives — its training
+    * data disappears without its content changing, which is invisible to
+    * any single-snapshot report (q97 included) and is exactly the diff a
+    * "why did my corpus shrink" investigation starts from.
+    *
+    * Shape for 100 TB: two quality passes + two md5-keyed rank exchanges
+    * + one id-keyed diff join, all linear; in production the previous
+    * side is the prior run's persisted `doc_fates/` artifact (CurationRun
+    * writes it), collapsing this to ONE pass + one join — the registered
+    * form recomputes both sides from one table so the whole diff is
+    * hash-checkable.
+    */
+  def q105(spark: SparkSession, dir: String): DataFrame =
+    snapshotDrift(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q105 core over any (doc_id, text) frame — planted specs run it
+    * directly.
+    */
+  def snapshotDrift(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("doc_id").isNotNull)
+    val prev = snapshotFates(
+      d.filter(col("doc_id") % DriftHoldout =!= DriftHoldout - 1))
+      .select(col("doc_id"), col("fate").as("prev_fate"))
+    val cur = snapshotFates(d).select(col("doc_id"), col("fate").as("cur_fate"))
+    cur.join(prev, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("prev_fate"), col("cur_fate"),
+        when(col("prev_fate").isNull, lit("arrived"))
+          .when(col("prev_fate") === col("cur_fate"), lit("stable"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc fate under the funnel's deterministic prefix (q44's quality
+    * gates, then min-id exact-dedup keeper AMONG the snapshot's quality
+    * survivors): `kept` | `dup_loser` | `quality_dropped`. Ranks are
+    * snapshot-local by construction — a doc's fate depends only on the
+    * docs present in ITS snapshot, which is what makes the q105 diff
+    * meaningful.
+    */
+  private def snapshotFates(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("text"),
+      text.tokenCount(col("text")).as("n_tokens"),
+      text.alphaRatio(col("text")).as("alpha_ratio"),
+      text.tokenSetRatio(col("text"), text.stopwords("en")).as("sw_ratio"))
+    val surv = scored
+      .filter(col("n_tokens") >= 20 &&
+        col("alpha_ratio") >= 0.5 && col("sw_ratio") <= 0.5)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary")))
+          .orderBy(col("doc_id"))))
+      .select(col("doc_id"),
+        when(col("rn") === 1, lit("kept")).otherwise(lit("dup_loser"))
+          .as("fate"))
+    scored.select(col("doc_id"))
+      .join(surv, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("fate"), lit("quality_dropped")).as("fate"))
+  }
+
+  /** One snapshot's fate subquery for the q105 oracle: quality gates from
+    * the shared q44 expressions, keeper rank among that snapshot's
+    * survivors only.
+    */
+  private def driftFatesSql(pred: String): String =
+    s"""SELECT d.doc_id, coalesce(s.fate, 'quality_dropped') AS fate
+       |  FROM (SELECT doc_id FROM qq WHERE $pred) d
+       |  LEFT JOIN (
+       |    SELECT doc_id,
+       |      CASE WHEN row_number() OVER (
+       |          PARTITION BY md5(text) ORDER BY doc_id) = 1
+       |        THEN 'kept' ELSE 'dup_loser' END AS fate
+       |    FROM qq
+       |    WHERE ($pred) AND n_tokens >= 20
+       |      AND alpha_ratio >= 0.5 AND sw_ratio <= 0.5) s
+       |  USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q105_snapshot_drift", q105,
+      Some(s"""WITH dd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+        |qq AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                         t -> t <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS alpha_ratio,
+        |    round(CAST(len(list_filter(
+        |        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                    t -> t <> ''),
+        |        t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))
+        |        AS DOUBLE) / greatest(len(list_filter(
+        |          regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')), 1),
+        |      4) AS sw_ratio
+        |  FROM dd),
+        |pv AS (
+        |${driftFatesSql(s"doc_id % $DriftHoldout <> ${DriftHoldout - 1}")}),
+        |cv AS (
+        |${driftFatesSql("TRUE")})
+        |SELECT cv.doc_id, pv.fate AS prev_fate, cv.fate AS cur_fate,
+        |  CASE WHEN pv.fate IS NULL THEN 'arrived'
+        |       WHEN pv.fate = cv.fate THEN 'stable'
+        |       ELSE 'changed' END AS status
+        |FROM cv LEFT JOIN pv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q100_train_shards", q100,
       Some(s"""WITH k AS (
         |  SELECT doc_id,

@@ -1286,6 +1286,37 @@ object Similarity {
     semanticDedupCells(ids, b, cells, threshold)
   }
 
+  /** q104: semantic dedup SERVED from a persisted model — the
+    * [[graft.sources.ModelStore]] round trip under the registry: fit the
+    * family quantizer exactly as q85 does, WRITE the codebook artifact,
+    * RELOAD it, and run the shared dedup tail under the LOADED model. A
+    * reloaded codebook carries identical centroid doubles (QuantizerSpec's
+    * round-trip contract), so the output ≡ q85's and q85's DuckDB oracle
+    * applies VERBATIM — putting the artifact seam itself (model → parquet
+    * → model → plan literal) under a hash, not just under specs. This is
+    * the serve-from-artifact path `CurationRun --reuse-models` takes in
+    * production: a train job fits and saves once, every downstream job
+    * loads; at 100 TB the load side is a KB-scale parquet read + one
+    * plan-literal rebuild — free next to any scan.
+    */
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val ids = emb.select(col("vec_id"))
+    val b = emb
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint()
+    val n = b.count()
+    if (n == 0) return semanticDedup(ids, b, SemDedupCosine)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-q104-model").toString
+    graft.sources.ModelStore.saveQuantizer(spark,
+      Quantizers.quantizerFor(b, ivfCellsFor(n)), s"$tmp/coarse")
+    semanticDedupQuantized(ids, b, SemDedupCosine,
+      graft.sources.ModelStore.loadQuantizer(spark, s"$tmp/coarse"))
+  }
+
   /** q85 driven by a PRE-FITTED quantizer — the same candidate/CC tail fed
     * by an injected codebook: specs force the two-level [[ImiQuantizer]]
     * through it at fixture scale (where [[ivfCellsFor]] would pick flat),
@@ -1369,6 +1400,27 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** The q85 DuckDB mirror (unrestricted exact pairs + recursive-CTE CC +
+    * min-id keepers) — shared verbatim by q104, whose served-from-artifact
+    * output is bit-identical by the ModelStore reload contract.
+    */
+  private val semanticDedupOracle: String =
+    s"""WITH RECURSIVE
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |      FROM e a, e b
+      |      WHERE a.vec_id < b.vec_id
+      |        AND round(list_cosine_similarity(a.v, b.v), 6) >=
+      |            $SemDedupCosine),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM p
+      |          UNION ALL SELECT b_id, a_id FROM p),
+      |cc(v, lab) AS (
+      |  SELECT vec_id, vec_id FROM e
+      |  UNION
+      |  SELECT edges.d, cc.lab FROM cc JOIN edges ON edges.s = cc.v)
+      |SELECT v AS vec_id, MIN(lab) AS rep_id, (MIN(lab) = v) AS is_kept
+      |FROM cc GROUP BY v ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q96_embedding_stats", q96,
       // quantize-then-aggregate makes the sums exact integers; mean/std
@@ -1387,22 +1439,10 @@ object Similarity {
         |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n,
         |    0)) * 100) AS BIGINT) AS std_e6
         |FROM g ORDER BY dim""".stripMargin)),
-    QueryDef("q85_semantic_dedup", q85,
-      Some(s"""WITH RECURSIVE
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |      FROM e a, e b
-        |      WHERE a.vec_id < b.vec_id
-        |        AND round(list_cosine_similarity(a.v, b.v), 6) >=
-        |            $SemDedupCosine),
-        |edges AS (SELECT a_id AS s, b_id AS d FROM p
-        |          UNION ALL SELECT b_id, a_id FROM p),
-        |cc(v, lab) AS (
-        |  SELECT vec_id, vec_id FROM e
-        |  UNION
-        |  SELECT edges.d, cc.lab FROM cc JOIN edges ON edges.s = cc.v)
-        |SELECT v AS vec_id, MIN(lab) AS rep_id, (MIN(lab) = v) AS is_kept
-        |FROM cc GROUP BY v ORDER BY vec_id""".stripMargin)),
+    QueryDef("q85_semantic_dedup", q85, Some(semanticDedupOracle)),
+    // q104 = q85 through the ModelStore save→load seam; the reload is
+    // bit-identical, so the SAME oracle hash pins the artifact round trip
+    QueryDef("q104_semantic_dedup_served", q104, Some(semanticDedupOracle)),
     QueryDef("q93_embedding_outliers", q93,
       Some(s"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

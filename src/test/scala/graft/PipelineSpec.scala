@@ -588,4 +588,38 @@ class PipelineSpec extends AnyFunSuite {
       assert(rows.map(_._3).sorted === (1 to rows.size),
         s"shard $shard positions not contiguous") }
   }
+
+  /** q105 snapshot drift on a planted corpus. The load-bearing case is
+    * REGRADING: doc 14 was its duplicate cluster's keeper in the previous
+    * snapshot; the current crawl adds doc 9 (identical text, lower id,
+    * id % 10 == 9 so it is genuinely new) which takes keeper status —
+    * doc 14 flips kept → dup_loser with status `changed` while its content
+    * never changed. Around it: a stable keeper, a stable quality drop, a
+    * stable dup_loser, and two arrivals (the usurper and a unique doc).
+    */
+  test("snapshot drift classifies arrivals, stable fates, and the regraded keeper") {
+    import spark.implicits._
+    def good(tag: String): String =
+      (1 to 25).map(i => s"${tag}word$i").mkString(" ")
+    val shared = good("dup")
+    val docs = Seq(
+      (1L, good("a")),   // kept in both snapshots -> stable
+      (3L, "short"),     // fails the token floor in both -> stable
+      (14L, shared),     // prev keeper, regraded by arriving doc 9
+      (21L, shared),     // dup_loser in both -> stable
+      (9L, shared),      // NEW: takes the cluster's keeper slot
+      (19L, good("z")))  // NEW: unique, kept
+      .toDF("doc_id", "text")
+    val got = Pipeline.snapshotDrift(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1),
+          r.getString(2), r.getString(3)))).toMap
+    assert(got.size === 6)
+    assert(got(1L) === (("kept", "kept", "stable")))
+    assert(got(3L) === (("quality_dropped", "quality_dropped", "stable")))
+    assert(got(14L) === (("kept", "dup_loser", "changed")))
+    assert(got(21L) === (("dup_loser", "dup_loser", "stable")))
+    assert(got(9L) === ((null, "kept", "arrived")))
+    assert(got(19L) === ((null, "kept", "arrived")))
+  }
 }
