@@ -35,19 +35,19 @@ object StreamReplay {
   private val sourceMeta = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, org.apache.spark.sql.types.StructType)]()
 
-  /** The `events` table as a REAL file-stream source. File-stream sources
-    * need an explicit schema: one metadata-only batch read supplies it (ts
-    * normalizes through Tables.withEventTime, exactly as in Tables.events).
+  /** A fixture table as a REAL file-stream source. File-stream sources
+    * need an explicit schema: one metadata-only batch read supplies it.
     * The source's basePath must be a DIRECTORY: a directory-form
-    * events.parquet (the normal Spark/cluster layout) streams directly,
+    * `<table>.parquet` (the normal Spark/cluster layout) streams directly,
     * while the driver fixture's single-FILE form streams the parent
     * directory with pathGlobFilter selecting just that file — the glob
     * matches leaf file names only, so it must never be applied to the
     * directory form (it would match no part-files and silently stream
     * nothing).
     */
-  private def replayEvents(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
+  private def replayTable(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val status = fs.getFileStatus(hPath)
@@ -63,12 +63,16 @@ object StreamReplay {
     val schema = sourceMeta.compute(path, (_, cur) =>
       if (cur != null && cur._1 == sig) cur
       else (sig, spark.read.parquet(path).schema))._2
-    val src =
-      if (isDir) spark.readStream.schema(schema).parquet(path)
-      else spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-    graft.Tables.withEventTime(src)
+    if (isDir) spark.readStream.schema(schema).parquet(path)
+    else spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
+
+  /** The `events` table as a file stream (ts normalized through
+    * Tables.withEventTime, exactly as in Tables.events).
+    */
+  private def replayEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.withEventTime(replayTable(spark, dir, "events"))
 
   /** Stateful-operator partition count for the replays. Each micro-batch
     * pays a fixed commit cost PER state-store instance (= shuffle
@@ -224,7 +228,110 @@ object StreamReplay {
       "q73_ssjoin_sink", "append")
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
 
+  /** q106: streaming model-serve drift monitor — the ONLINE member of the
+    * train-once/serve-many family (q104 is the batch one). A codebook
+    * trained offline (the q39b deterministic lowest-id seeds, so the whole
+    * path is SQL-mirrorable) goes through the [[graft.sources.ModelStore]]
+    * save→load seam, and the corpus then streams through a REAL
+    * file-stream source with the LOADED quantizer assigning every arrival
+    * to its IVF cell inside the micro-batch: plan-literal assignment in
+    * codegen, a stream-static broadcast join fetching the assigned
+    * centroid, and a per-cell running aggregate of arrivals and quantized
+    * centroid affinity (floor(round(cos, 6)·10⁶) — exact integers, so the
+    * complete-mode sums are micro-batch-split-independent and the DuckDB
+    * batch mirror hashes them). This is the serving-side monitor a
+    * production ANN/dedup deployment runs at ingest: cell-mass shift and
+    * falling mean affinity are exactly the "distribution left the trained
+    * quantizer behind — retrain" signal (q105 reports drift between batch
+    * snapshots; q106 watches it arrive).
+    *
+    * Scale shape: state is the per-cell aggregate — O(k cells), never
+    * O(arrivals); the centroid join broadcasts KB-scale model state; the
+    * payload vectors die inside the micro-batch (only (cell, qc) reaches
+    * the state store). At 100 TB/day ingest the same plan holds with the
+    * aggregate keyed by (window, cell) under a watermark; the fixture
+    * replay needs the all-time totals to stay batch-mirrorable.
+    */
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{FlatQuantizer, Similarity}
+    val base = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    // offline train: the K lowest-id vectors ARE the codebook (q39b's
+    // init-free idiom; KB-scale model state, not a data-path collect)
+    val seeds = base.orderBy(col("vec_id")).limit(Similarity.IvfCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty) return emptyMonitor(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-q106-model").toString
+    graft.sources.ModelStore.saveQuantizer(spark, FlatQuantizer(seeds),
+      s"$tmp/coarse")
+    val quant = graft.sources.ModelStore.loadQuantizer(spark, s"$tmp/coarse")
+    val centroids = quant match { case FlatQuantizer(cs) => cs; case _ => seeds }
+    import spark.implicits._
+    val centroidDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c")
+    val stream = replayTable(spark, dir, "embeddings")
+      .select(graft.functions.vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val assigned = stream
+      .select(quant.assign(col("v")).as("cell"), col("v"))
+      .join(broadcast(centroidDf), Seq("cell"))
+      .select(col("cell"),
+        floor(round(graft.functions.expressions.vecexprs
+            .cosineSim(col("v"), col("c")), Similarity.ScoreDp) *
+          lit(1000000L)).cast("long").as("qc"))
+    drain(assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("qc")).as("sum_cos_e6")),
+      "q106_monitor_sink", "complete")
+      .select(col("cell"), col("n"), col("sum_cos_e6"),
+        floor(col("sum_cos_e6").cast("double") / col("n"))
+          .cast("long").as("mean_cos_e6"))
+      .orderBy(col("cell"))
+  }
+
+  /** Empty, schema-correct q106 result — the monitor for a corpus no
+    * codebook can be trained on.
+    */
+  private def emptyMonitor(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("cell", IntegerType), StructField("n", LongType),
+        StructField("sum_cos_e6", LongType),
+        StructField("mean_cos_e6", LongType))))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // the assignment CTEs are q39b's verbatim (same seeds, same argmin +
+    // lowest-cell tie-break); the affinity quantization is hash-safe
+    // because round(x, 6) is already proven IEEE-identical cross-engine
+    // by q39b's hashed score column, and *1e6/floor are exact IEEE ops
+    QueryDef("q106_stream_cell_monitor", q106,
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |s AS (SELECT v AS sv,
+        |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |          AS cell
+        |      FROM e ORDER BY vec_id LIMIT ${graft.operators.Similarity.IvfCells}),
+        |nd AS (SELECT e.vec_id, s.cell, list_distance(e.v, s.sv) AS d
+        |       FROM e CROSS JOIN s),
+        |a AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+        |          AS rn
+        |      FROM nd),
+        |asg AS (SELECT vec_id, cell FROM a WHERE rn = 1),
+        |q AS (SELECT asg.cell,
+        |        CAST(FLOOR(round(list_cosine_similarity(e.v, s.sv),
+        |          ${graft.operators.Similarity.ScoreDp}) * 1000000) AS BIGINT) AS qc
+        |      FROM asg JOIN e USING (vec_id) JOIN s USING (cell))
+        |SELECT cell, COUNT(*) AS n, CAST(SUM(qc) AS BIGINT) AS sum_cos_e6,
+        |  CAST(FLOOR(CAST(SUM(qc) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS mean_cos_e6
+        |FROM q GROUP BY cell ORDER BY cell""".stripMargin)),
     QueryDef("q73_stream_stream_join", q73,
       Some("""WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)

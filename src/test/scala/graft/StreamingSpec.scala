@@ -161,4 +161,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() === rows.size)
     assert(got.select("event_id").distinct().count() === rows.size)
   }
+
+  /** q106 on a planted corpus: 16 distinct seed vectors (= the codebook),
+    * exact copies landing on seeds 0 and 5, and one drifted arrival near
+    * seed 3 — the monitor must count every cell's arrivals and show full
+    * affinity (10⁶) exactly where members sit ON the centroid, and a
+    * depressed mean exactly where the drifted arrival landed.
+    */
+  test("q106 streaming cell monitor: planted copies and a drifted arrival") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-q106-fix").toString
+    def ramp(i: Int): Seq[Float] = (0 until 8).map(j => (i * 8 + j).toFloat)
+    val drifted = Seq(34f, 25f, 26f, 27f, 28f, 29f, 30f, 31f) // near seed 3
+    val rows =
+      (0 until 16).map(i => (i.toLong, ramp(i), 0)) ++
+        Seq((16L, ramp(0), 0), (17L, ramp(5), 0), (18L, drifted, 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = streaming.StreamReplay.q106(spark, d)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size === 16)
+    assert(got.values.map(_._1).sum === 19L)
+    assert(got(0)._1 === 2L && got(0)._3 === 1000000L)
+    assert(got(5)._1 === 2L && got(5)._3 === 1000000L)
+    assert(got(3)._1 === 2L && got(3)._3 < 1000000L &&
+      got(3)._2 < 2000000L)
+    (got.keySet -- Set(0, 3, 5)).foreach { c =>
+      assert(got(c)._1 === 1L && got(c)._3 === 1000000L, s"cell $c")
+    }
+  }
 }
