@@ -96,6 +96,26 @@ object sketch {
   def minhashBandKeys(shingleHashes: Column, k: Int, bands: Int, seed: Long): Column =
     ColumnBridge.column(
       MinHashBandKeysExpr(ColumnBridge.expression(shingleHashes), k, bands, seed))
+
+  /** Cross-engine-mirrorable MinHash LSH band keys straight from the text:
+    * tokenize (the same `[a-z0-9]+` runs as tokenHashes), build n-token
+    * shingle STRINGS, draw bands*rows md5 minhashes (draw j hashes
+    * `"j:" + shingle`; the value is the digest's first 60 bits, which is
+    * exactly DuckDB's `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)` and
+    * Spark's `conv(substring(md5(x), 1, 15), 16, 10)` — the q94 weight
+    * idiom), and emit one `"b:mh_{rows*b}:…:mh_{rows*b+rows-1}"` key string
+    * per band. Docs with fewer than n tokens emit an EMPTY array: no bands,
+    * never pairable (the wordNgrams contract).
+    *
+    * The md5 family exists so the ONLINE (streaming) near-dup path can sit
+    * under a DuckDB oracle hash; the production batch family is
+    * minhashBandKeys above (XXH64 — same plan shape, ~10× cheaper hashing,
+    * not SQL-expressible). Codegen'd like the rest of the file: one static
+    * call, the enclosing projection stays in whole-stage codegen.
+    */
+  def mdBandKeys(text: Column, n: Int, bands: Int, rows: Int): Column =
+    ColumnBridge.column(
+      MdBandKeysExpr(ColumnBridge.expression(text), n, bands, rows))
 }
 
 /** fp bit layout matches the declarative form it replaced: fold acc*2+bit
@@ -661,6 +681,115 @@ object MinHashBandKeysExpr {
         i += 1
       }
       keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+}
+
+/** See sketch.mdBandKeys. Tokenization is byte-identical to TokenXxh64Expr's
+  * (maximal `[a-z0-9]+` runs of the lowercased UTF-8 bytes, i.e. DuckDB's
+  * `list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+  * t -> t <> '')`); a shingle string is n consecutive tokens joined with
+  * single spaces, matching `array_to_string(list_slice(tk, i+1, i+n), ' ')`.
+  */
+case class MdBandKeysExpr(child: Expression, n: Int, bands: Int, rows: Int)
+    extends UnaryExpression {
+  require(n > 0 && bands > 0 && rows > 0, "n, bands, rows must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md_band_keys needs string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MdBandKeysExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n, bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.MdBandKeysExpr.compute($c, $n, $bands, $rows);")
+
+  override protected def withNewChildInternal(newChild: Expression): MdBandKeysExpr =
+    copy(child = newChild)
+}
+
+object MdBandKeysExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val mdTl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  @inline private def isTokenByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  def compute(text: UTF8String, n: Int, bands: Int, rows: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]
+    var i = 0
+    while (i < len) {
+      if (isTokenByte(bytes(i))) {
+        val s = i
+        while (i < len && isTokenByte(bytes(i))) i += 1
+        starts += s
+        ends += i
+      } else i += 1
+    }
+    val m = starts.length
+    if (m < n) return new GenericArrayData(Array.empty[AnyRef])
+    val draws = bands * rows
+    // the draw salt "j:" as ASCII bytes, built once per call
+    val prefixes = Array.tabulate(draws)(j => (j.toString + ":").getBytes)
+    val mins = Array.fill(draws)(Long.MaxValue)
+    val md = mdTl.get()
+    var s0 = 0
+    while (s0 <= m - n) {
+      var shLen = n - 1
+      var t = 0
+      while (t < n) { shLen += ends(s0 + t) - starts(s0 + t); t += 1 }
+      val sh = new Array[Byte](shLen)
+      var o = 0
+      t = 0
+      while (t < n) {
+        if (t > 0) { sh(o) = ' '; o += 1 }
+        val l = ends(s0 + t) - starts(s0 + t)
+        System.arraycopy(bytes, starts(s0 + t), sh, o, l)
+        o += l
+        t += 1
+      }
+      var j = 0
+      while (j < draws) {
+        md.reset()
+        md.update(prefixes(j))
+        md.update(sh)
+        val d = md.digest()
+        // first 15 hex nibbles = first 8 bytes big-endian, high 60 bits
+        val v = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      s0 += 1
+    }
+    val keys = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder
+      sb.append(b)
+      var r = 0
+      while (r < rows) { sb.append(':').append(mins(b * rows + r)); r += 1 }
+      keys(b) = UTF8String.fromString(sb.toString)
       b += 1
     }
     new GenericArrayData(keys)

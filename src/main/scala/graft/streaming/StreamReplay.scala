@@ -291,6 +291,54 @@ object StreamReplay {
       .orderBy(col("cell"))
   }
 
+  /** q107: streaming near-dup index, served — the ONLINE member of the
+    * near-dedup family (batch: MinHash-LSH q21, SimHash q22, cosine-LSH
+    * q24; online exact dedup: q61). The corpus streams through a REAL
+    * file-stream source; every arrival's MinHash LSH band keys are computed
+    * INSIDE the micro-batch by one codegen'd expression
+    * ([[graft.functions.expressions.MdBandKeysExpr]] — 3-token shingles,
+    * 8 bands × 2 rows), and the state store maintains the banded dedup
+    * INDEX a production ingest pipeline keeps: per band key, the arrival
+    * count and the keeper (lowest doc_id). After the drain, the registered
+    * output is the SERVE step: each doc's bands looked up in the index,
+    * `near_dup` = some colliding band has a lower-id keeper, `min_keeper`
+    * = that cluster representative. Keeper-by-lowest-id (not arrival
+    * order) makes the result micro-batch-split-independent, so one batch
+    * SQL mirror hashes the whole online path — the md5 hash family exists
+    * exactly for that (see mdBandKeys; the production batch family is the
+    * XXH64 minhashBandKeys with the identical plan shape, q21).
+    *
+    * Scale shape: state is the band index — O(distinct bands) ≤ 8×docs of
+    * (string key, two longs), the inherent floor for ingest dedup (you
+    * must remember what you've seen; q61's exact-dedup state is the same
+    * O(seen) class) and ~KB per thousand docs vs the corpus' MBs: text
+    * never enters the state store. The serve join is band-keyed ids-only
+    * (band string + two longs), map-side combinable on both aggregates;
+    * no broadcast is assumed — at 100 TB the index IS the big side and
+    * the join shuffles ids, never payloads.
+    */
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    val bandsOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => graft.functions.expressions.sketch.mdBandKeys(t, 3, 8, 2)
+    val batchDocs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val stream = replayTable(spark, dir, "documents")
+      .select(col("doc_id"), explode(bandsOf(col("text"))).as("band"))
+    val index = drain(stream.groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper")),
+      "q107_neardup_sink", "complete")
+    val docBands = batchDocs
+      .select(col("doc_id"), explode(bandsOf(col("text"))).as("band"))
+    val hits = docBands
+      .join(index.filter(col("n") > 1), Seq("band"))
+      .filter(col("keeper") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("keeper")).as("min_keeper"))
+    batchDocs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("min_keeper").isNotNull.as("near_dup"),
+        col("min_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Empty, schema-correct q106 result — the monitor for a corpus no
     * codebook can be trained on.
     */
@@ -305,6 +353,42 @@ object StreamReplay {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // the whole online path is hash-mirrorable because MdBandKeysExpr is
+    // cross-engine by construction: tokenization ≡ the regexp_split mirror
+    // (the TokenXxh64Expr-documented identity), the 60-bit md5 draw ≡ the
+    // q94 '0x'||substr(md5) idiom, and keeper-by-lowest-id is
+    // arrival-order-free
+    QueryDef("q107_stream_neardup_serve", q107,
+      Some("""WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id, list_transform(range(0, len(tk) - 2), i ->
+        |      array_to_string(list_slice(tk, i + 1, i + 3), ' ')) AS sh
+        |  FROM tk WHERE len(tk) >= 3),
+        |mh AS (
+        |  SELECT doc_id, list_transform(range(0, 16), j ->
+        |      list_min(list_transform(sh, s ->
+        |        CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)
+        |          AS BIGINT)))) AS mhs
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
+        |      CAST(mhs[2*b + 1] AS VARCHAR) || ':' ||
+        |      CAST(mhs[2*b + 2] AS VARCHAR) AS band
+        |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+        |idx AS (SELECT band, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |        FROM bands GROUP BY band),
+        |hits AS (
+        |  SELECT bands.doc_id, MIN(idx.keeper) AS min_keeper
+        |  FROM bands JOIN idx USING (band)
+        |  WHERE idx.keeper < bands.doc_id
+        |  GROUP BY bands.doc_id)
+        |SELECT d.doc_id, (h.min_keeper IS NOT NULL) AS near_dup, h.min_keeper
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
     // the assignment CTEs are q39b's verbatim (same seeds, same argmin +
     // lowest-cell tie-break); the affinity quantization is hash-safe
     // because round(x, 6) is already proven IEEE-identical cross-engine

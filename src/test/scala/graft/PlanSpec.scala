@@ -389,4 +389,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "stats must not join")
     assert(!p.contains("label:int"), "scan reads pruned label column")
   }
+
+  /** q107's micro-batch projection and serve tail, pinned on their batch
+    * analog (the drained stream runs the identical expressions): the
+    * MdBandKeys band computation must stay inside whole-stage codegen (the
+    * expression exists to avoid HOF CodegenFallback), and the index serve
+    * join must be band-KEYED — a cartesian here would scan docs × index.
+    */
+  test("q107: md band keys evaluate in codegen; serve join is keyed, not cartesian") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val bands = docs.select(col("doc_id"),
+      explode(graft.functions.expressions.sketch
+        .mdBandKeys(col("text"), 3, 8, 2)).as("band"))
+    val idx = bands.groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+    val serve = bands.join(idx.filter(col("n") > 1), Seq("band"))
+      .filter(col("keeper") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("keeper")).as("min_keeper"))
+    val p = plan(serve)
+    assert(!p.contains("UDF("), "band computation fell out of codegen")
+    assert(!p.contains("CartesianProduct"), "serve join degenerated to cartesian")
+    assert(ops(p, "HashAggregate") >= 2, "no map-side partial aggregation")
+  }
 }

@@ -191,4 +191,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(c)._1 === 1L && got(c)._3 === 1000000L, s"cell $c")
     }
   }
+
+  /** q107 on a planted corpus: two exact-copy pairs (the higher id of each
+    * must be flagged with the lower as its keeper), a <3-token doc (no
+    * bands, never pairable), and distinct docs (clean). Also pins the state
+    * contract: the drained index's state rows = distinct band keys (3
+    * banded docs × 8 bands; copies COLLIDE on all 8), never arrivals.
+    */
+  test("q107 streaming near-dup serve: planted copies and a short doc") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-q107-fix").toString
+    val a = "the quick brown fox jumps over the lazy dog and runs far away"
+    val c = "completely different content about distributed query engines and shuffles"
+    val rows = Seq(
+      (1L, a, "web"), (2L, a, "web"),
+      (3L, c, "web"), (4L, "hi there", "web"),
+      (5L, c, "web"),
+      (6L, "unique closing text sharing no shingles with anything else", "web"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = streaming.StreamReplay.q107(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(got.size === 6)
+    assert(got(1L) === ((false, None)))
+    assert(got(2L) === ((true, Some(1L))))
+    assert(got(3L) === ((false, None)))
+    assert(got(4L) === ((false, None)))
+    assert(got(5L) === ((true, Some(3L))))
+    assert(got(6L) === ((false, None)))
+    assert(streaming.StreamReplay.lastStateOps.map(_._2).sum === 24L)
+  }
 }
