@@ -116,6 +116,21 @@ object sketch {
   def mdBandKeys(text: Column, n: Int, bands: Int, rows: Int): Column =
     ColumnBridge.column(
       MdBandKeysExpr(ColumnBridge.expression(text), n, bands, rows))
+
+  /** q94's hashed-feature classifier score as ONE per-row expression:
+    * struct(n_tokens, score_milli) where score = Σ over token OCCURRENCES
+    * of (md5-60-bit(token) % 2001 − 1000) — byte-identical tokenization
+    * and weight draw to the batch explode→groupBy form
+    * ([[graft.operators.TextAnalysis.classifierScoresUnsorted]]; the
+    * equivalence is spec-pinned per doc on the fixture corpus). Exists for
+    * the STREAMING gate (q109), where the batch form's per-doc groupBy
+    * would be a second stateful operator in the micro-batch plan; batch
+    * consumers keep the explode form (map-side combinable, same answer).
+    * No-token text → (0, 0): no-signal is not a drop reason (q94's
+    * contract).
+    */
+  def mdWeightScore(text: Column): Column =
+    ColumnBridge.column(MdWeightScoreExpr(ColumnBridge.expression(text)))
 }
 
 /** fp bit layout matches the declarative form it replaced: fold acc*2+bit
@@ -793,5 +808,73 @@ object MdBandKeysExpr {
       b += 1
     }
     new GenericArrayData(keys)
+  }
+}
+
+/** See sketch.mdWeightScore. Tokenization is MdBandKeysExpr's (byte-identical
+  * to the `cleanTokens` regexp form); the weight draw is the q94 idiom —
+  * md5 of the raw token bytes, first 15 hex nibbles as a 60-bit integer
+  * (= `CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)`), % 2001 − 1000.
+  */
+case class MdWeightScoreExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MdWeightScoreExpr.Schema
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md_weight_score needs string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MdWeightScoreExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.MdWeightScoreExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MdWeightScoreExpr =
+    copy(child = newChild)
+}
+
+object MdWeightScoreExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("score_milli", LongType, nullable = false)))
+
+  private val mdTl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  @inline private def isTokenByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    val md = mdTl.get()
+    var nTokens = 0L
+    var score = 0L
+    var i = 0
+    while (i < len) {
+      if (isTokenByte(bytes(i))) {
+        val s = i
+        while (i < len && isTokenByte(bytes(i))) i += 1
+        md.reset()
+        md.update(bytes, s, i - s)
+        val d = md.digest()
+        val v = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+        score += v % 2001L - 1000L
+        nTokens += 1L
+      } else i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nTokens, score)
   }
 }

@@ -252,19 +252,27 @@ object StreamReplay {
     * aggregate keyed by (window, cell) under a watermark; the fixture
     * replay needs the all-time totals to stay batch-mirrorable.
     */
-  def q106(spark: SparkSession, dir: String): DataFrame = {
+  /** Offline-train + artifact round trip shared by the serving monitors
+    * (q106, q108): the [[graft.operators.Similarity.IvfCells]] lowest-id
+    * vectors ARE the codebook (q39b's init-free idiom — KB-scale model
+    * state, not a data-path collect), written through the
+    * [[graft.sources.ModelStore]] save→load seam so the serving plan runs
+    * a LOADED artifact. None when the corpus is empty (no codebook can be
+    * trained). Returns the loaded quantizer, the broadcastable (cell,
+    * centroid) frame, and the raw centroid rows (for sentinel payloads).
+    */
+  private def servedQuantizer(spark: SparkSession, dir: String): Option[
+      (graft.operators.CellQuantizer, DataFrame, Array[Array[Double]])] = {
     import graft.operators.{FlatQuantizer, Similarity}
     val base = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         graft.functions.vectors.toDouble(col("embedding")).as("v"))
       .filter(col("v").isNotNull)
-    // offline train: the K lowest-id vectors ARE the codebook (q39b's
-    // init-free idiom; KB-scale model state, not a data-path collect)
     val seeds = base.orderBy(col("vec_id")).limit(Similarity.IvfCells)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    if (seeds.isEmpty) return emptyMonitor(spark)
+    if (seeds.isEmpty) return None
     val tmp = java.nio.file.Files
-      .createTempDirectory("graft-q106-model").toString
+      .createTempDirectory("graft-serve-model").toString
     graft.sources.ModelStore.saveQuantizer(spark, FlatQuantizer(seeds),
       s"$tmp/coarse")
     val quant = graft.sources.ModelStore.loadQuantizer(spark, s"$tmp/coarse")
@@ -272,6 +280,14 @@ object StreamReplay {
     import spark.implicits._
     val centroidDf = centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c")
+    Some((quant, centroidDf, centroids))
+  }
+
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    val served = servedQuantizer(spark, dir)
+    if (served.isEmpty) return emptyMonitor(spark)
+    val (quant, centroidDf, _) = served.get
+    import graft.operators.Similarity
     val stream = replayTable(spark, dir, "embeddings")
       .select(graft.functions.vectors.toDouble(col("embedding")).as("v"))
       .filter(col("v").isNotNull)
@@ -337,6 +353,173 @@ object StreamReplay {
       .select(col("doc_id"), col("min_keeper").isNotNull.as("near_dup"),
         col("min_keeper"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Shared transform core of q108: a (ts timestamp, v array<double>)
+    * ingest frame → watermarked tumbling (window, cell) affinity aggregate
+    * under a LOADED quantizer. Takes ANY such frame — batch or streaming —
+    * so the spec can drive micro-batch boundaries directly and assert the
+    * watermark-eviction behavior (a late arrival past the 30-minute bound
+    * is DROPPED, not re-aggregated) that the registered replay, which
+    * delivers everything in one micro-batch, cannot exhibit.
+    */
+  def windowedCellMonitor(ingest: DataFrame,
+      quant: graft.operators.CellQuantizer,
+      centroidDf: DataFrame): DataFrame =
+    ingest
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts"), quant.assign(col("v")).as("cell"), col("v"))
+      .join(broadcast(centroidDf), Seq("cell"))
+      .select(col("ts"), col("cell"),
+        floor(round(graft.functions.expressions.vecexprs
+            .cosineSim(col("v"), col("c")),
+          graft.operators.Similarity.ScoreDp) *
+          lit(1000000L)).cast("long").as("qc"))
+      .groupBy(window(col("ts"), "1 hour"), col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("qc")).as("sum_cos_e6"))
+
+  /** The fixture's ingest clock: arrival time = 2024-01-01T00:00:00Z +
+    * vec_id minutes. Deterministic and hour-UNALIGNED ids spread arrivals
+    * across tumbling windows, so the drained result exercises real window
+    * boundaries while staying SQL-mirrorable (the epoch base is itself
+    * hour-aligned, so Spark's epoch-aligned window() and the oracle's
+    * integer hour-floor agree exactly).
+    */
+  val IngestEpochSec = 1704067200L
+
+  /** q108: WINDOWED streaming drift monitor under a watermark — the
+    * APPEND-mode production form q106's scaladoc promises ("at 100 TB/day
+    * ingest the same plan holds with the aggregate keyed by (window, cell)
+    * under a watermark"). Same loaded-artifact serving path (ModelStore
+    * save→load, plan-literal assignment in codegen, stream-static broadcast
+    * centroid join, exact-integer affinity), but the aggregate is keyed by
+    * (1-hour tumbling window, cell) with a 30-minute event-time watermark,
+    * and the sink is APPEND: a (window, cell) row emits exactly once, when
+    * the watermark closes its window — the shape whose state is O(open
+    * windows × cells) REGARDLESS of retention, where q106's all-time
+    * complete-mode state is O(cells) but its result must be re-emitted
+    * whole every trigger. Ingest time derives deterministically from
+    * vec_id ([[IngestEpochSec]]), so one batch SQL mirrors the whole
+    * online path. The q70 sentinel idiom (one far-future MemoryStream row
+    * unioned with the file stream) pushes the final watermark past every
+    * real window so the tail windows flush before the drain returns; the
+    * sentinel's own window never closes and is filtered defensively.
+    *
+    * Scale shape: state holds only windows the watermark hasn't passed —
+    * late data beyond 30 minutes is dropped AT THE STATE STORE, so a
+    * 100 TB/day replay holds ~2 windows × cells rows however long it
+    * runs, and each closed window leaves the store exactly once (append
+    * semantics = incremental downstream consumption, no re-emission).
+    */
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    val served = servedQuantizer(spark, dir)
+    if (served.isEmpty) return emptyWindowedMonitor(spark)
+    val (quant, centroidDf, centroids) = served.get
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = replayTable(spark, dir, "embeddings")
+      .select(
+        timestamp_seconds(lit(IngestEpochSec) + col("vec_id") * 60).as("ts"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    // sentinel payload = centroid 0: valid dims, assigns to cell 0; its
+    // window outlives the final watermark, so it never emits (and is
+    // filtered defensively post-drain)
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Seq[Double])]
+    sentinel.addData(Seq(
+      (java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+        centroids(0).toSeq)))
+    val union = stream.unionByName(sentinel.toDF().toDF("ts", "v"))
+    drain(windowedCellMonitor(union, quant, centroidDf),
+      "q108_windowed_sink", "append")
+      .filter(col("window.start") <
+        lit("2099-01-01 00:00:00").cast("timestamp"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("cell"), col("n"), col("sum_cos_e6"),
+        floor(col("sum_cos_e6").cast("double") / col("n"))
+          .cast("long").as("mean_cos_e6"))
+      .orderBy(col("bucket_ms"), col("cell"))
+  }
+
+  /** q109: streaming model-gate at ingest — the ONLINE member of the
+    * model-gate family (batch: q94 scoring, q102 calibration sweep, the
+    * q88 funnel's classifier stage). The corpus streams through a REAL
+    * file-stream source and every arrival is scored INSIDE the micro-batch
+    * by ONE codegen'd expression
+    * ([[graft.functions.expressions.MdWeightScoreExpr]] — q94's hashed-
+    * feature linear classifier as a per-row struct(n_tokens, score_milli);
+    * the batch explode→groupBy form would be a SECOND stateful operator in
+    * the micro-batch plan, which is exactly the shape streaming
+    * restricts). The admission verdict applies the funnel's DEPLOYED
+    * operating point (mean_e6 ≥ [[graft.operators.Pipeline
+    * .ClassifierFloorE6]] — the q102-calibrated threshold), and the state
+    * store keeps the gate-health dashboard a production ingest pipeline
+    * watches: per (1-hour ingest window, source, verdict), arrival and
+    * token counts plus the summed score. A falling admit rate or sliding
+    * per-source mean is the "upstream quality shifted — recalibrate the
+    * gate" signal, the model-gate counterpart of q106/q108's quantizer
+    * drift. Watermark, sentinel flush, and append semantics are q108's:
+    * each (window, source, verdict) row emits exactly once.
+    *
+    * Scale shape: scoring is stateless per-row work in whole-stage codegen
+    * (md5 + integer arithmetic; the text dies inside the micro-batch);
+    * state is O(open windows × sources × 2) regardless of retention; late
+    * data past the 30-minute watermark is dropped at the state store. At
+    * 100 TB/day the same plan serves with the verdict column additionally
+    * routing the admitted docs to the corpus sink — the monitor output IS
+    * the admission log's aggregate.
+    */
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val score: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => graft.functions.expressions.sketch.mdWeightScore(t)
+    val stream = replayTable(spark, dir, "documents")
+      .select(
+        timestamp_seconds(lit(IngestEpochSec) + col("doc_id") * 60).as("ts"),
+        coalesce(col("source"), lit("")).as("source"),
+        score(col("text")).as("sc"))
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    sentinel.addData(Seq(
+      (java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "sentinel")))
+    val sentinelDf = sentinel.toDF().toDF("ts", "source")
+      .select(col("ts"), col("source"), score(lit("")).as("sc"))
+    val gated = stream.unionByName(sentinelDf)
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts"), col("source"),
+        coalesce(col("sc.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sc.score_milli"), lit(0L)).as("score_milli"))
+      .withColumn("mean_e6",
+        floor(col("score_milli").cast("double") * lit(1000) /
+          greatest(col("n_tokens"), lit(1L))).cast("long"))
+      .withColumn("admitted",
+        col("mean_e6") >= lit(graft.operators.Pipeline.ClassifierFloorE6))
+    val agg = gated
+      .groupBy(window(col("ts"), "1 hour"), col("source"), col("admitted"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("score_milli")).as("sum_score_milli"))
+    drain(agg, "q109_gate_sink", "append")
+      .filter(col("window.start") <
+        lit("2099-01-01 00:00:00").cast("timestamp"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("source"), col("admitted"), col("n_docs"), col("n_tokens"),
+        col("sum_score_milli"))
+      .orderBy(col("bucket_ms"), col("source"), col("admitted"))
+  }
+
+  /** Empty, schema-correct q108 result — the windowed monitor for a corpus
+    * no codebook can be trained on.
+    */
+  private def emptyWindowedMonitor(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("bucket_ms", LongType), StructField("cell", IntegerType),
+        StructField("n", LongType), StructField("sum_cos_e6", LongType),
+        StructField("mean_cos_e6", LongType))))
   }
 
   /** Empty, schema-correct q106 result — the monitor for a corpus no
@@ -416,6 +599,65 @@ object StreamReplay {
         |  CAST(FLOOR(CAST(SUM(qc) AS DOUBLE) / COUNT(*)) AS BIGINT)
         |    AS mean_cos_e6
         |FROM q GROUP BY cell ORDER BY cell""".stripMargin)),
+    // q94's scoring CTEs verbatim (the md5 weight table is recomputed in
+    // both engines, integer milli-sums exact); the per-doc score feeding
+    // the stream is MdWeightScoreExpr, whose per-doc equality with the
+    // explode→groupBy form is spec-pinned, so one batch SQL hashes the
+    // whole online gate incl. the deployed-threshold verdicts
+    QueryDef("q109_stream_gate_monitor", q109,
+      Some(s"""WITH t0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       t -> t <> '')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM t0),
+        |per AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM w GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id, coalesce(d.source, '') AS source,
+        |    CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(per.s, 0) AS BIGINT) AS score_milli,
+        |    CAST(FLOOR(CAST(coalesce(per.s, 0) AS DOUBLE) * 1000 /
+        |      greatest(coalesce(per.n, 0), 1)) AS BIGINT) AS mean_e6
+        |  FROM documents d LEFT JOIN per USING (doc_id))
+        |SELECT CAST((($IngestEpochSec + doc_id * 60) // 3600) * 3600000
+        |    AS BIGINT) AS bucket_ms,
+        |  source,
+        |  (mean_e6 >= ${graft.operators.Pipeline.ClassifierFloorE6}) AS admitted,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY bucket_ms, source, admitted""".stripMargin)),
+    // q106's assignment/affinity CTEs verbatim; the window is mirrored in
+    // the exact integer domain — bucket = hour-floor of (epoch base +
+    // vec_id·60 s) — because the epoch base is hour-aligned, which makes
+    // Spark's epoch-aligned window() and the integer floor identical
+    QueryDef("q108_stream_windowed_drift", q108,
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |s AS (SELECT v AS sv,
+        |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |          AS cell
+        |      FROM e ORDER BY vec_id LIMIT ${graft.operators.Similarity.IvfCells}),
+        |nd AS (SELECT e.vec_id, s.cell, list_distance(e.v, s.sv) AS d
+        |       FROM e CROSS JOIN s),
+        |a AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+        |          AS rn
+        |      FROM nd),
+        |asg AS (SELECT vec_id, cell FROM a WHERE rn = 1),
+        |q AS (SELECT asg.vec_id, asg.cell,
+        |        CAST(FLOOR(round(list_cosine_similarity(e.v, s.sv),
+        |          ${graft.operators.Similarity.ScoreDp}) * 1000000) AS BIGINT) AS qc
+        |      FROM asg JOIN e USING (vec_id) JOIN s USING (cell))
+        |SELECT CAST((($IngestEpochSec + vec_id * 60) // 3600) * 3600000
+        |    AS BIGINT) AS bucket_ms,
+        |  cell, COUNT(*) AS n, CAST(SUM(qc) AS BIGINT) AS sum_cos_e6,
+        |  CAST(FLOOR(CAST(SUM(qc) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS mean_cos_e6
+        |FROM q GROUP BY 1, 2 ORDER BY bucket_ms, cell""".stripMargin)),
     QueryDef("q73_stream_stream_join", q73,
       Some("""WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)

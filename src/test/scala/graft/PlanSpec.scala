@@ -413,4 +413,65 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "serve join degenerated to cartesian")
     assert(ops(p, "HashAggregate") >= 2, "no map-side partial aggregation")
   }
+
+  /** q108's windowed monitor core, pinned on its batch analog (the
+    * micro-batch runs the identical expressions; withWatermark is a no-op
+    * on a batch frame): cell assignment must stay a codegen'd plan-literal
+    * expression, the centroid fetch must broadcast (KB-scale model state,
+    * never a shuffle of the stream), and the (window, cell) aggregate must
+    * combine map-side before any exchange.
+    */
+  test("q108: windowed monitor assigns in codegen, broadcasts centroids, two-phase agg") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ingest = graft.Tables.embeddings(spark, dir)
+      .select(timestamp_seconds(
+          lit(graft.streaming.StreamReplay.IngestEpochSec) +
+            col("vec_id") * 60).as("ts"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val quant = graft.operators.FlatQuantizer(
+      Array.tabulate(16)(i => Array.tabulate(8)(j => (i * 8 + j).toDouble)))
+    val centroidDf = (0 until 16)
+      .map(i => (i, (0 until 8).map(j => (i * 8 + j).toDouble)))
+      .toDF("cell", "c")
+    val p = plan(graft.streaming.StreamReplay
+      .windowedCellMonitor(ingest, quant, centroidDf))
+    assert(!p.contains("ScalaUDF"), "assignment fell out of codegen")
+    assert(p.contains("BroadcastHashJoin"), "centroid join did not broadcast")
+    assert(!p.contains("CartesianProduct"), "centroid join degenerated to cartesian")
+    assert(ops(p, "HashAggregate") >= 2, "no map-side partial aggregation")
+  }
+
+  /** q109's micro-batch gate, pinned on its batch analog: the per-row
+    * classifier score must evaluate inside whole-stage codegen (that is
+    * MdWeightScoreExpr's reason to exist — the explode→groupBy form would
+    * be a second stateful operator in the stream), there must be NO join
+    * at all (the model is hashed features, not a weight table), and the
+    * (window, source, verdict) aggregate must combine map-side.
+    */
+  test("q109: gate scores per-row in codegen with no join; monitor agg is two-phase") {
+    import org.apache.spark.sql.functions._
+    val gated = graft.Tables.documents(spark, dir)
+      .select(
+        timestamp_seconds(
+          lit(graft.streaming.StreamReplay.IngestEpochSec) +
+            col("doc_id") * 60).as("ts"),
+        coalesce(col("source"), lit("")).as("source"),
+        graft.functions.expressions.sketch.mdWeightScore(col("text")).as("sc"))
+      .select(col("ts"), col("source"),
+        coalesce(col("sc.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sc.score_milli"), lit(0L)).as("score_milli"))
+      .withColumn("admitted",
+        floor(col("score_milli").cast("double") * lit(1000) /
+          greatest(col("n_tokens"), lit(1L))).cast("long") >=
+          lit(graft.operators.Pipeline.ClassifierFloorE6))
+      .groupBy(window(col("ts"), "1 hour"), col("source"), col("admitted"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val p = plan(gated)
+    assert(!p.contains("ScalaUDF"), "scoring fell out of codegen")
+    assert(!p.contains("Join"), "the hashed-feature gate must not join")
+    assert(!p.contains("Generate"), "per-row scorer must not explode tokens")
+    assert(ops(p, "HashAggregate") >= 2, "no map-side partial aggregation")
+  }
 }

@@ -192,6 +192,132 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** q108 on the q106 planted corpus REARRANGED across ingest windows: the
+    * 16 seeds arrive in hour 0 (vec_ids 0–15 → minutes 0–15), the ramp(0)
+    * copy at vec_id 60 and the drifted arrival at 61 land in hour 1, and
+    * the ramp(5) copy at 120 lands in hour 2. Every real window must close
+    * (sentinel flush) and carry exactly its own arrivals — the same
+    * affinity semantics as q106, but bucketed.
+    */
+  test("q108 windowed drift monitor: planted arrivals bucket into their hours") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-q108-fix").toString
+    def ramp(i: Int): Seq[Float] = (0 until 8).map(j => (i * 8 + j).toFloat)
+    val drifted = Seq(34f, 25f, 26f, 27f, 28f, 29f, 30f, 31f) // near seed 3
+    val rows =
+      (0 until 16).map(i => (i.toLong, ramp(i), 0)) ++
+        Seq((60L, ramp(0), 0), (61L, drifted, 0), (120L, ramp(5), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val base = streaming.StreamReplay.IngestEpochSec * 1000L
+    val got = streaming.StreamReplay.q108(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got.size === 19) // 16 hour-0 cells + (cells 0,3) hour 1 + cell 5 hour 2
+    (0 until 16).foreach { c =>
+      assert(got((base, c)) === ((1L, 1000000L)), s"hour-0 cell $c")
+    }
+    assert(got((base + 3600000L, 0)) === ((1L, 1000000L))) // the copy, ON its centroid
+    val (n3, mean3) = got((base + 3600000L, 3))
+    assert(n3 === 1L && mean3 < 1000000L) // the drifted arrival, depressed
+    assert(got((base + 7200000L, 5)) === ((1L, 1000000L)))
+  }
+
+  /** The watermark contract of q108's shared core, which the registered
+    * single-micro-batch replay cannot exhibit: a second micro-batch's
+    * arrival for a window the watermark already closed must be DROPPED at
+    * the state store (never re-aggregated, never re-emitted), and the
+    * emitted count for that window must stay what the on-time arrivals
+    * made it. Driven through `windowedCellMonitor` directly with explicit
+    * MemoryStream batch boundaries.
+    */
+  test("q108 core: late arrival past the watermark is dropped, not re-aggregated") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val quant = operators.FlatQuantizer(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val centroidDf = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell", "c")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, Seq[Double])]
+    // batch 1: two hour-0 arrivals on centroid 0, plus an hour-3 arrival
+    // that advances the watermark to 02:30 (closing hour 0)
+    stream.addData(Seq(
+      (ts("2024-01-01 00:10:00"), Seq(1.0, 0.0)),
+      (ts("2024-01-01 00:20:00"), Seq(1.0, 0.0)),
+      (ts("2024-01-01 03:00:00"), Seq(0.0, 1.0))))
+    val q = streaming.StreamReplay
+      .windowedCellMonitor(stream.toDF().toDF("ts", "v"), quant, centroidDf)
+      .writeStream.format("memory").queryName("q108_wm_probe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE hour-0 arrival (event time < the 02:30 watermark)
+      // and the far-future sentinel that closes the hour-3 window
+      stream.addData(Seq(
+        (ts("2024-01-01 00:30:00"), Seq(1.0, 0.0)),
+        (ts("2100-01-01 00:00:00"), Seq(1.0, 0.0))))
+      q.processAllAvailable()
+      val dropped = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "the late arrival was not dropped by the watermark")
+    } finally q.stop()
+    val rows = spark.table("q108_wm_probe")
+      .select(col("cell"), col("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    // hour 0 emitted once with the two ON-TIME arrivals; hour 3 emitted
+    // once; the sentinel window never closed, the late row never landed
+    assert(rows.sorted === Seq(0 -> 2L, 1 -> 1L))
+  }
+
+  /** q109 on a planted corpus, checked against its own batch twin: the
+    * per-doc scores come from `classifierScoresUnsorted` (whose DuckDB
+    * oracle is q94's), the buckets from the same integer hour-floor the
+    * registered oracle uses — so the streamed gate monitor must reproduce
+    * the batch aggregate EXACTLY, including the null-text doc scoring
+    * (0, 0) and being admitted (no-signal is not a drop reason).
+    */
+  test("q109 streaming gate monitor: planted arrivals match the batch twin") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-q109-fix").toString
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "a"),
+      (1L, null, "a"),
+      (2L, "some other words entirely for the second doc", "b"),
+      (70L, "completely different content about query engines", "b"),
+      (130L, "third window arrival with more text", "a"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val gotRows = streaming.StreamReplay.q109(spark, d).collect()
+    val got = gotRows.map(_.toSeq.toVector).toVector.sortBy(_.mkString("|"))
+    val base = streaming.StreamReplay.IngestEpochSec
+    val expected = canon(
+      operators.TextAnalysis.classifierScoresUnsorted(
+          Tables.documents(spark, d).select(col("doc_id"), col("text")))
+        .join(Tables.documents(spark, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(
+          (((lit(base) + col("doc_id") * 60) / 3600).cast("long") *
+            3600000L).as("bucket_ms"),
+          coalesce(col("source"), lit("")).as("source"),
+          (col("mean_e6") >= operators.Pipeline.ClassifierFloorE6)
+            .as("admitted"),
+          col("n_tokens"), col("score_milli"))
+        .groupBy(col("bucket_ms"), col("source"), col("admitted"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("score_milli")).as("sum_score_milli")))
+    assert(got === expected)
+    // structure: docs 0,1,2 land in hour 0; 70 in hour 1; 130 in hour 2
+    assert(gotRows.map(_.getLong(3)).sum === 5L) // every doc counted once
+    assert(gotRows.map(_.getLong(0)).distinct.sorted.toSeq ===
+      Seq(base * 1000L, base * 1000L + 3600000L, base * 1000L + 7200000L))
+    // the null-text doc is admitted with zero tokens
+    val hour0a = gotRows.filter(r =>
+      r.getLong(0) == base * 1000L && r.getString(1) == "a")
+    assert(hour0a.forall(_.getBoolean(2)), "null-text doc must be admitted")
+  }
+
   /** q107 on a planted corpus: two exact-copy pairs (the higher id of each
     * must be flagged with the lower as its keeper), a <3-token doc (no
     * bands, never pairable), and distinct docs (clean). Also pins the state

@@ -198,6 +198,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"degenerate weight draw: $ws")
   }
 
+  /** The per-row classifier expression (q109's micro-batch scorer) must be
+    * BIT-IDENTICAL per doc to the batch explode→groupBy form — the two
+    * implementations of one model; q94's DuckDB oracle then transitively
+    * covers the expression. Checked over the whole fixture corpus (real
+    * punctuation, casing, repeated tokens) plus the edge docs.
+    */
+  test("mdWeightScore expression equals the explode-groupBy classifier per doc") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fixture = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val edges = Seq(
+      (100001L, "the quick BROWN fox the"),
+      (100002L, "..."), (100003L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docs = fixture.unionByName(edges)
+    val viaExpr = docs.select(col("doc_id"),
+        graft.functions.expressions.sketch.mdWeightScore(col("text")).as("sc"))
+      .select(col("doc_id"),
+        coalesce(col("sc.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sc.score_milli"), lit(0L)).as("score_milli"))
+    val viaGroup = TextAnalysis.classifierScoresUnsorted(docs)
+      .select(col("doc_id"), col("n_tokens"), col("score_milli"))
+    assert(viaExpr.count() === docs.count())
+    assert(viaExpr.except(viaGroup).count() === 0L)
+    assert(viaGroup.except(viaExpr).count() === 0L)
+  }
+
   /** q102 gate sweep against the same plain-Scala weight model: per-doc
     * mean_e6 computed independently, then every grid row's (kept_docs,
     * kept_tokens) hand-folded. Structural properties on top: kept counts
