@@ -379,13 +379,20 @@ object StreamReplay {
       .agg(count(lit(1)).as("n"), sum(col("qc")).as("sum_cos_e6"))
 
   /** The fixture's ingest clock: arrival time = 2024-01-01T00:00:00Z +
-    * vec_id minutes. Deterministic and hour-UNALIGNED ids spread arrivals
-    * across tumbling windows, so the drained result exercises real window
-    * boundaries while staying SQL-mirrorable (the epoch base is itself
-    * hour-aligned, so Spark's epoch-aligned window() and the oracle's
-    * integer hour-floor agree exactly).
+    * (id mod [[IngestCycleMin]]) minutes. Deterministic and hour-UNALIGNED,
+    * so arrivals spread across real tumbling-window boundaries while
+    * staying SQL-mirrorable (the epoch base is itself hour-aligned, so
+    * Spark's epoch-aligned window() and the oracle's integer hour-floor
+    * agree exactly). The mod is load-bearing: ids are ARBITRARY at scale
+    * (the 10× fixture offsets each copy's keys by ~10⁷, so raw id-minutes
+    * would reach year 2195 — past the 2100 sentinel, leaving tail windows
+    * unflushed and the derived clock meaningless), while the bounded cycle
+    * pins the horizon ~100 hours past the epoch at EVERY corpus size.
     */
   val IngestEpochSec = 1704067200L
+
+  /** Minutes in the derived ingest cycle (~100 hours of 1-hour windows). */
+  val IngestCycleMin = 6000L
 
   /** q108: WINDOWED streaming drift monitor under a watermark — the
     * APPEND-mode production form q106's scaladoc promises ("at 100 TB/day
@@ -419,7 +426,8 @@ object StreamReplay {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = replayTable(spark, dir, "embeddings")
       .select(
-        timestamp_seconds(lit(IngestEpochSec) + col("vec_id") * 60).as("ts"),
+        timestamp_seconds(lit(IngestEpochSec) +
+          (col("vec_id") % IngestCycleMin) * 60).as("ts"),
         graft.functions.vectors.toDouble(col("embedding")).as("v"))
       .filter(col("v").isNotNull)
     // sentinel payload = centroid 0: valid dims, assigns to cell 0; its
@@ -477,7 +485,8 @@ object StreamReplay {
       t => graft.functions.expressions.sketch.mdWeightScore(t)
     val stream = replayTable(spark, dir, "documents")
       .select(
-        timestamp_seconds(lit(IngestEpochSec) + col("doc_id") * 60).as("ts"),
+        timestamp_seconds(lit(IngestEpochSec) +
+          (col("doc_id") % IngestCycleMin) * 60).as("ts"),
         coalesce(col("source"), lit("")).as("source"),
         score(col("text")).as("sc"))
     val sentinel = org.apache.spark.sql.execution.streaming.runtime
@@ -621,8 +630,8 @@ object StreamReplay {
         |    CAST(FLOOR(CAST(coalesce(per.s, 0) AS DOUBLE) * 1000 /
         |      greatest(coalesce(per.n, 0), 1)) AS BIGINT) AS mean_e6
         |  FROM documents d LEFT JOIN per USING (doc_id))
-        |SELECT CAST((($IngestEpochSec + doc_id * 60) // 3600) * 3600000
-        |    AS BIGINT) AS bucket_ms,
+        |SELECT CAST((($IngestEpochSec + (doc_id % $IngestCycleMin) * 60)
+        |    // 3600) * 3600000 AS BIGINT) AS bucket_ms,
         |  source,
         |  (mean_e6 >= ${graft.operators.Pipeline.ClassifierFloorE6}) AS admitted,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -652,8 +661,8 @@ object StreamReplay {
         |        CAST(FLOOR(round(list_cosine_similarity(e.v, s.sv),
         |          ${graft.operators.Similarity.ScoreDp}) * 1000000) AS BIGINT) AS qc
         |      FROM asg JOIN e USING (vec_id) JOIN s USING (cell))
-        |SELECT CAST((($IngestEpochSec + vec_id * 60) // 3600) * 3600000
-        |    AS BIGINT) AS bucket_ms,
+        |SELECT CAST((($IngestEpochSec + (vec_id % $IngestCycleMin) * 60)
+        |    // 3600) * 3600000 AS BIGINT) AS bucket_ms,
         |  cell, COUNT(*) AS n, CAST(SUM(qc) AS BIGINT) AS sum_cos_e6,
         |  CAST(FLOOR(CAST(SUM(qc) AS DOUBLE) / COUNT(*)) AS BIGINT)
         |    AS mean_cos_e6

@@ -427,7 +427,8 @@ class PlanSpec extends AnyFunSuite {
     val ingest = graft.Tables.embeddings(spark, dir)
       .select(timestamp_seconds(
           lit(graft.streaming.StreamReplay.IngestEpochSec) +
-            col("vec_id") * 60).as("ts"),
+            (col("vec_id") % graft.streaming.StreamReplay.IngestCycleMin) *
+              60).as("ts"),
         graft.functions.vectors.toDouble(col("embedding")).as("v"))
       .filter(col("v").isNotNull)
     val quant = graft.operators.FlatQuantizer(
@@ -456,7 +457,8 @@ class PlanSpec extends AnyFunSuite {
       .select(
         timestamp_seconds(
           lit(graft.streaming.StreamReplay.IngestEpochSec) +
-            col("doc_id") * 60).as("ts"),
+            (col("doc_id") % graft.streaming.StreamReplay.IngestCycleMin) *
+              60).as("ts"),
         coalesce(col("source"), lit("")).as("source"),
         graft.functions.expressions.sketch.mdWeightScore(col("text")).as("sc"))
       .select(col("ts"), col("source"),

@@ -298,8 +298,8 @@ class StreamingSpec extends AnyFunSuite {
         .join(Tables.documents(spark, d).select(col("doc_id"), col("source")),
           Seq("doc_id"))
         .select(
-          (((lit(base) + col("doc_id") * 60) / 3600).cast("long") *
-            3600000L).as("bucket_ms"),
+          (((lit(base) + (col("doc_id") % streaming.StreamReplay.IngestCycleMin)
+            * 60) / 3600).cast("long") * 3600000L).as("bucket_ms"),
           coalesce(col("source"), lit("")).as("source"),
           (col("mean_e6") >= operators.Pipeline.ClassifierFloorE6)
             .as("admitted"),
