@@ -518,6 +518,70 @@ object StreamReplay {
       .orderBy(col("bucket_ms"), col("source"), col("admitted"))
   }
 
+  /** q110: streaming ingest funnel rollup — CHAINED stateful aggregations
+    * (the multiple-stateful-operators capability, Spark 3.4+) composing the
+    * online family into the per-window report a production ingest watches:
+    * level 1 groups arrivals by (1-hour window, md5(text)) — the
+    * watermark-BOUNDED exact-dedup state, complementing q107's all-time
+    * index (here you remember a doc only while its window is open) — and
+    * level 2 rolls the closed per-hash rows up to per-window totals:
+    * arrivals, distinct docs, and the admitted splits of both under the
+    * deployed q109 gate. Both levels run under ONE event-time watermark in
+    * ONE streaming query (level 2 windows on `window_time` of level 1's
+    * window column); a closed window flows level 1 → level 2 across
+    * consecutive micro-batches and each rollup row emits exactly once.
+    * The verdict is per-row codegen ([[graft.functions.expressions
+    * .MdWeightScoreExpr]]) and hash-determined (same text ⇒ same verdict),
+    * so the level-1 `max(admitted)` is degenerate-deterministic and the
+    * whole two-level path sits under one batch SQL hash. Null text is
+    * coalesced to "" BEFORE hashing and scoring — the null-text doc and
+    * the empty doc are the same ingest event by contract.
+    *
+    * Scale shape: level-1 state is O(open windows × distinct hashes in
+    * them) — the remember-what-you've-seen floor, bounded by the
+    * watermark horizon instead of history; level-2 state is O(open
+    * windows). Texts die at the scoring projection; only (window, hash,
+    * verdict) reaches state.
+    */
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = replayTable(spark, dir, "documents")
+      .select(
+        timestamp_seconds(lit(IngestEpochSec) +
+          (col("doc_id") % IngestCycleMin) * 60).as("ts"),
+        coalesce(col("text"), lit("")).as("text"))
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    sentinel.addData(Seq(
+      (java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "")))
+    val scored = stream.unionByName(sentinel.toDF().toDF("ts", "text"))
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts"), md5(col("text")).as("h"),
+        graft.functions.expressions.sketch.mdWeightScore(col("text")).as("sc"))
+      .select(col("ts"), col("h"),
+        (floor(col("sc.score_milli").cast("double") * lit(1000) /
+          greatest(col("sc.n_tokens"), lit(1L))).cast("long") >=
+          lit(graft.operators.Pipeline.ClassifierFloorE6)).as("admitted"))
+    val perHash = scored
+      .groupBy(window(col("ts"), "1 hour"), col("h"))
+      .agg(count(lit(1)).as("n"), max(col("admitted")).as("admitted"))
+    val rollup = perHash
+      .groupBy(window(window_time(col("window")), "1 hour").as("w2"))
+      .agg(sum(col("n")).as("arrivals"),
+        count(lit(1)).as("distinct_docs"),
+        sum(when(col("admitted"), col("n")).otherwise(0L))
+          .as("admitted_arrivals"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("admitted_distinct"))
+    drain(rollup, "q110_funnel_sink", "append")
+      .filter(col("w2.start") <
+        lit("2099-01-01 00:00:00").cast("timestamp"))
+      .select(unix_millis(col("w2.start")).as("bucket_ms"),
+        col("arrivals"), col("distinct_docs"),
+        col("admitted_arrivals"), col("admitted_distinct"))
+      .orderBy(col("bucket_ms"))
+  }
+
   /** Empty, schema-correct q108 result — the windowed monitor for a corpus
     * no codebook can be trained on.
     */
@@ -608,6 +672,39 @@ object StreamReplay {
         |  CAST(FLOOR(CAST(SUM(qc) AS DOUBLE) / COUNT(*)) AS BIGINT)
         |    AS mean_cos_e6
         |FROM q GROUP BY cell ORDER BY cell""".stripMargin)),
+    // the two-level mirror: q94's scoring CTEs (text coalesced to '' for
+    // both hash and score), a (bucket, md5) dedup group, then the window
+    // rollup — level-1 max(admitted) is degenerate (verdict is
+    // hash-determined), so the chained stateful plan hashes exactly
+    QueryDef("q110_stream_funnel_rollup", q110,
+      Some(s"""WITH t0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(
+        |      lower(coalesce(text, '')), '[^a-z0-9]+'),
+        |                       t -> t <> '')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM t0),
+        |per AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM w GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id,
+        |    CAST((($IngestEpochSec + (doc_id % $IngestCycleMin) * 60)
+        |      // 3600) * 3600000 AS BIGINT) AS bucket_ms,
+        |    md5(coalesce(d.text, '')) AS h,
+        |    (CAST(FLOOR(CAST(coalesce(per.s, 0) AS DOUBLE) * 1000 /
+        |      greatest(coalesce(per.n, 0), 1)) AS BIGINT) >=
+        |      ${graft.operators.Pipeline.ClassifierFloorE6}) AS adm
+        |  FROM documents d LEFT JOIN per USING (doc_id)),
+        |g AS (SELECT bucket_ms, h, COUNT(*) AS n, MAX(adm) AS adm
+        |      FROM sc GROUP BY 1, 2)
+        |SELECT bucket_ms, CAST(SUM(n) AS BIGINT) AS arrivals,
+        |  COUNT(*) AS distinct_docs,
+        |  CAST(SUM(CASE WHEN adm THEN n ELSE 0 END) AS BIGINT)
+        |    AS admitted_arrivals,
+        |  CAST(SUM(CASE WHEN adm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS admitted_distinct
+        |FROM g GROUP BY 1 ORDER BY bucket_ms""".stripMargin)),
     // q94's scoring CTEs verbatim (the md5 weight table is recomputed in
     // both engines, integer milli-sums exact); the per-doc score feeding
     // the stream is MdWeightScoreExpr, whose per-doc equality with the

@@ -476,4 +476,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "per-row scorer must not explode tokens")
     assert(ops(p, "HashAggregate") >= 2, "no map-side partial aggregation")
   }
+
+  /** q110's two-level rollup, pinned on its batch analog: per-row hash +
+    * score in codegen (no UDF, no token explode, no weight-table join),
+    * and BOTH aggregation levels two-phase — the (window, hash) dedup
+    * level partial-aggregates before its exchange, and the window rollup
+    * partial-aggregates the (already tiny) per-hash rows again.
+    */
+  test("q110: two-level funnel rollup — codegen scoring, both agg levels two-phase") {
+    import org.apache.spark.sql.functions._
+    val scored = graft.Tables.documents(spark, dir)
+      .select(
+        timestamp_seconds(
+          lit(graft.streaming.StreamReplay.IngestEpochSec) +
+            (col("doc_id") % graft.streaming.StreamReplay.IngestCycleMin) *
+              60).as("ts"),
+        coalesce(col("text"), lit("")).as("text"))
+      .select(col("ts"), md5(col("text")).as("h"),
+        graft.functions.expressions.sketch.mdWeightScore(col("text")).as("sc"))
+      .select(col("ts"), col("h"),
+        (floor(col("sc.score_milli").cast("double") * lit(1000) /
+          greatest(col("sc.n_tokens"), lit(1L))).cast("long") >=
+          lit(graft.operators.Pipeline.ClassifierFloorE6)).as("admitted"))
+    val rollup = scored
+      .groupBy(window(col("ts"), "1 hour"), col("h"))
+      .agg(count(lit(1)).as("n"), max(col("admitted")).as("admitted"))
+      .groupBy(window(window_time(col("window")), "1 hour").as("w2"))
+      .agg(sum(col("n")).as("arrivals"), count(lit(1)).as("distinct_docs"))
+    val p = plan(rollup)
+    assert(!p.contains("ScalaUDF"), "scoring fell out of codegen")
+    assert(!p.contains("Join"), "the funnel rollup must not join")
+    assert(!p.contains("Generate"), "per-row scorer must not explode tokens")
+    assert(ops(p, "HashAggregate") >= 4, "an aggregation level lost its partial phase")
+  }
 }

@@ -318,6 +318,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(hour0a.forall(_.getBoolean(2)), "null-text doc must be admitted")
   }
 
+  /** q110 on a planted corpus exercising every dimension of the two-level
+    * rollup: an exact-dup pair inside one window (collapses in level 1), a
+    * classifier-rejected doc (25×"xe", mean −985,000 < the −300,000 floor —
+    * the q88 planted idiom), a null-text doc (hashes/scores as "" and is
+    * admitted: no-signal is not a drop reason), and the same text again in
+    * a LATER window (distinct-per-window by design — the dedup state is
+    * watermark-bounded, not an all-time index).
+    */
+  test("q110 streaming funnel rollup: dups collapse per window, gate splits admitted mass") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-q110-fix").toString
+    val a = "the quick brown fox jumps over the lazy dog"
+    val rows = Seq(
+      (0L, a, "web"), (1L, a, "web"),
+      (2L, Seq.fill(25)("xe").mkString(" "), "web"),
+      (3L, null.asInstanceOf[String], "web"),
+      (70L, a, "web"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val base = streaming.StreamReplay.IngestEpochSec * 1000L
+    val got = streaming.StreamReplay.q110(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size === 2)
+    // hour 0: 4 arrivals, 3 distinct (a, xe-doc, ""), admitted mass
+    // excludes exactly the rejected doc
+    assert(got(base) === ((4L, 3L, 3L, 2L)))
+    // hour 1: the same text is a fresh distinct doc in its own window
+    assert(got(base + 3600000L) === ((1L, 1L, 1L, 1L)))
+  }
+
   /** q107 on a planted corpus: two exact-copy pairs (the higher id of each
     * must be flagged with the lower as its keeper), a <3-token doc (no
     * bands, never pairable), and distinct docs (clean). Also pins the state
