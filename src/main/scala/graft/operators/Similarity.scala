@@ -1400,6 +1400,109 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** q111: incremental codebook refresh — ONE exact Lloyd refinement step
+    * of a served coarse quantizer, the RETRAIN action the q106/q108 drift
+    * monitors call for ("cell mass shifted, mean affinity fell — retrain").
+    * This closes the model lifecycle the round-13 family built: train
+    * (Quantizers.fit) → persist (ModelStore) → serve (q104/q106/q108) →
+    * monitor (drift) → REFRESH (here) → persist again.
+    *
+    * Semantics: every corpus vector takes its nearest cell under the
+    * current codebook (the literal [[FlatQuantizer.assign]] codegen pass
+    * every IVF consumer runs), then each cell's new centroid is the exact
+    * per-dimension mean of its members; a cell that attracted no member
+    * keeps its old centroid (standard empty-cell practice — dropping it
+    * would renumber every downstream cell id). The registered output is
+    * the per-(cell, dim) refresh report: member count, new mean, old
+    * value, and the shift — the "how stale is the model" table an ANN
+    * deployment reviews before swapping artifacts.
+    *
+    * Determinism (the q96 fixed-point discipline): member dims quantize to
+    * q = floor(v·1e4) so per-cell sums are exact integers in both engines;
+    * the mean takes ONE IEEE double division then floors to e6. The old
+    * centroid quantizes directly to floor(c·1e6). Both engines therefore
+    * compute identical BIGINTs — no float-sum order anywhere. The codebook
+    * is the q39b deterministic-seed idiom (the [[IvfCells]] lowest-id
+    * vectors), so the whole assign→aggregate→blend path sits under a
+    * DuckDB hash; a trained/ModelStore-loaded codebook plugs into the same
+    * [[codebookRefresh]] core (QuantizerSpec covers the round trip).
+    *
+    * Shape for 100 TB: assignment + quantize ride the one corpus scan
+    * (posexplode fans n×d rows but the aggregate keys on cells×d — partial
+    * aggregation collapses each task to cells×d rows of 2 longs, q96's
+    * argument, so the exchange is #partitions×cells×d tiny rows no matter
+    * the corpus). The old-centroid frame is model state (cells×d rows,
+    * KB-scale), and the blend join is model-sized on both sides. One
+    * refresh pass costs exactly one corpus scan — the incremental
+    * alternative to a full KMeans refit (FitIters scans).
+    */
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    // model state: the K lowest-id vectors (q39b's init-free codebook —
+    // KB-scale, the legitimate model-fit boundary, not a data-path collect)
+    val seeds = base.orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("cell", IntegerType),
+          StructField("dim", IntegerType), StructField("n", LongType),
+          StructField("new_mean_e6", LongType),
+          StructField("old_e6", LongType),
+          StructField("shift_e6", LongType))))
+    }
+    codebookRefresh(base, seeds)
+  }
+
+  /** The q111 core over any clean (vec_id, v: array<double>) frame and any
+    * codebook — planted specs and ModelStore-loaded models run it
+    * directly.
+    */
+  def codebookRefresh(base: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val quant = FlatQuantizer(centroids)
+    val x = base
+      .select(quant.assign(col("v")).as("cell"), posexplode(col("v")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
+        floor(col("col") * lit(10000)).cast("long").as("q"))
+    val g = x.groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+    // model state as a frame: cells×dim rows of (cell, dim, old_e6)
+    val old = centroids.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (v, d) =>
+        (cell, d + 1, math.floor(v * 1e6).toLong) }
+    }.toSeq.toDF("cell", "dim", "old_e6")
+    old.join(g, Seq("cell", "dim"), "left")
+      .select(col("cell"), col("dim"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNotNull,
+          floor(col("sq").cast("double") * lit(100) / col("n"))
+            .cast("long"))
+          .otherwise(col("old_e6")).as("new_mean_e6"),
+        col("old_e6"))
+      .withColumn("shift_e6", col("new_mean_e6") - col("old_e6"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
+  /** Materialize the refreshed codebook from [[codebookRefresh]]'s output
+    * (new means at e6 back to doubles) — the array a caller hands to
+    * [[graft.sources.ModelStore.saveQuantizer]] to complete the
+    * monitor→refresh→persist loop. Model-sized collect (cells×dim rows).
+    */
+  def refreshedCodebook(refresh: DataFrame): Array[Array[Double]] =
+    refresh.select(col("cell"), col("dim"), col("new_mean_e6"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getLong(2) / 1e6)
+      }.toArray
+
   /** The q85 DuckDB mirror (unrestricted exact pairs + recursive-CTE CC +
     * min-id keepers) — shared verbatim by q104, whose served-from-artifact
     * output is bit-identical by the ModelStore reload contract.
@@ -1439,6 +1542,43 @@ object Similarity {
         |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n,
         |    0)) * 100) AS BIGINT) AS std_e6
         |FROM g ORDER BY dim""".stripMargin)),
+    QueryDef("q111_codebook_refresh", q111,
+      // assignment CTEs are q39b's verbatim; the refresh tail is q96's
+      // quantize-then-aggregate discipline, so every output column is an
+      // exact BIGINT in both engines
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |s AS (SELECT v AS sv,
+        |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |          AS cell
+        |      FROM e ORDER BY vec_id LIMIT $IvfCells),
+        |nd AS (SELECT e.vec_id, e.v, s.cell, list_distance(e.v, s.sv) AS d
+        |       FROM e CROSS JOIN s),
+        |a AS (SELECT vec_id, v, cell,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+        |          AS rn
+        |      FROM nd),
+        |asg AS (SELECT vec_id, v, cell FROM a WHERE rn = 1),
+        |x AS (SELECT cell, CAST(i AS INT) AS dim,
+        |        CAST(FLOOR(v[i] * 10000) AS BIGINT) AS q
+        |      FROM asg, unnest(generate_series(1, len(v))) AS t(i)),
+        |g AS (SELECT cell, dim, COUNT(*) AS n, SUM(q) AS sq
+        |      FROM x GROUP BY 1, 2),
+        |o AS (SELECT cell, CAST(i AS INT) AS dim,
+        |        CAST(FLOOR(sv[i] * 1000000) AS BIGINT) AS old_e6
+        |      FROM s, unnest(generate_series(1, len(sv))) AS t(i)),
+        |r AS (SELECT o.cell, o.dim,
+        |        CAST(COALESCE(g.n, 0) AS BIGINT) AS n,
+        |        CASE WHEN g.n IS NOT NULL
+        |             THEN CAST(FLOOR(CAST(g.sq AS DOUBLE) * 100 / g.n)
+        |                       AS BIGINT)
+        |             ELSE o.old_e6 END AS new_mean_e6,
+        |        o.old_e6
+        |      FROM o LEFT JOIN g USING (cell, dim))
+        |SELECT cell, dim, n, new_mean_e6, old_e6,
+        |  new_mean_e6 - old_e6 AS shift_e6
+        |FROM r ORDER BY cell, dim""".stripMargin)),
     QueryDef("q85_semantic_dedup", q85, Some(semanticDedupOracle)),
     // q104 = q85 through the ModelStore save→load seam; the reload is
     // bit-identical, so the SAME oracle hash pins the artifact round trip

@@ -390,6 +390,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("label:int"), "scan reads pruned label column")
   }
 
+  /** q111's refresh pass: assignment must evaluate inside codegen (no
+    * ScalaUDF — the one pass that touches every vector), the n×d explode
+    * must partial-aggregate to cells×d before its exchange (q96's
+    * argument), and the old-centroid blend join is model-sized — never a
+    * cartesian.
+    */
+  test("q111: codegen assignment, partial agg before the cells×d exchange, no cartesian") {
+    val p = plan(Similarity.q111(spark, dir))
+    assert(!p.contains("ScalaUDF"), "assignment fell out of codegen")
+    assert(ops(p, "HashAggregate") >= 2, "no map-side partial aggregation")
+    assert(!p.contains("CartesianProduct"), "blend join went cartesian")
+  }
+
   /** q107's micro-batch projection and serve tail, pinned on their batch
     * analog (the drained stream runs the identical expressions): the
     * MdBandKeys band computation must stay inside whole-stage codegen (the

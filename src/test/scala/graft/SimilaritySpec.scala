@@ -613,4 +613,70 @@ class SimilaritySpec extends AnyFunSuite {
     // -> 200000 e6-units; var = 1e6 q^2, std = 1000 q-units -> 100000
     assert(got(3) === ((2L, 4000L, 200000L, 100000L)))
   }
+
+  /** q111: planted refresh, hand-computed in the quantized domain.
+    * Cells 1 and 2 share an identical centroid, so cell 2 attracts no
+    * member (lowest-cell tie-break) and must keep its old centroid with
+    * shift 0 — the empty-cell contract. Cell 0's dim 1 exercises the
+    * negative-sum floor, dim 2 the non-exact division floor.
+    */
+  test("codebook refresh: hand-computed means, empty cell keeps its centroid") {
+    import spark.implicits._
+    val cb = Array(Array(0.0, 0.0), Array(10.0, 10.0), Array(10.0, 10.0))
+    val base = Seq(
+      (1L, Seq(1.0, 2.0)),   // cell 0
+      (2L, Seq(-1.0, 0.0)),  // cell 0
+      (3L, Seq(-1.5, 0.0)),  // cell 0
+      (4L, Seq(9.0, 11.0)))  // cells 1/2 equidistant -> 1
+      .toDF("vec_id", "v")
+    val got = Similarity.codebookRefresh(base, cb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // cell 0 dim 1: q = 10000, -10000, -15000 -> floor(-15000*100/3) = -500000
+    assert(got((0, 1)) === ((3L, -500000L, 0L, -500000L)))
+    // cell 0 dim 2: q = 20000, 0, 0 -> floor(2000000/3) = 666666
+    assert(got((0, 2)) === ((3L, 666666L, 0L, 666666L)))
+    // cell 1: the single member's dims, exactly
+    assert(got((1, 1)) === ((1L, 9000000L, 10000000L, -1000000L)))
+    assert(got((1, 2)) === ((1L, 11000000L, 10000000L, 1000000L)))
+    // cell 2: empty -> old centroid kept, zero shift
+    assert(got((2, 1)) === ((0L, 10000000L, 10000000L, 0L)))
+    assert(got((2, 2)) === ((0L, 10000000L, 10000000L, 0L)))
+  }
+
+  /** The Lloyd contract on the real fixture: one refresh step never
+    * increases total quantization error (means minimize within-cell SSE;
+    * reassignment under the new codebook only improves further). The e6
+    * quantization perturbs each centroid dim by < 2e-4, bounding the
+    * possible SSE backslide far under the 1e-2 tolerance. The refreshed
+    * codebook then survives the ModelStore save->load seam bit-identically
+    * — the monitor->refresh->persist loop q106/q108 call for.
+    */
+  test("codebook refresh: Lloyd error non-increase + ModelStore round trip") {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val vecs = base.collect().map(_.getSeq[Double](1).toArray)
+    val seeds = base.orderBy(col("vec_id")).limit(Similarity.IvfCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val refreshed =
+      Similarity.refreshedCodebook(Similarity.codebookRefresh(base, seeds))
+    assert(refreshed.length === Similarity.IvfCells)
+    assert(refreshed.forall(_.length === seeds.head.length))
+    def sse(cb: Array[Array[Double]]): Double = vecs.map { v =>
+      cb.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    }.sum
+    val (before, after) = (sse(seeds), sse(refreshed))
+    assert(after <= before + 1e-2, s"SSE rose: $before -> $after")
+    // round trip: the refreshed artifact reloads bit-identically
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q111").toString
+    graft.sources.ModelStore.saveQuantizer(spark,
+      graft.operators.FlatQuantizer(refreshed), s"$tmp/coarse")
+    val loaded = graft.sources.ModelStore.loadQuantizer(spark, s"$tmp/coarse")
+      .asInstanceOf[graft.operators.FlatQuantizer].centroids
+    assert(loaded.length === refreshed.length &&
+      loaded.zip(refreshed).forall { case (a, b) => a.sameElements(b) })
+    new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+  }
 }
