@@ -49,6 +49,97 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q112: the Gopher rule battery (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", Appendix A — the published heuristic gate most
+    * production corpora deploy some variant of), adapted to the engine's
+    * canonical tokenizer and stopword list. Seven rules per document:
+    *
+    *   1. word count in [50, 100,000]
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio ('#', '…', '...') ≤ 0.1
+    *   4. ≤ 90% of lines start with a bullet ('-', '*', '•')
+    *   5. ≤ 30% of lines end with an ellipsis ('...' or '…')
+    *   6. ≥ 80% of words contain at least one alphabetic character
+    *   7. ≥ 2 distinct stopwords present (Gopher's "stop word" filter over
+    *      our canonical 10-word English list)
+    *
+    * This is deliberately a SEPARATE gate from q26's signals: q26 reports
+    * raw per-doc statistics for downstream calibration; q112 applies a
+    * NAMED published operating point, the way a pipeline config would cite
+    * it. All signals are integer-ratio doubles rounded to 4 dp (q59's
+    * cross-engine rule) computed by codegen'd regexp counts — one
+    * projection pass, no joins, no HOFs, no shuffle beyond the presentation
+    * sort. Line-based rules (4/5) read '\n'-separated lines; the fixture
+    * docs are single-line so they degenerate there (q61/q80 precedent) —
+    * the planted spec drives multi-line and bullet-heavy docs.
+    *
+    * 100 TB shape: stateless per-row — the gate runs inside the scan's
+    * whole-stage codegen like q44/q94 and costs nothing beyond the one
+    * corpus read it shares with whatever pipeline stage hosts it.
+    */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWl = 3.0
+  val GopherMaxMeanWl = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMaxBulletRatio = 0.9
+  val GopherMaxEllipsisRatio = 0.3
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopHits = 2
+
+  def q112(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir))
+
+  /** The q112 battery over any (doc_id, text) frame — planted specs run it
+    * directly.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    // null payload = empty doc at the gate: counted, rejected, every
+    // signal non-null (a gate report with null verdicts is ambiguous to
+    // consumers; q110's null-text contract)
+    val t = coalesce(col("text"), lit(""))
+    val lt = lower(t)
+    val nWords = text.tokenCount(t)
+    val nw = greatest(nWords, lit(1L))
+    val tokenChars = length(regexp_replace(lt, "[^a-z0-9]", ""))
+    val meanWl = round(tokenChars.cast("double") / nw, 4)
+    // symbols: '#' + the one-char ellipsis + non-overlapping '...' runs
+    val symbols = regexp_count(t, lit("#")) +
+      regexp_count(t, lit("…")) +
+      regexp_count(t, lit("\\.\\.\\."))
+    val symbolRatio = round(symbols.cast("double") / nw, 4)
+    val nLines = greatest(size(split(t, "\n")), lit(1))
+    val bulletRatio = round(
+      regexp_count(t, lit("(?m)^[-*•]")).cast("double") / nLines, 4)
+    val ellipsisRatio = round(
+      regexp_count(t, lit("(?m)(\\.\\.\\.|…)$")).cast("double")
+        / nLines, 4)
+    // a maximal [a-z0-9]+ run contains a letter iff it matches this
+    // (greedy, cannot span runs — so exactly one match per such run)
+    val alphaWords = regexp_count(lt, lit("[0-9]*[a-z][a-z0-9]*"))
+    val alphaFrac = round(alphaWords.cast("double") / nw, 4)
+    // distinct stopword presence: one boundary-anchored rlike per word
+    // (10 codegen'd finds, not a tokenize pass)
+    val stopHits = text.stopwords("en").map { w =>
+      lt.rlike(s"(^|[^a-z0-9])$w([^a-z0-9]|$$)").cast("int")
+    }.reduce(_ + _)
+    docs
+      .select(col("doc_id"),
+        nWords.as("n_words"), meanWl.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"), alphaFrac.as("alpha_word_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("pass_gopher",
+        col("n_words").between(GopherMinWords, GopherMaxWords) &&
+          col("mean_word_len").between(GopherMinMeanWl, GopherMaxMeanWl) &&
+          col("symbol_ratio") <= GopherMaxSymbolRatio &&
+          col("bullet_ratio") <= GopherMaxBulletRatio &&
+          col("ellipsis_ratio") <= GopherMaxEllipsisRatio &&
+          col("alpha_word_frac") >= GopherMinAlphaFrac &&
+          col("stop_hits") >= GopherMinStopHits)
+      .orderBy(col("doc_id"))
+  }
+
   /** q67: unpivot (melt) — the wide per-doc quality-signal row reshaped to
     * long (doc_id, signal, value) form, the layout feature stores and
     * signal-drift monitors ingest. The inverse reshape of q32's pivot;
@@ -517,6 +608,54 @@ object TextAnalysis {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q112_gopher_rules", q112,
+      // every signal is an integer-ratio double rounded at 4 dp; the
+      // stopword finds are generated from the SAME Scala list the engine
+      // uses, so the two sides cannot drift
+      Some {
+        val stopHitsSql = text.stopwords("en").map { w =>
+          s"(CASE WHEN regexp_matches(lt, '(^|[^a-z0-9])$w([^a-z0-9]|$$)')" +
+            " THEN 1 ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    lower(coalesce(text, '')) AS lt
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lt, '[^a-z0-9]+'),
+        |                         t -> t <> '')) AS BIGINT) AS n_words,
+        |    length(regexp_replace(lt, '[^a-z0-9]', '', 'g')) AS token_chars,
+        |    len(regexp_extract_all(text, '#')) +
+        |      len(regexp_extract_all(text, '…')) +
+        |      len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+        |    greatest(len(string_split(text, chr(10))), 1) AS n_lines,
+        |    len(regexp_extract_all(text, '(?m)^[-*•]')) AS bullets,
+        |    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$$')) AS elines,
+        |    len(regexp_extract_all(lt, '[0-9]*[a-z][a-z0-9]*')) AS alpha_words,
+        |    $stopHitsSql AS stop_hits
+        |  FROM d),
+        |r AS (SELECT doc_id, n_words,
+        |    round(CAST(token_chars AS DOUBLE) / greatest(n_words, 1), 4)
+        |      AS mean_word_len,
+        |    round(CAST(symbols AS DOUBLE) / greatest(n_words, 1), 4)
+        |      AS symbol_ratio,
+        |    round(CAST(bullets AS DOUBLE) / n_lines, 4) AS bullet_ratio,
+        |    round(CAST(elines AS DOUBLE) / n_lines, 4) AS ellipsis_ratio,
+        |    round(CAST(alpha_words AS DOUBLE) / greatest(n_words, 1), 4)
+        |      AS alpha_word_frac,
+        |    CAST(stop_hits AS INT) AS stop_hits
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_ratio, alpha_word_frac, stop_hits,
+        |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+        |   AND mean_word_len BETWEEN $GopherMinMeanWl AND $GopherMaxMeanWl
+        |   AND symbol_ratio <= $GopherMaxSymbolRatio
+        |   AND bullet_ratio <= $GopherMaxBulletRatio
+        |   AND ellipsis_ratio <= $GopherMaxEllipsisRatio
+        |   AND alpha_word_frac >= $GopherMinAlphaFrac
+        |   AND stop_hits >= $GopherMinStopHits) AS pass_gopher
+        |FROM r ORDER BY doc_id""".stripMargin
+      }),
     QueryDef("q91_lm_fit_score", q91,
       // string-gram mirror of the hash-keyed engine counts (q86/q90's
       // collision argument); DuckDB's avg-of-ln vs the engine's weighted

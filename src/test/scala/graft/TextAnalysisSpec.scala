@@ -281,4 +281,56 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.forall(r => r._2 == 0L && r._3 == 0L), "non-zero empty counts")
     assert(got.count(_._4) === 1, "deployed flag must survive the empty edge")
   }
+
+  /** q112: each Gopher rule isolated on a planted doc that fails exactly
+    * it (the fixture docs are single-line, so the line-based rules 4/5 are
+    * only exercised here). Expectations hand-computed in the documented
+    * 4-dp integer-ratio domain.
+    */
+  test("gopher rules: each planted doc trips exactly its rule") {
+    import spark.implicits._
+    val sent = "the cats jumped over and little dogs ran that day for fun"
+    val docs = Seq(
+      // d1: 60 words all from the stopword list -> mean wl 144/60 = 2.4 < 3
+      1L -> Array.fill(6)("the a of and to in is that it for").mkString(" "),
+      // d2: 60 words, 46 chars/12 words -> mean 3.8333; 4 stopwords; passes
+      2L -> Array.fill(5)(sent).mkString(" "),
+      // d3: 10/10 lines bullet-led -> bullet_ratio 1.0 > 0.9
+      3L -> Array.fill(10)(s"- $sent").mkString("\n"),
+      // d4: 4/10 lines end '...' -> ellipsis_ratio 0.4 > 0.3 (symbol
+      // ratio 4/120 = 0.0333 stays under 0.1)
+      4L -> (Array.fill(4)(s"$sent ...") ++ Array.fill(6)(sent)).mkString("\n"),
+      // d5: 20 alpha words of 60 -> alpha_word_frac 0.3333 < 0.8
+      5L -> (Array.fill(40)("12345") ++ Array.fill(4)("the and is that of"))
+        .mkString(" "),
+      // d6: 10 '#' over 60 words -> symbol_ratio 0.1667 > 0.1
+      6L -> (Array.fill(5)(sent).mkString(" ") + " " + "#" * 10),
+      // d7: 2 words -> word-count floor
+      7L -> "the cat",
+      // d8: null text -> the empty doc: zero signals, rejected, non-null
+      8L -> null.asInstanceOf[String])
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int): Double = r.getDouble(i)
+    // columns: 1 n_words, 2 mean_word_len, 3 symbol_ratio, 4 bullet_ratio,
+    //          5 ellipsis_ratio, 6 alpha_word_frac, 7 stop_hits, 8 pass
+    assert(rows(1L).getLong(1) === 60L && d(rows(1L), 2) === 2.4 &&
+      !rows(1L).getBoolean(8), "d1 must fail on mean word length")
+    assert(rows(1L).getInt(7) === 10)
+    assert(d(rows(2L), 2) === 3.8333 && rows(2L).getInt(7) === 4 &&
+      rows(2L).getBoolean(8), "d2 must pass every rule")
+    assert(d(rows(3L), 4) === 1.0 && !rows(3L).getBoolean(8),
+      "d3 must fail on bullets")
+    assert(d(rows(4L), 5) === 0.4 && d(rows(4L), 3) === 0.0333 &&
+      !rows(4L).getBoolean(8), "d4 must fail on ellipsis lines only")
+    assert(d(rows(5L), 6) === 0.3333 && !rows(5L).getBoolean(8),
+      "d5 must fail on alpha fraction")
+    assert(d(rows(6L), 3) === 0.1667 && !rows(6L).getBoolean(8),
+      "d6 must fail on symbols")
+    assert(rows(7L).getLong(1) === 2L && !rows(7L).getBoolean(8),
+      "d7 must fail on the word-count floor")
+    assert(rows(8L).getLong(1) === 0L && !rows(8L).getBoolean(8),
+      "null text must gate as the rejected empty doc, never a null verdict")
+  }
 }
