@@ -589,6 +589,67 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q113: quality-keeper dedup — q76's cluster resolution with the
+    * production keeper POLICY: instead of the arbitrary min-id member, each
+    * near-dup cluster keeps its HIGHEST-QUALITY member by the q94
+    * classifier score (mean_e6, ties to the lowest doc_id). This is what
+    * RefinedWeb/FineWeb-class pipelines actually ship — dedup decides the
+    * cluster, quality decides the survivor — and it changes real outcomes:
+    * a cleaned near-copy beats the boilerplate-ridden original that
+    * happened to arrive first. Exact copies share a text hence a score, so
+    * the tie-break keeps the lowest-id copy of the best text — min-id
+    * semantics recovered exactly where quality cannot distinguish.
+    *
+    * Output per doc: its cluster (rep_id — the min-label component name,
+    * stable regardless of policy), the policy's keeper_id, the kept
+    * verdict, and the score the decision used.
+    *
+    * Shape for 100 TB: q76's own machinery end to end (one md5 shuffle,
+    * ids-only banded joins on exact survivors, contracted CC), plus ONE
+    * extra map-side-combinable aggregate: the argmax is min(struct(-score,
+    * id)) per cluster (q93/q99's idiom — a window would shuffle full
+    * membership rows), and scoring rides the corpus scan in codegen (q94).
+    */
+  def q113(spark: SparkSession, dir: String): DataFrame =
+    qualityKeeperDedup(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      threshold = 0.8)
+
+  /** The q113 core over any (doc_id, text) frame — planted specs run it
+    * directly.
+    */
+  def qualityKeeperDedup(docs: DataFrame, threshold: Double): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"))
+      .localCheckpoint()
+    val keepers = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      .localCheckpoint()
+    val doc2keeper = keyed.join(keepers, Seq("h"))
+      .select(col("doc_id"), col("keeper"))
+    val keeperDocs = docs
+      .join(keepers.select(col("keeper").as("doc_id")), Seq("doc_id"))
+    val pairs = nearDupPairsUnsorted(keeperDocs, threshold)
+      .select(col("a_id"), col("b_id"))
+    val comp = connectedComponents(
+      keepers.select(col("keeper").as("v")), pairs)
+    val membership = doc2keeper.join(comp, doc2keeper("keeper") === comp("v"))
+      .select(col("doc_id"), col("lab").as("rep_id"))
+    val scored = membership.join(
+      TextAnalysis.classifierScoresUnsorted(docs)
+        .select(col("doc_id"), col("mean_e6")),
+      Seq("doc_id"))
+    // keeper = argmax (mean_e6, -doc_id): a map-side-combined min(struct),
+    // never a cluster-partitioned window
+    val best = scored.groupBy(col("rep_id"))
+      .agg(min(struct((-col("mean_e6")).as("neg"), col("doc_id").as("kid")))
+        .as("b"))
+      .select(col("rep_id"), col("b.kid").as("keeper_id"))
+    scored.join(best, Seq("rep_id"))
+      .select(col("doc_id"), col("rep_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("kept"), col("mean_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- Incremental ingestion dedup (q78) ----------------------------------
 
   /** q78: incremental dedup — the shape a LIVE pipeline runs on every new
@@ -839,6 +900,68 @@ object Dedup {
         |       WHEN dk.doc_id <> dk.keeper THEN 'exact'
         |       ELSE 'near' END AS reason
         |FROM dk JOIN rep ON rep.v = dk.keeper
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q113_quality_keeper", q113,
+      // q76's cluster CTEs verbatim + q94's md5-weight scoring CTEs
+      // verbatim; the keeper policy is the only new clause (argmax via
+      // row_number over (mean_e6 DESC, doc_id) — the engine's
+      // min(struct(-mean_e6, doc_id)) in window form)
+      Some(s"""WITH RECURSIVE k AS (
+        |  SELECT md5(text) AS h, MIN(doc_id) AS keeper
+        |  FROM documents GROUP BY 1),
+        |dk AS (
+        |  SELECT d.doc_id, k.keeper FROM documents d
+        |  JOIN k ON md5(d.text) = k.h),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IN (SELECT keeper FROM k)),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |cc(v, lab) AS (
+        |  SELECT keeper, keeper FROM k
+        |  UNION
+        |  SELECT edges.d, cc.lab FROM cc JOIN edges ON edges.s = cc.v),
+        |rep AS (SELECT v, MIN(lab) AS rep FROM cc GROUP BY v),
+        |mem AS (SELECT dk.doc_id, rep.rep AS rep_id
+        |        FROM dk JOIN rep ON rep.v = dk.keeper),
+        |t0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       x -> x <> '')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM t0),
+        |per AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM w GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(FLOOR(CAST(coalesce(per.s, 0) AS DOUBLE) * 1000 /
+        |      greatest(coalesce(per.n, 0), 1)) AS BIGINT) AS mean_e6
+        |  FROM documents d LEFT JOIN per USING (doc_id)),
+        |m AS (SELECT mem.doc_id, mem.rep_id, sc.mean_e6
+        |      FROM mem JOIN sc USING (doc_id)),
+        |best AS (
+        |  SELECT rep_id, doc_id AS keeper_id FROM (
+        |    SELECT rep_id, doc_id, row_number() OVER (
+        |      PARTITION BY rep_id ORDER BY mean_e6 DESC, doc_id) AS rn
+        |    FROM m) WHERE rn = 1)
+        |SELECT m.doc_id, m.rep_id, best.keeper_id,
+        |  (m.doc_id = best.keeper_id) AS kept, m.mean_e6
+        |FROM m JOIN best USING (rep_id)
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q74_span_dedup", q74,
       Some(s"""WITH d AS (

@@ -258,6 +258,64 @@ class DedupSpec extends AnyFunSuite {
     assert(got(103L) === ((25L, false, "exact")))
   }
 
+  /** q113 quality-keeper policy on the planted clusters: every {base,
+    * near-copy} cluster must keep its higher-mean_e6 member (computed by
+    * the independent plain-Scala md5 weight model), exact copies tie to
+    * the lowest id of the best text, rep_id stays the min-label cluster
+    * name regardless of policy, and singletons keep themselves. The seed-7
+    * corpus makes several clusters' quality keeper differ from min-id —
+    * asserted, so the policy is proven to bite, not coincide.
+    */
+  test("quality-keeper dedup: argmax-score keeper per planted cluster") {
+    import spark.implicits._
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    def meanE6(s: String): Long = {
+      val toks = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.isEmpty) 0L
+      else math.floor(toks.map(weight).sum.toDouble * 1000 / toks.length).toLong
+    }
+    val base = corpus.toMap
+    val planted = corpus ++ Seq(
+      100L -> base(3L), // exact copy of base 3: same score, loses on id
+      101L -> base(25L), 102L -> base(25L)) // copies of a singleton
+    val got = Dedup.qualityKeeperDedup(planted.toDF("doc_id", "text"), 0.8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got.size === planted.size)
+    // every near-dup cluster {i, i+10} (+100 for i=3): keeper = argmax
+    // (mean_e6, -id) over the cluster, computed independently
+    var policyBit = 0
+    for (i <- 0L until 10L) {
+      val members = Seq(i, i + 10) ++ (if (i == 3) Seq(100L) else Nil)
+      val want = members.minBy(m => (-meanE6(base(if (m >= 100) 3L else m)), m))
+      members.foreach { m =>
+        val (rep, keeper, kept, s) = got(m)
+        assert(rep === i, s"cluster name for $m")
+        assert(keeper === want, s"keeper of cluster $i")
+        assert(kept === (m == want), s"kept flag for $m")
+        assert(s === meanE6(planted.toMap.apply(m)), s"score for $m")
+      }
+      if (want != i) policyBit += 1
+    }
+    assert(policyBit >= 1,
+      "no cluster distinguished quality from min-id — fixture too weak")
+    // unrelated singletons keep themselves; the copied singleton keeps its
+    // lowest id (tie on identical text)
+    for (i <- 20L until 30L if i != 25L)
+      assert(got(i) === ((i, i, true, meanE6(base(i)))))
+    Seq(25L, 101L, 102L).foreach { m =>
+      val (rep, keeper, kept, _) = got(m)
+      assert(rep === 25L && keeper === 25L && kept === (m == 25L),
+        s"copied singleton member $m")
+    }
+  }
+
   /** q84 span-cut on hand-built docs: a cross-doc shared 8-token span is
     * cut from BOTH docs (and only it — the flanking windows are unique), an
     * internally repeated span is cut at both its positions leaving the
