@@ -456,6 +456,56 @@ object Pipeline {
           LongNumRe, "<NUM>").as("redacted"))
       .orderBy(col("doc_id"))
 
+  /** q114: markup strip — the HTML-to-text preprocessing every web-crawl
+    * corpus runs BEFORE any quality/dedup stage (the CCNet/C4 extraction
+    * step, reduced to its deterministic core): script/style blocks drop
+    * wholesale (their content is code, not prose), comments and all
+    * remaining balanced tags strip, the six ubiquitous entities decode
+    * (&amp; LAST, so "&amp;lt;" correctly yields "&lt;" — literal text,
+    * not a second decode), and whitespace collapses to single spaces.
+    * Unterminated tags stay by design (conservative: never eat prose on
+    * malformed markup). Reported per doc: the cleaned text and how many
+    * characters markup removal reclaimed — the "boilerplate mass" signal
+    * a crawl-health dashboard tracks per source.
+    *
+    * Cross-engine exactness: every pattern is restricted to the
+    * Java-regex ∩ RE2 common subset — inline (?is) flags, non-greedy
+    * spans, no lookaround, and an EXPLICIT whitespace class (Java's \\s
+    * includes \\x0B, RE2's does not — the one divergence this battery
+    * would otherwise hit). The mirror applies the identical replace chain
+    * with DuckDB's 'g' flag (Spark's regexp_replace is always global).
+    *
+    * 100 TB shape: stateless per-row codegen'd regexp chain riding the
+    * scan — zero joins, zero shuffles beyond the presentation sort, the
+    * same class as q49's redaction scrub.
+    */
+  def q114(spark: SparkSession, dir: String): DataFrame =
+    markupStrip(Tables.documents(spark, dir))
+
+  /** Entity decode table, &amp; deliberately last (see q114 doc). */
+  private val MarkupEntities = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** The q114 core over any (doc_id, text) frame — planted specs run it
+    * directly.
+    */
+  def markupStrip(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val noScript = regexp_replace(t, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = MarkupEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    val clean = trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+    docs.select(col("doc_id"), clean.as("clean_text"),
+      (length(t) - length(clean)).cast("long").as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   def q49(spark: SparkSession, dir: String): DataFrame =
     redact(Tables.documents(spark, dir))
 
@@ -1511,6 +1561,29 @@ object Pipeline {
         |  CASE WHEN substr(md5(text), 1, 1) IN ('0', '1')
         |       THEN 'heldout' ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q114_markup_strip", q114,
+      // the identical replace chain, generated from the same pattern list
+      // the engine folds (Java-regex ∩ RE2 subset; 'g' = Spark's
+      // always-global); entity replacements SQL-quote-escaped
+      Some {
+        var x = "coalesce(text, '')"
+        val pats = Seq(
+          "(?is)<script[^>]*>.*?</script>",
+          "(?is)<style[^>]*>.*?</style>",
+          "(?s)<!--.*?-->",
+          "<[^>]*>")
+        pats.foreach(p => x = s"regexp_replace($x, '$p', ' ', 'g')")
+        MarkupEntities.foreach { case (e, r) =>
+          x = s"regexp_replace($x, '$e', '${r.replace("'", "''")}', 'g')"
+        }
+        x = s"trim(regexp_replace($x, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+        s"""WITH c AS (
+        |  SELECT doc_id, coalesce(text, '') AS t0, $x AS ct
+        |  FROM documents)
+        |SELECT doc_id, ct AS clean_text,
+        |  CAST(length(t0) - length(ct) AS BIGINT) AS n_removed
+        |FROM c ORDER BY doc_id""".stripMargin
+      }),
     QueryDef("q49_redact", q49,
       Some(s"""SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,

@@ -622,4 +622,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(9L) === ((null, "kept", "arrived")))
     assert(got(19L) === ((null, "kept", "arrived")))
   }
+
+  /** q114 on real markup (the fixture texts carry none): script/style
+    * content drops wholesale including tags nested inside it, comments and
+    * balanced tags strip, the entity table decodes with &amp; last (so
+    * escaped entities stay literal text), unterminated tags survive, and
+    * whitespace collapses. Every expectation a hand-written literal.
+    */
+  test("markup strip: planted HTML cleans to the exact hand-computed text") {
+    import spark.implicits._
+    val html = "<html><head><script a=\"b\">var x = \"<p>hi</p>\";" +
+      "</script><style>.a{}</style></head><body><!-- c -->" +
+      "<h1>Title &amp; Co</h1><p>1 &lt; 2,&nbsp;&quot;it&#39;s&quot;</p>" +
+      "</body></html>"
+    val docs = Seq(
+      1L -> html,
+      2L -> "x &amp;lt; y",     // escaped entity: ONE decode, stays literal
+      3L -> "a <b c",           // unterminated tag survives
+      4L -> "plain text",       // untouched
+      5L -> null.asInstanceOf[String])
+      .toDF("doc_id", "text")
+    val got = Pipeline.markupStrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val want1 = "Title & Co 1 < 2, \"it's\""
+    assert(got(1L) === ((want1, (html.length - want1.length).toLong)))
+    assert(got(2L) === (("x &lt; y", 4L)))
+    assert(got(3L) === (("a <b c", 0L)))
+    assert(got(4L) === (("plain text", 0L)))
+    assert(got(5L) === (("", 0L)))
+  }
 }
