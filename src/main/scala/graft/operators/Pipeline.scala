@@ -1134,6 +1134,71 @@ object Pipeline {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Per-batch token budget for q115: every batch pads its members to the
+    * bucket cap, so budget/cap sequences per batch keeps the padded token
+    * count constant across buckets — the property that makes bucketed
+    * batching GPU-shape-stable.
+    */
+  val BatchTokenBudget = 8192L
+
+  /** q115's bucket caps: powers of two from the short-doc floor to the
+    * training context length; docs past the last cap truncate at train
+    * time (pad 0 by [[lengthBucketBatches]]'s least()).
+    */
+  val BucketCaps: Seq[Long] = Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L)
+
+  /** q115: length-bucketed batch assembly — the padding-efficiency layout
+    * a training dataloader wants (batching by similar sequence length so
+    * pad-to-max waste stays small, the dynamic-batching idiom): each doc
+    * takes the smallest power-of-two bucket cap ≥ its token count, shuffles
+    * deterministically within its (shard, bucket) cell by q100's salted
+    * md5 key, and lands in a fixed-budget batch ([[BatchTokenBudget]] /
+    * cap sequences per batch — constant padded tokens per batch at every
+    * cap). Reported per doc: bucket, batch index, position, and the pad
+    * tokens its batch slot wastes — Σpad is the number the layout exists
+    * to minimize, and the bucket histogram is the dataloader's shape plan.
+    *
+    * Composes with q100: shard here IS q100's training shard (same salt,
+    * same md5 draw), so batch numbering is SHARD-LOCAL — the q89/q100
+    * lesson: never a corpus-wide rank through one partition; every window
+    * partition is a md5-uniform 1/[[ShardCount]] slice × one bucket.
+    * Epoch reseed = bump [[ShuffleSalt]], exactly as q100. Null text = 0
+    * tokens (q97's accounting), bucketed at the floor cap.
+    */
+  def q115(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketBatches(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q115 core over any (doc_id, text) frame — specs run it directly. */
+  def lengthBucketBatches(docs: DataFrame): DataFrame = {
+    val keyed = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(text.tokenCount(col("text"))).as("n_tokens"),
+        md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))
+          .cast("binary")).as("sk"))
+      .withColumn("shard",
+        pmod(conv(substring(col("sk"), 1, 8), 16, 10).cast("long"),
+          lit(ShardCount.toLong)).cast("int"))
+    // smallest cap >= n: an explicit integer CASE chain, never float log2
+    // (log2(2^k) exactness is not a cross-engine contract)
+    val bucket = BucketCaps.init.reverse.foldLeft(lit(BucketCaps.last)) {
+      case (acc, cap) =>
+        when(col("n_tokens") <= cap, lit(cap)).otherwise(acc)
+    }
+    val ranked = keyed.withColumn("bucket", bucket)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("shard"), col("bucket"))
+          .orderBy(col("sk"), col("doc_id"))))
+    val bsz = (lit(BatchTokenBudget) / col("bucket")).cast("long")
+    ranked.select(col("doc_id"), col("n_tokens"), col("shard"), col("bucket"),
+      floor((col("rn") - 1).cast("double") / bsz).cast("int").as("batch_idx"),
+      pmod(col("rn") - 1, bsz).cast("int").as("pos"),
+      (col("bucket") - least(col("n_tokens"), col("bucket")))
+        .cast("long").as("pad_tokens"))
+      .orderBy(col("shard"), col("bucket"), col("batch_idx"), col("pos"))
+  }
+
   /** q105's "this crawl's new arrivals" slice: docs with
     * doc_id % DriftHoldout == DriftHoldout − 1 are absent from the
     * previous snapshot — a deterministic 10% stand-in for an incremental
@@ -1253,6 +1318,34 @@ object Pipeline {
         |       ELSE 'changed' END AS status
         |FROM cv LEFT JOIN pv USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q115_length_buckets", q115,
+      // q100's md5 CTEs + an integer CASE bucket chain generated from the
+      // same BucketCaps the engine folds; // is DuckDB integer division
+      // (the engine's floor-of-double is exact at these magnitudes)
+      Some {
+        val caseChain = BucketCaps.init
+          .map(c => s"WHEN n_tokens <= $c THEN $c").mkString(" ") +
+          s" ELSE ${BucketCaps.last}"
+        s"""WITH k AS (
+        |  SELECT doc_id,
+        |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                                  t -> t <> '')) AS BIGINT), 0) AS n_tokens,
+        |    md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT *,
+        |    CAST(CAST('0x' || substr(sk, 1, 8) AS BIGINT) % $ShardCount
+        |      AS INTEGER) AS shard,
+        |    CAST(CASE $caseChain END AS BIGINT) AS bucket
+        |  FROM k),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY shard, bucket ORDER BY sk, doc_id) AS rn FROM s)
+        |SELECT doc_id, n_tokens, shard, bucket,
+        |  CAST((rn - 1) // ($BatchTokenBudget // bucket) AS INTEGER)
+        |    AS batch_idx,
+        |  CAST((rn - 1) % ($BatchTokenBudget // bucket) AS INTEGER) AS pos,
+        |  CAST(bucket - least(n_tokens, bucket) AS BIGINT) AS pad_tokens
+        |FROM r ORDER BY shard, bucket, batch_idx, pos""".stripMargin
+      }),
     QueryDef("q100_train_shards", q100,
       Some(s"""WITH k AS (
         |  SELECT doc_id,

@@ -651,4 +651,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) === (("plain text", 0L)))
     assert(got(5L) === (("", 0L)))
   }
+
+  /** q115: bucket caps and pads at every edge (exact cap, cap+1, past the
+    * top cap, null text), then the structural batching contract on every
+    * (shard, bucket) cell: positions stay under the fixed-budget batch
+    * size and (batch_idx, pos) is the gapless sequence 0..n-1 — the
+    * property that makes the layout loadable without a directory.
+    */
+  test("length buckets: caps, pads, and contiguous fixed-budget batches") {
+    import spark.implicits._
+    val docs = ((1L to 300L).map { i =>
+      i -> Seq.fill((i % 97).toInt)("tok").mkString(" ")
+    } ++ Seq(
+      1001L -> ("x " * 64).trim,          // exactly the floor cap
+      1002L -> ("x " * 65).trim,          // one past -> next bucket
+      1003L -> ("x " * 9000).trim,        // past the top cap: truncates
+      1004L -> null.asInstanceOf[String], // 0 tokens at the floor
+      1005L -> "")).toDF("doc_id", "text")
+    val got = Pipeline.lengthBucketBatches(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getLong(6)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1001L)._4 === 64L && byId(1001L)._7 === 0L)
+    assert(byId(1002L)._4 === 128L && byId(1002L)._7 === 63L)
+    assert(byId(1003L)._4 === 8192L && byId(1003L)._7 === 0L)
+    assert(byId(1004L)._2 === 0L && byId(1004L)._4 === 64L &&
+      byId(1004L)._7 === 64L)
+    assert(byId(1005L)._4 === 64L && byId(1005L)._7 === 64L)
+    got.foreach { case (id, n, _, b, _, _, pad) =>
+      val want = Pipeline.BucketCaps.find(_ >= n)
+        .getOrElse(Pipeline.BucketCaps.last)
+      assert(b === want, s"bucket of doc $id (n=$n)")
+      assert(pad === b - math.min(n, b), s"pad of doc $id")
+    }
+    got.groupBy(t => (t._3, t._4)).foreach { case ((sh, b), rows) =>
+      val bsz = (Pipeline.BatchTokenBudget / b).toInt
+      assert(rows.forall(_._6 < bsz), s"pos >= batch size in ($sh, $b)")
+      val flat = rows.map(t => t._5 * bsz + t._6).sorted.toVector
+      assert(flat === (0 until rows.length).toVector,
+        s"gapped batch numbering in ($sh, $b)")
+    }
+  }
 }
