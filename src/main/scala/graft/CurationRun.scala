@@ -26,7 +26,19 @@ final case class CurationParams(
     classifierFloorE6: Long = Pipeline.ClassifierFloorE6,
     nearDupJaccard: Double = Pipeline.FunnelNearDupJaccard,
     sourceCap: Int = Pipeline.SourceCap,
-    reuseModels: Option[String] = None)
+    reuseModels: Option[String] = None,
+    // round-13 late additions, each default-off so a flag-less run stays
+    // bit-identical to the q88-parity behavior:
+    // q114's HTML-to-text transform applied to every doc BEFORE the funnel
+    // (a transform, not a gate — no doc is dropped, so no manifest row;
+    // null text becomes the empty doc by q114's contract)
+    stripMarkup: Boolean = false,
+    // q112's published rule battery as a pre-funnel gate; the funnel's
+    // "raw" row then counts gated survivors (recorded in run_params)
+    gopherGate: Boolean = false,
+    // q113's keeper policy for the near-dup stage: the argmax-classifier
+    // member survives each cluster instead of the min-id one
+    qualityKeeper: Boolean = false)
 
 /** The end-to-end curation RUN: every stage of the shipped curation family,
   * chained as ONE artifact-writing job (reference: the pipeline a
@@ -108,17 +120,34 @@ object CurationRun {
   def run(spark: SparkSession, sfDir: String, outDir: String,
       params: CurationParams): DataFrame = {
     // one parquet scan feeds the funnel AND both dimension fan-backs
-    val docs = timed("scan") {
+    val scanned = timed("scan") {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .localCheckpoint()
     }
+    // opt-in q114 transform: markup out of every payload before any gate
+    // reads it (per-row codegen chain; no doc dropped, so no manifest row)
+    val stripped =
+      if (!params.stripMarkup) scanned
+      else timed("markup_strip") {
+        scanned.withColumn("text",
+          graft.functions.text.stripMarkup(col("text"))).localCheckpoint()
+      }
+    // opt-in q112 gate: the published Gopher battery ahead of the funnel;
+    // the funnel's "raw" row then counts gated survivors
+    val docs =
+      if (!params.gopherGate) stripped
+      else timed("gopher_gate") {
+        stripped.filter(
+          operators.TextAnalysis.gopherVerdict(col("text"))).localCheckpoint()
+      }
     // curationStages materializes its member frames eagerly, so this block
     // carries the quality-gate + exact-dedup + near-dedup wall
     val funnel = timed("funnel") {
       Pipeline.curationStages(
         docs.select(col("doc_id"), col("text")), Pipeline.EvalEvery,
-        params.classifierFloorE6, params.nearDupJaccard)
+        params.classifierFloorE6, params.nearDupJaccard,
+        params.qualityKeeper)
     }
     // decontaminated survivors: stat + line-dedup input (gram-join lineage
     // behind it — materialize, q78 precedent)
@@ -263,9 +292,11 @@ object CurationRun {
       import spark.implicits._
       Seq((params.semDedupCosine, params.classifierFloorE6,
         params.nearDupJaccard, params.sourceCap,
-        params.reuseModels.orNull))
+        params.reuseModels.orNull,
+        params.stripMarkup, params.gopherGate, params.qualityKeeper))
         .toDF("sem_dedup_cosine", "classifier_floor_e6", "neardup_jaccard",
-          "source_cap", "reused_models_from")
+          "source_cap", "reused_models_from",
+          "strip_markup", "gopher_gate", "quality_keeper")
     }
     timed("artifacts") {
       PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
@@ -293,6 +324,11 @@ object CurationRun {
         p.copy(nearDupJaccard = v.toDouble)
       case (p, Seq("--source-cap", v)) => p.copy(sourceCap = v.toInt)
       case (p, Seq("--reuse-models", v)) => p.copy(reuseModels = Some(v))
+      case (p, Seq("--strip-markup", v)) =>
+        p.copy(stripMarkup = v.toBoolean)
+      case (p, Seq("--gopher-gate", v)) => p.copy(gopherGate = v.toBoolean)
+      case (p, Seq("--quality-keeper", v)) =>
+        p.copy(qualityKeeper = v.toBoolean)
       case (_, other) =>
         throw new IllegalArgumentException(
           s"unknown flag ${other.headOption.getOrElse("")}")
@@ -303,7 +339,8 @@ object CurationRun {
     require(args.length >= 2,
       "usage: CurationRun <sfDir> <outDir> [--sem-cosine X] " +
         "[--classifier-floor-e6 N] [--neardup-jaccard X] [--source-cap N] " +
-        "[--reuse-models priorOutDir]")
+        "[--reuse-models priorOutDir] [--strip-markup B] [--gopher-gate B] " +
+        "[--quality-keeper B]")
     val params = parseParams(args.drop(2).toSeq)
     val spark = Sessions.local("graft-curation-run")
     val t0 = System.nanoTime()

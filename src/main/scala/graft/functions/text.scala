@@ -106,6 +106,39 @@ object text {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** q114's markup-strip patterns, applied in order: script/style blocks
+    * wholesale, then comments, then every remaining balanced tag. All in
+    * the Java-regex ∩ RE2 common subset so the DuckDB mirror (generated
+    * from this same list) matches byte-for-byte.
+    */
+  val markupPatterns: Seq[String] = Seq(
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "<[^>]*>")
+
+  /** q114's entity decode table, &amp; deliberately LAST so escaped
+    * entities ("&amp;lt;") decode exactly once and stay literal text.
+    */
+  val markupEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** The q114 strip chain as one column expression (null → empty doc):
+    * tags/blocks out, entities decoded, whitespace collapsed with an
+    * EXPLICIT class (Java's \s includes \x0B, RE2's does not). Shared by
+    * the registered q114 and CurationRun's opt-in pre-funnel transform.
+    */
+  def stripMarkup(t: Column): Column = {
+    val noTags = markupPatterns.foldLeft(coalesce(t, lit(""))) {
+      (c, p) => regexp_replace(c, p, " ")
+    }
+    val decoded = markupEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
+
   /** Fraction of characters that are a-z after lowercasing (unrounded). */
   def alphaRatio(text: Column): Column =
     length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") /

@@ -231,7 +231,23 @@ object Pipeline {
     */
   def curationStages(docs: DataFrame, evalEvery: Long,
       classifierFloorE6: Long,
-      nearDupJaccard: Double): Seq[(String, DataFrame)] = {
+      nearDupJaccard: Double): Seq[(String, DataFrame)] =
+    curationStages(docs, evalEvery, classifierFloorE6, nearDupJaccard,
+      qualityKeeper = false)
+
+  /** [[curationStages]] with the near-dup keeper POLICY as a parameter:
+    * `qualityKeeper = true` swaps the min-label survivor for q113's
+    * argmax-classifier-score member per component (ties → lowest id) —
+    * dedup decides the cluster, quality decides the survivor. Default
+    * false keeps q88's oracle surface bit-identical. The quality form
+    * costs one extra scoring pass over the exact-dedup survivors (the
+    * funnel's own classifier pass kept only ids); the argmax is a
+    * map-side-combinable min(struct), q113's shape.
+    */
+  def curationStages(docs: DataFrame, evalEvery: Long,
+      classifierFloorE6: Long,
+      nearDupJaccard: Double,
+      qualityKeeper: Boolean): Seq[(String, DataFrame)] = {
     import graft.functions.expressions.sketch
     // base and clf are each consumed by SEVERAL actions downstream (their
     // own funnel stat, every later stage's lineage, and CurationRun's
@@ -273,9 +289,21 @@ object Pipeline {
       .select(col("a_id"), col("b_id"))
     val labels = Dedup.connectedComponents(
       exs.select(col("doc_id").as("v")), pairs)
-    val nears = exs.join(
-      labels.filter(col("v") === col("lab")).select(col("v").as("doc_id")),
-      Seq("doc_id"))
+    val keeperIds =
+      if (!qualityKeeper)
+        labels.filter(col("v") === col("lab")).select(col("v").as("doc_id"))
+      else {
+        // q113's policy: per component, the argmax-(mean_e6, -id) member
+        val scored = labels.select(col("v").as("doc_id"), col("lab"))
+          .join(TextAnalysis.classifierScoresUnsorted(
+              exs.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("mean_e6")), Seq("doc_id"))
+        scored.groupBy(col("lab"))
+          .agg(min(struct((-col("mean_e6")).as("neg"),
+            col("doc_id").as("kid"))).as("b"))
+          .select(col("b.kid").as("doc_id"))
+      }
+    val nears = exs.join(keeperIds, Seq("doc_id"))
       .localCheckpoint()
     val evalGh = docs
       .filter(col("doc_id").isNotNull && col("doc_id") % evalEvery === 0)
@@ -482,25 +510,14 @@ object Pipeline {
   def q114(spark: SparkSession, dir: String): DataFrame =
     markupStrip(Tables.documents(spark, dir))
 
-  /** Entity decode table, &amp; deliberately last (see q114 doc). */
-  private val MarkupEntities = Seq(
-    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-
   /** The q114 core over any (doc_id, text) frame — planted specs run it
-    * directly.
+    * directly. The chain itself lives in [[text.stripMarkup]] so
+    * CurationRun's opt-in pre-funnel transform runs the identical
+    * expression.
     */
   def markupStrip(docs: DataFrame): DataFrame = {
     val t = coalesce(col("text"), lit(""))
-    val noScript = regexp_replace(t, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle =
-      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
-    val decoded = MarkupEntities.foldLeft(noTags) { case (c, (e, r)) =>
-      regexp_replace(c, e, r)
-    }
-    val clean = trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+    val clean = text.stripMarkup(col("text"))
     docs.select(col("doc_id"), clean.as("clean_text"),
       (length(t) - length(clean)).cast("long").as("n_removed"))
       .orderBy(col("doc_id"))
@@ -1660,13 +1677,9 @@ object Pipeline {
       // always-global); entity replacements SQL-quote-escaped
       Some {
         var x = "coalesce(text, '')"
-        val pats = Seq(
-          "(?is)<script[^>]*>.*?</script>",
-          "(?is)<style[^>]*>.*?</style>",
-          "(?s)<!--.*?-->",
-          "<[^>]*>")
-        pats.foreach(p => x = s"regexp_replace($x, '$p', ' ', 'g')")
-        MarkupEntities.foreach { case (e, r) =>
+        text.markupPatterns
+          .foreach(p => x = s"regexp_replace($x, '$p', ' ', 'g')")
+        text.markupEntities.foreach { case (e, r) =>
           x = s"regexp_replace($x, '$e', '${r.replace("'", "''")}', 'g')"
         }
         x = s"trim(regexp_replace($x, '[ \\t\\n\\r\\f]+', ' ', 'g'))"

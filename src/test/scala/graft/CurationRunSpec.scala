@@ -149,4 +149,90 @@ class CurationRunSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(shards.toSet === want, "written shards drifted from q100's assignment")
   }
+
+  /** The round-13 opt-in stages on a planted corpus, run twice (defaults
+    * vs all three flags): markup strip rescues a doc whose RAW text fails
+    * the Gopher symbol rule via its style block, the gopher gate drops a
+    * funnel-passing-but-sub-50-word doc, and the quality keeper flips a
+    * near-dup cluster's survivor from the min-id member to the
+    * higher-score one (scores computed by the independent Scala weight
+    * model, ids ASSIGNED so the two policies must disagree). Defaults
+    * remain bit-compatible: the flag-off run keeps min-id and the short
+    * doc.
+    */
+  test("curation flags: markup strip, gopher gate, quality keeper") {
+    import spark.implicits._
+    def alpha(n: Int): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar)
+    def tok(i: Int, j: Int): String = s"w${alpha(i)}x${alpha(j)}"
+    def prose(i: Int): String = {
+      val t = (0 until 80).map(j => tok(i, j)).toArray
+      t(5) = "the"; t(20) = "and"; t(35) = "is"; t(50) = "that"
+      t.mkString(" ")
+    }
+    // near-dup pair: 80 tokens, 2 changed -> jaccard ~0.857 (DedupSpec's
+    // proven-banded construction); higher-score text gets the HIGHER id
+    val ndBase = {
+      val t = (0 until 80).map(j => tok(99, j)).toArray
+      t(5) = "the"; t(20) = "and"; t(35) = "is"; t(50) = "that"
+      t
+    }
+    val ndCopy = { val t = ndBase.clone()
+      t(10) = "waaxz"; t(40) = "wbbxz"; t }
+    def weight(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16) % 2001 - 1000
+    }
+    def meanE6(s: String): Long = {
+      val toks = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      math.floor(toks.map(weight).sum.toDouble * 1000 / toks.length).toLong
+    }
+    val (tA, tB) = (ndBase.mkString(" "), ndCopy.mkString(" "))
+    assert(meanE6(tA) != meanE6(tB), "degenerate score draw")
+    assert(Seq(tA, tB).forall(meanE6(_) >= Pipeline.ClassifierFloorE6))
+    val (loT, hiT) = if (meanE6(tA) < meanE6(tB)) (tA, tB) else (tB, tA)
+    val css = Array.fill(12)("#aa{q:#bb}").mkString(" ")
+    val docs = Seq(
+      1L -> prose(1), 2L -> prose(2), 3L -> prose(3),
+      21L -> s"${prose(9)} <style>$css</style>", // raw fails gopher symbols
+      29L -> loT, 30L -> hiT,                    // quality beats min-id
+      31L -> (0 until 30).map(j => tok(31, j)).mkString(" ")) // sub-50-word
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .zipWithIndex.map { case (id, i) =>
+        (id, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.01f * i), 0)
+      }.toSeq.toDF("vec_id", "embedding", "label")
+    val sf = java.nio.file.Files.createTempDirectory("curation_flags").toString
+    docs.write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    emb.write.mode("overwrite").parquet(s"$sf/embeddings.parquet")
+
+    val outA = java.nio.file.Files.createTempDirectory("cfA").toString
+    CurationRun.run(spark, sf, outA).collect()
+    val corpusA = spark.read.parquet(s"$outA/corpus")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(corpusA.contains(29L) && !corpusA.contains(30L),
+      "default run must keep the min-id near-dup member")
+    assert(corpusA.contains(31L), "default run must keep the 30-word doc")
+
+    val outB = java.nio.file.Files.createTempDirectory("cfB").toString
+    CurationRun.run(spark, sf, outB, CurationParams(
+      stripMarkup = true, gopherGate = true, qualityKeeper = true)).collect()
+    val corpusB = spark.read.parquet(s"$outB/corpus")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpusB.contains(30L) && !corpusB.contains(29L),
+      "quality keeper must keep the higher-score member (id 30)")
+    assert(!corpusB.contains(31L), "gopher gate must drop the sub-50-word doc")
+    assert(corpusB.contains(21L) && corpusB(21L) === prose(9),
+      "markup strip must rescue the style-block doc to its exact prose")
+    val rp = spark.read.parquet(s"$outB/run_params").collect().head
+    assert(rp.getAs[Boolean]("strip_markup") &&
+      rp.getAs[Boolean]("gopher_gate") && rp.getAs[Boolean]("quality_keeper"),
+      "run_params must record the flags used")
+    Seq(sf, outA, outB).foreach(d =>
+      new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+  }
 }
