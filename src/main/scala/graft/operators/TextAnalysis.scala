@@ -90,14 +90,45 @@ object TextAnalysis {
   def q112(spark: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.documents(spark, dir))
 
+  /** The seven-rule conjunction over a name→column lookup — written once
+    * so the registered report ([[gopherRules]], reading its own output
+    * columns) and the standalone verdict ([[gopherVerdict]], reading raw
+    * signal expressions) can never drift.
+    */
+  private def gopherPass(c: String => Column): Column =
+    c("n_words").between(GopherMinWords, GopherMaxWords) &&
+      c("mean_word_len").between(GopherMinMeanWl, GopherMaxMeanWl) &&
+      c("symbol_ratio") <= GopherMaxSymbolRatio &&
+      c("bullet_ratio") <= GopherMaxBulletRatio &&
+      c("ellipsis_ratio") <= GopherMaxEllipsisRatio &&
+      c("alpha_word_frac") >= GopherMinAlphaFrac &&
+      c("stop_hits") >= GopherMinStopHits
+
+  /** The full battery verdict as ONE boolean column over a raw text
+    * column — CurationRun's opt-in gopher gate filters on this (stateless
+    * per-row, rides the scan's codegen like q44's gates).
+    */
+  def gopherVerdict(raw: Column): Column = {
+    val m = gopherSignals(raw).toMap
+    gopherPass(m)
+  }
+
   /** The q112 battery over any (doc_id, text) frame — planted specs run it
     * directly.
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id") +:
+        gopherSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .withColumn("pass_gopher", gopherPass(col))
+      .orderBy(col("doc_id"))
+
+  /** The seven q112 signal columns over a raw text column. */
+  private def gopherSignals(raw: Column): Seq[(String, Column)] = {
     // null payload = empty doc at the gate: counted, rejected, every
     // signal non-null (a gate report with null verdicts is ambiguous to
     // consumers; q110's null-text contract)
-    val t = coalesce(col("text"), lit(""))
+    val t = coalesce(raw, lit(""))
     val lt = lower(t)
     val nWords = text.tokenCount(t)
     val nw = greatest(nWords, lit(1L))
@@ -123,21 +154,10 @@ object TextAnalysis {
     val stopHits = text.stopwords("en").map { w =>
       lt.rlike(s"(^|[^a-z0-9])$w([^a-z0-9]|$$)").cast("int")
     }.reduce(_ + _)
-    docs
-      .select(col("doc_id"),
-        nWords.as("n_words"), meanWl.as("mean_word_len"),
-        symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
-        ellipsisRatio.as("ellipsis_ratio"), alphaFrac.as("alpha_word_frac"),
-        stopHits.as("stop_hits"))
-      .withColumn("pass_gopher",
-        col("n_words").between(GopherMinWords, GopherMaxWords) &&
-          col("mean_word_len").between(GopherMinMeanWl, GopherMaxMeanWl) &&
-          col("symbol_ratio") <= GopherMaxSymbolRatio &&
-          col("bullet_ratio") <= GopherMaxBulletRatio &&
-          col("ellipsis_ratio") <= GopherMaxEllipsisRatio &&
-          col("alpha_word_frac") >= GopherMinAlphaFrac &&
-          col("stop_hits") >= GopherMinStopHits)
-      .orderBy(col("doc_id"))
+    Seq("n_words" -> nWords, "mean_word_len" -> meanWl,
+      "symbol_ratio" -> symbolRatio, "bullet_ratio" -> bulletRatio,
+      "ellipsis_ratio" -> ellipsisRatio, "alpha_word_frac" -> alphaFrac,
+      "stop_hits" -> stopHits)
   }
 
   /** q67: unpivot (melt) — the wide per-doc quality-signal row reshaped to
@@ -542,6 +562,79 @@ object TextAnalysis {
       .orderBy(col("thr_e6"))
   }
 
+  /** q116: classifier-score drift between snapshots as a Population
+    * Stability Index table — THE standard deployed-model monitoring metric
+    * (banking/ML-ops shorthand: PSI < 0.1 stable, 0.1–0.25 watch, > 0.25
+    * retrain): bucket the q94 score distribution of the PREVIOUS snapshot
+    * (q105's doc_id-slice stand-in) and the CURRENT one over the fixed
+    * [[GateSweepThresholds]] grid (13 edges → 14 buckets — the SAME axis
+    * the q102 calibration table uses, so drift reads directly against the
+    * deployed operating point), Laplace-smooth the shares ((n+1)/(N+B) —
+    * PSI is undefined on empty buckets), and report each bucket's
+    * contribution (p_cur − p_prev)·ln(p_cur/p_prev). A mass shift across
+    * the deployed threshold's bucket is the "recalibrate the gate" alarm
+    * q109's streaming monitor watches for — this is its between-snapshots
+    * batch form.
+    *
+    * Determinism: bucket edges are integer comparisons on exact mean_e6;
+    * counts are exact; smoothed shares are ONE IEEE division each (exact
+    * integer inputs → bit-identical doubles); the e6 share columns use
+    * INTEGER division (exact at any corpus size — a double product would
+    * lose exactness past 2^53); ln rounds at 6 dp under q60/q91's
+    * documented libm-agreement margin. Grid rows survive an empty corpus
+    * (q102's contract): all 14 buckets, zero counts, psi 0.
+    *
+    * Shape for 100 TB: ONE scoring pass (weights in scan codegen), a
+    * 14-ary CASE, and one map-side-combinable conditional aggregate — the
+    * exchange is ≤14 rows per task; prev ⊂ current by the slice contract,
+    * so the previous snapshot costs a conditional count, not a second
+    * scan. (Against a real prior run, the prev side reads the persisted
+    * score table — same plan with the conditional swapped for a join.)
+    */
+  def q116(spark: SparkSession, dir: String): DataFrame =
+    scoreDriftPsi(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q116 core over any (doc_id, text) frame — specs run it directly. */
+  def scoreDriftPsi(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges = GateSweepThresholds
+    val nB = edges.size + 1 // buckets
+    val scored = classifierScoresUnsorted(docs.filter(col("doc_id").isNotNull))
+    val bucket = edges.zipWithIndex.reverse
+      .foldLeft(lit(edges.size)) { case (acc, (e, i)) =>
+        when(col("mean_e6") <= e, lit(i)).otherwise(acc)
+      }
+    val counts = scored
+      .select(bucket.as("bucket"),
+        (col("doc_id") % Pipeline.DriftHoldout =!=
+          Pipeline.DriftHoldout - 1).as("is_prev"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("is_prev"), 1L).otherwise(0L)).as("np"))
+    // full grid fan-back (q102's empty-corpus contract); hi_e6 = the
+    // bucket's inclusive upper edge, null for the open top bucket
+    val grid = (0 to edges.size)
+      .map(b => (b, if (b < edges.size) Some(edges(b)) else None))
+      .toDF("bucket", "hi_e6")
+    val filled = grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), col("hi_e6"),
+        coalesce(col("np"), lit(0L)).as("n_prev"),
+        coalesce(col("nc"), lit(0L)).as("n_cur"))
+    val tot = filled.agg(sum(col("n_prev")).as("tp"), sum(col("n_cur")).as("tc"))
+    val pPrev = (col("n_prev") + 1).cast("double") / (col("tp") + nB)
+    val pCur = (col("n_cur") + 1).cast("double") / (col("tc") + nB)
+    filled.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("hi_e6"), col("n_prev"), col("n_cur"),
+        expr(s"CAST(((n_prev + 1) * 1000000) DIV (tp + $nB) AS BIGINT)")
+          .as("p_prev_e6"),
+        expr(s"CAST(((n_cur + 1) * 1000000) DIV (tc + $nB) AS BIGINT)")
+          .as("p_cur_e6"),
+        round((pCur - pPrev) * log(pCur / pPrev), 6).as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
   /** q91: corpus-fit language-model score — a CCNet-style quality signal
     * computed from the corpus itself, no external model: fit an add-one-
     * smoothed bigram LM on the whole corpus, then score every doc by its
@@ -705,6 +798,59 @@ object TextAnalysis {
         |  (coalesce(per.s, 0) >= 0) AS keep
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q116_score_drift_psi", q116,
+      // q94's scoring CTEs + a CASE bucket chain and VALUES grid generated
+      // from the same edge list the engine folds; shares are one IEEE
+      // division each over exact integers, e6 shares use integer division
+      // (// = Spark's DIV), ln rounds at 6 dp (q60/q91's libm margin)
+      Some {
+        val edges = GateSweepThresholds
+        val nB = edges.size + 1
+        val caseChain = edges.zipWithIndex
+          .map { case (e, i) => s"WHEN mean_e6 <= $e THEN $i" }
+          .mkString(" ") + s" ELSE ${edges.size}"
+        val gridVals = (0 to edges.size)
+          .map(b => s"($b, ${if (b < edges.size) edges(b).toString else "NULL"})")
+          .mkString(", ")
+        s"""WITH t0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       t -> t <> '')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM t0),
+        |per AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM w GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(FLOOR(CAST(coalesce(per.s, 0) AS DOUBLE) * 1000 /
+        |      greatest(coalesce(per.n, 0), 1)) AS BIGINT) AS mean_e6
+        |  FROM documents d LEFT JOIN per USING (doc_id)
+        |  WHERE d.doc_id IS NOT NULL),
+        |b AS (SELECT CASE $caseChain END AS bucket,
+        |        (doc_id % ${Pipeline.DriftHoldout} <>
+        |         ${Pipeline.DriftHoldout - 1}) AS is_prev
+        |      FROM sc),
+        |c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nc,
+        |        CAST(SUM(CASE WHEN is_prev THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |      FROM b GROUP BY 1),
+        |g(bucket, hi_e6) AS (VALUES $gridVals),
+        |f AS (SELECT g.bucket, g.hi_e6,
+        |        coalesce(np, 0) AS n_prev, coalesce(nc, 0) AS n_cur
+        |      FROM g LEFT JOIN c USING (bucket)),
+        |tot AS (SELECT CAST(SUM(n_prev) AS BIGINT) AS tp,
+        |               CAST(SUM(n_cur) AS BIGINT) AS tc FROM f)
+        |SELECT CAST(bucket AS INT) AS bucket, CAST(hi_e6 AS BIGINT) AS hi_e6,
+        |  CAST(n_prev AS BIGINT) AS n_prev, CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(((n_prev + 1) * 1000000) // (tp + $nB) AS BIGINT) AS p_prev_e6,
+        |  CAST(((n_cur + 1) * 1000000) // (tc + $nB) AS BIGINT) AS p_cur_e6,
+        |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + $nB) -
+        |         CAST(n_prev + 1 AS DOUBLE) / (tp + $nB)) *
+        |        ln((CAST(n_cur + 1 AS DOUBLE) / (tc + $nB)) /
+        |           (CAST(n_prev + 1 AS DOUBLE) / (tp + $nB))), 6) AS psi_term
+        |FROM f CROSS JOIN tot ORDER BY bucket""".stripMargin
+      }),
     QueryDef("q102_gate_sweep", q102,
       // q94's scoring CTEs verbatim, then a 13-row grid cross join into
       // the conditional counts — same md5 weight recomputation, so the

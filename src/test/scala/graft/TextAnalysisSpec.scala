@@ -333,4 +333,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(8L).getLong(1) === 0L && !rows(8L).getBoolean(8),
       "null text must gate as the rejected empty doc, never a null verdict")
   }
+
+  /** q116: the full PSI table recomputed by a plain-Scala model (same md5
+    * weights, same bucket fold, same smoothing, java.lang.Math.log — the
+    * identical libm the engine's codegen calls, so 6-dp equality is
+    * exact), plus the empty-corpus grid contract.
+    */
+  test("psi drift table matches the plain-Scala model; empty corpus keeps the grid") {
+    import spark.implicits._
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16) % 2001 - 1000
+    }
+    def meanE6(s: String): Long = {
+      val toks = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.isEmpty) 0L
+      else math.floor(toks.map(weight).sum.toDouble * 1000 / toks.length).toLong
+    }
+    val texts = (0L until 40L)
+      .map(i => i -> (0 until 30).map(j => s"t${i}x$j").mkString(" ")).toMap
+    val got = TextAnalysis.scoreDriftPsi(
+        texts.toSeq.toDF("doc_id", "text")).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    val edges = TextAnalysis.GateSweepThresholds
+    val nB = edges.size + 1
+    def bucketOf(m: Long): Int =
+      edges.indexWhere(m <= _) match { case -1 => edges.size; case i => i }
+    val buckets = texts.map { case (i, t) => (i, bucketOf(meanE6(t))) }
+    assert(buckets.values.toSet.size >= 3, "degenerate score spread")
+    val (tc, tp) = (40L, texts.keys.count(_ % 10 != 9).toLong)
+    (0 to edges.size).foreach { b =>
+      val nc = buckets.values.count(_ == b).toLong
+      val np = buckets.count { case (i, bb) => bb == b && i % 10 != 9 }.toLong
+      val (pc, pp) = ((nc + 1).toDouble / (tc + nB), (np + 1).toDouble / (tp + nB))
+      val psi = BigDecimal((pc - pp) * math.log(pc / pp))
+        .setScale(6, RoundingMode.HALF_UP).toDouble
+      assert(got(b) === ((np, nc,
+        (np + 1) * 1000000L / (tp + nB), (nc + 1) * 1000000L / (tc + nB),
+        psi)), s"bucket $b")
+    }
+    // empty corpus: the full grid with zero counts and zero psi
+    val empty = TextAnalysis.scoreDriftPsi(
+        Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()
+    assert(empty.length === nB)
+    assert(empty.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L &&
+      r.getDouble(6) == 0.0))
+  }
 }
