@@ -403,6 +403,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "blend join went cartesian")
   }
 
+  /** q116's drift table: the classifier weights must evaluate in codegen
+    * (q94's contract — the one pass over every token), the bucket counts
+    * must partial-aggregate before their ≤14-row exchange, and the totals
+    * fan-back must broadcast its 1-row side, never cartesian over a
+    * shuffle.
+    */
+  test("q116: codegen scoring, partial agg, broadcast totals fan-back") {
+    val p = plan(graft.operators.TextAnalysis.q116(spark, dir))
+    assert(!p.contains("ScalaUDF"), "scoring fell out of codegen")
+    assert(ops(p, "HashAggregate") >= 2, "no map-side partial aggregation")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "totals row not broadcast")
+  }
+
   /** q107's micro-batch projection and serve tail, pinned on their batch
     * analog (the drained stream runs the identical expressions): the
     * MdBandKeys band computation must stay inside whole-stage codegen (the
