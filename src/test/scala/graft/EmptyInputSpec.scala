@@ -58,7 +58,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // shortlists with zero counts and null recall on an empty corpus
     "q103_ann_sweep" ->
       (graft.operators.Similarity.SweepProbes.size *
-        graft.operators.Similarity.SweepShortlists.size).toLong)
+        graft.operators.Similarity.SweepShortlists.size).toLong,
+    // and for the PSI drift grid: all 14 buckets, zero counts, psi 0
+    "q116_score_drift_psi" ->
+      (graft.operators.TextAnalysis.GateSweepThresholds.size + 1).toLong)
 
   test("every registered query runs on empty tables and returns 0 rows") {
     // q00 reads the fixed reference corpus, not the sf dir
