@@ -1503,6 +1503,119 @@ object Similarity {
         rows.sortBy(_.getInt(1)).map(_.getLong(2) / 1e6)
       }.toArray
 
+  /** MMR trade-off λ: 0.5 is the Carbonell & Goldstein '98 balanced point
+    * (and keeps 1−λ = 0.5 an exact double — a λ like 0.7 would make the
+    * two engine/oracle constants 0.7 and 0.30000000000000004, a parity
+    * trap). At λ ≥ ~0.7 the relevance term dominates so hard that a pool
+    * whose top hits cluster near the probe never diversifies — measured on
+    * the planted spec geometry before settling on 0.5.
+    */
+  val MmrLambda = 0.5
+
+  /** Candidate pool per probe before diversification (the served ANN
+    * shortlist MMR re-ranks in production).
+    */
+  val MmrPool = 40
+
+  /** Diversified results per probe. */
+  val MmrK = 10
+
+  /** q117: MMR-diversified retrieval (Carbonell & Goldstein '98 maximal
+    * marginal relevance) — the re-ranking step between a similarity search
+    * and a consumer that can't use ten near-identical hits (RAG context
+    * assembly, dedup-aware retrieval eval): greedily select K results,
+    * each maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), ties to
+    * the lowest cand_id. Pure top-k returns a near-dup pile when the
+    * corpus has one (exactly what q85/q76 exist to measure); MMR charges
+    * each candidate for its similarity to what's already chosen.
+    *
+    * Determinism: rel and pairwise sims round to 6 dp first; the MMR
+    * score is one multiply-subtract over those identical doubles (λ and
+    * 1−λ both exact), rounded again at 6 dp before the argmax with a
+    * cand_id tie-break — both engines walk the identical greedy path.
+    *
+    * Shape for 100 TB: the probe side is bounded (q20's contract) and the
+    * pool is MmrPool per probe, so EVERYTHING after the one relevance
+    * pass is model-sized: the pairwise frame is probes × Pool² rounded
+    * scalars, and each greedy step is an argmax over ≤ Pool rows per
+    * probe (K bounded Spark jobs on KB-scale frames — the corpus is
+    * touched exactly once). In production the relevance pass IS the
+    * served ANN shortlist (q39/q98/q101 feed the same tail).
+    */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    mmrTopK(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv")),
+      emb)
+  }
+
+  /** The q117 core over bounded (probe_id, pv) probes and a (vec_id, v)
+    * corpus — planted specs run it directly.
+    */
+  def mmrTopK(probes: DataFrame, corpus: DataFrame): DataFrame = {
+    // relevance pass: the one corpus touch; pool = top-MmrPool per probe
+    val rel = corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(vecexprs.cosineSim(col("pv"), col("v")), ScoreDp).as("rel"),
+        col("v"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("rel").desc, col("cand_id"))))
+      .filter(col("rnk") <= MmrPool)
+      .localCheckpoint() // bounded: probes × Pool rows
+    // pairwise sims within each pool: probes × Pool² rounded scalars
+    val a = rel.select(col("probe_id"), col("cand_id"), col("v"))
+    val b = rel.select(col("probe_id"), col("cand_id").as("other_id"),
+      col("v").as("ov"))
+    val pair = a.join(b, Seq("probe_id"))
+      .filter(col("cand_id") =!= col("other_id"))
+      .select(col("probe_id"), col("cand_id"), col("other_id"),
+        round(vecexprs.cosineSim(col("v"), col("ov")), ScoreDp).as("s"))
+      .localCheckpoint()
+    val pool = rel.select(col("probe_id"), col("cand_id"), col("rel"))
+    // greedy walk: K bounded argmax steps over model-sized frames
+    var sel = pool.filter(col("rel").isNotNull)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("rel").desc, col("cand_id"))))
+      .filter(col("r") === 1)
+      .select(col("probe_id"), col("cand_id"), lit(1).as("step"),
+        round(lit(MmrLambda) * col("rel"), ScoreDp).as("mmr"))
+      .localCheckpoint()
+    for (k <- 2 to MmrK) {
+      val remaining = pool.join(
+        sel.select(col("probe_id"), col("cand_id")),
+        Seq("probe_id", "cand_id"), "left_anti")
+      val maxSim = pair.join(
+          sel.select(col("probe_id"), col("cand_id").as("other_id")),
+          Seq("probe_id", "other_id"))
+        .groupBy(col("probe_id"), col("cand_id"))
+        .agg(max(col("s")).as("msim"))
+      val pick = remaining
+        .join(maxSim, Seq("probe_id", "cand_id"), "left")
+        .withColumn("mmr", round(
+          lit(MmrLambda) * col("rel") -
+            lit(1 - MmrLambda) * coalesce(col("msim"), lit(0.0)),
+          ScoreDp))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(col("mmr").desc, col("cand_id"))))
+        .filter(col("r") === 1)
+        .select(col("probe_id"), col("cand_id"), lit(k).as("step"),
+          col("mmr"))
+      sel = sel.union(pick).localCheckpoint()
+    }
+    sel.join(pool, Seq("probe_id", "cand_id"))
+      .select(col("probe_id"), col("step"), col("cand_id"), col("rel"),
+        col("mmr"))
+      .orderBy(col("probe_id"), col("step"))
+  }
+
   /** The q85 DuckDB mirror (unrestricted exact pairs + recursive-CTE CC +
     * min-id keepers) — shared verbatim by q104, whose served-from-artifact
     * output is bit-identical by the ModelStore reload contract.
@@ -1542,6 +1655,63 @@ object Similarity {
         |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n,
         |    0)) * 100) AS BIGINT) AS std_e6
         |FROM g ORDER BY dim""".stripMargin)),
+    QueryDef("q117_mmr_diversified", q117,
+      // the greedy walk as MmrK−1 generated CTE steps, each the literal
+      // argmax the engine's loop iteration computes (same rounded scores,
+      // same tie-break); λ and 1−λ are exact doubles in both dialects
+      Some {
+        val lam = MmrLambda
+        val oneMinus = 1 - MmrLambda
+        val steps = (2 to MmrK).map { k =>
+          s"""s$k AS (
+          |  SELECT probe_id, cand_id, $k AS step, mmr FROM (
+          |    SELECT c.probe_id, c.cand_id,
+          |      round($lam * c.rel - $oneMinus * coalesce(m.msim, 0), $ScoreDp)
+          |        AS mmr,
+          |      row_number() OVER (PARTITION BY c.probe_id ORDER BY
+          |        round($lam * c.rel - $oneMinus * coalesce(m.msim, 0),
+          |              $ScoreDp) DESC, c.cand_id) AS rn
+          |    FROM r c
+          |    LEFT JOIN (
+          |      SELECT pr.probe_id, pr.cand_id, max(pr.s) AS msim
+          |      FROM pr JOIN sel${k - 1} sl
+          |        ON pr.probe_id = sl.probe_id AND pr.other_id = sl.cand_id
+          |      GROUP BY 1, 2) m
+          |      ON m.probe_id = c.probe_id AND m.cand_id = c.cand_id
+          |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} sl
+          |      WHERE sl.probe_id = c.probe_id AND sl.cand_id = c.cand_id))
+          |  WHERE rn = 1),
+          |sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |r0 AS (
+        |  SELECT p.probe_id, e.vec_id AS cand_id,
+        |    round(list_cosine_similarity(p.pv, e.v), $ScoreDp) AS rel, e.v
+        |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+        |r AS MATERIALIZED (SELECT probe_id, cand_id, rel, v FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY rel DESC, cand_id) AS rn FROM r0)
+        |      WHERE rn <= $MmrPool),
+        |pr AS MATERIALIZED (
+        |  SELECT a.probe_id, a.cand_id, b.cand_id AS other_id,
+        |    round(list_cosine_similarity(a.v, b.v), $ScoreDp) AS s
+        |  FROM r a JOIN r b
+        |    ON a.probe_id = b.probe_id AND a.cand_id <> b.cand_id),
+        |s1 AS (SELECT probe_id, cand_id, 1 AS step,
+        |         round($lam * rel, $ScoreDp) AS mmr
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |         ORDER BY rel DESC, cand_id) AS rn FROM r) WHERE rn = 1),
+        |sel1 AS MATERIALIZED (SELECT * FROM s1),
+        |$steps
+        |SELECT f.probe_id, f.step, f.cand_id, r.rel, f.mmr
+        |FROM sel$MmrK f JOIN r
+        |  ON r.probe_id = f.probe_id AND r.cand_id = f.cand_id
+        |ORDER BY f.probe_id, f.step""".stripMargin
+      }),
     QueryDef("q111_codebook_refresh", q111,
       // assignment CTEs are q39b's verbatim; the refresh tail is q96's
       // quantize-then-aggregate discipline, so every output column is an

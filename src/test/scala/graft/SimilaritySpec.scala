@@ -644,6 +644,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got((2, 2)) === ((0L, 10000000L, 10000000L, 0L)))
   }
 
+  /** q117: the greedy MMR walk against a plain-Scala model on a planted
+    * 3-dim pool (an exact-dup pair at the top, moderately relevant
+    * diverse candidates below), including the claim that makes the
+    * operator exist: step 2 is NOT the duplicate that pure top-k would
+    * rank second. Fewer candidates than MmrK ⇒ the walk stops early.
+    */
+  test("MMR diversification matches the greedy model and skips the dup") {
+    import spark.implicits._
+    val pv = Seq(1.0, 0.0, 0.0)
+    val cands = Map(
+      1L -> Seq(1.0, 0.05, 0.0),
+      2L -> Seq(1.0, 0.05, 0.0), // exact dup of 1 — top-k's #2
+      3L -> Seq(0.8, 0.0, 0.6),
+      4L -> Seq(0.7, 0.0, 0.72),
+      5L -> Seq(0.0, 1.0, 0.0),
+      6L -> Seq(0.0, 0.9, 0.44))
+    val got = Similarity.mmrTopK(
+        Seq((0L, pv)).toDF("probe_id", "pv"),
+        cands.toSeq.toDF("vec_id", "v")).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(4)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = r6(
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    val rel = cands.map { case (id, v) => id -> cos(pv, v) }
+    // greedy model: λ = 0.5, ties to lowest id
+    val sel = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    val first = cands.keys.toSeq.minBy(id => (-rel(id), id))
+    sel += ((1, first, r6(Similarity.MmrLambda * rel(first))))
+    while (sel.size < cands.size) {
+      val chosen = sel.map(_._2).toSet
+      val scoredStep = cands.keys.filterNot(chosen).map { id =>
+        val msim = chosen.map(s => cos(cands(id), cands(s))).max
+        id -> r6(Similarity.MmrLambda * rel(id) -
+          (1 - Similarity.MmrLambda) * msim)
+      }.toSeq
+      val (id, m) = scoredStep.minBy { case (i, s) => (-s, i) }
+      sel += ((sel.size + 1, id, m))
+    }
+    assert(got.toSeq === sel.toSeq, "engine walk diverged from the model")
+    assert(got.length === cands.size, "walk must stop when the pool is dry")
+    assert(got(1)._2 !== 2L,
+      "step 2 must skip the exact dup that pure top-k ranks second")
+    // and pure top-k WOULD rank the dup second (the operator's raison
+    // d'être, not an accident of the fixture)
+    assert(cands.keys.toSeq.sortBy(id => (-rel(id), id)).take(2).toSet
+      === Set(1L, 2L))
+  }
+
   /** The Lloyd contract on the real fixture: one refresh step never
     * increases total quantization error (means minimize within-cell SSE;
     * reassignment under the new codebook only improves further). The e6
