@@ -635,6 +635,84 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** q118's vocabulary axis size: the top-V current-snapshot tokens get
+    * their own drift rows; everything else folds into one `<other>`
+    * bucket (rank V+1).
+    */
+  val TokenDriftVocab = 100
+
+  /** q118: token-distribution drift between snapshots — the LANGUAGE
+    * member of the drift family (q116 watches the score distribution,
+    * q106/q108 the embedding space, q105 per-doc fates; this watches what
+    * the corpus is actually made of): KL(current ‖ previous) decomposed
+    * per token over the current snapshot's top-[[TokenDriftVocab]]
+    * vocabulary plus an `<other>` bucket. A crawl that shifts language
+    * mix, picks up a new boilerplate family, or loses a source moves mass
+    * between these rows before any downstream gate notices — the "did the
+    * corpus's language change between crawls" monitor.
+    *
+    * Determinism: the vocabulary cutoff is (count DESC, token) — q81's
+    * deterministic-cutoff rule; counts are exact; smoothed shares
+    * (n+1)/(N+V+1) are one IEEE division over exact integers; e6 share
+    * columns use integer division; the KL term p_cur·ln(p_cur/p_prev)
+    * rounds at 6 dp (q60/q91's libm margin). Prev ⊂ current by q105's
+    * slice contract, so the previous snapshot is a conditional sum on the
+    * SAME tokenize pass, never a second scan.
+    *
+    * Shape for 100 TB: one tokenize pass → a token-keyed count exchange
+    * that map-side combines (q19's shape); the axis itself is a bounded
+    * TakeOrdered + one broadcast membership join back onto the counts;
+    * the `<other>` fold is a two-row aggregate. Output is V+1 rows
+    * regardless of corpus size.
+    */
+  def q118(spark: SparkSession, dir: String): DataFrame =
+    tokenDrift(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q118 core over any (doc_id, text) frame — specs run it directly. */
+  def tokenDrift(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("tok"),
+        (col("doc_id") % Pipeline.DriftHoldout =!=
+          Pipeline.DriftHoldout - 1).as("is_prev"))
+    val counts = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("is_prev"), 1L).otherwise(0L)).as("np"))
+      .localCheckpoint() // vocab-sized; feeds the axis, the join, totals
+    val axis = counts.orderBy(col("nc").desc, col("tok"))
+      .limit(TokenDriftVocab)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("nc").desc, col("tok"))))
+      .select(col("rank"), col("tok"), col("np").as("n_prev"),
+        col("nc").as("n_cur"))
+    // <other> = totals − the axis rows (two bounded aggregates)
+    val tot = counts.agg(sum(col("np")).as("tp"), sum(col("nc")).as("tc"))
+    val axisTot = axis.agg(
+      coalesce(sum(col("n_prev")), lit(0L)).as("ap"),
+      coalesce(sum(col("n_cur")), lit(0L)).as("ac"))
+    val other = tot.crossJoin(axisTot)
+      .select(lit(TokenDriftVocab + 1).as("rank"), lit("<other>").as("tok"),
+        (coalesce(col("tp"), lit(0L)) - col("ap")).as("n_prev"),
+        (coalesce(col("tc"), lit(0L)) - col("ac")).as("n_cur"))
+    val nB = TokenDriftVocab + 1
+    val pPrev = (col("n_prev") + 1).cast("double") / (col("tp") + nB)
+    val pCur = (col("n_cur") + 1).cast("double") / (col("tc") + nB)
+    axis.unionByName(other)
+      .crossJoin(broadcast(
+        tot.select(coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("tc"), lit(0L)).as("tc"))))
+      .select(col("rank"), col("tok"), col("n_prev"), col("n_cur"),
+        expr(s"CAST(((n_prev + 1) * 1000000) DIV (tp + $nB) AS BIGINT)")
+          .as("p_prev_e6"),
+        expr(s"CAST(((n_cur + 1) * 1000000) DIV (tc + $nB) AS BIGINT)")
+          .as("p_cur_e6"),
+        round(pCur * log(pCur / pPrev), 6).as("kl_term"))
+      .orderBy(col("rank"))
+  }
+
   /** q91: corpus-fit language-model score — a CCNet-style quality signal
     * computed from the corpus itself, no external model: fit an add-one-
     * smoothed bigram LM on the whole corpus, then score every doc by its
@@ -798,6 +876,44 @@ object TextAnalysis {
         |  (coalesce(per.s, 0) >= 0) AS keep
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q118_token_drift", q118,
+      // one tokenize CTE feeds counts, the deterministic top-V axis
+      // (count DESC, token — q81's cutoff rule), totals, and the <other>
+      // fold; shares/ln follow q116's exactness discipline
+      Some(s"""WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                            x -> x <> '')) AS tok,
+        |    (doc_id % ${Pipeline.DriftHoldout} <>
+        |     ${Pipeline.DriftHoldout - 1}) AS is_prev
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nc,
+        |        CAST(SUM(CASE WHEN is_prev THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS np
+        |      FROM t GROUP BY 1),
+        |a AS (SELECT tok, np AS n_prev, nc AS n_cur,
+        |        CAST(row_number() OVER (ORDER BY nc DESC, tok) AS INT)
+        |          AS rank
+        |      FROM (SELECT * FROM c ORDER BY nc DESC, tok
+        |            LIMIT $TokenDriftVocab)),
+        |tot AS (SELECT CAST(COALESCE(SUM(np), 0) AS BIGINT) AS tp,
+        |               CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS tc FROM c),
+        |at AS (SELECT CAST(COALESCE(SUM(n_prev), 0) AS BIGINT) AS ap,
+        |              CAST(COALESCE(SUM(n_cur), 0) AS BIGINT) AS ac FROM a),
+        |u AS (SELECT rank, tok, n_prev, n_cur FROM a
+        |      UNION ALL
+        |      SELECT CAST(${TokenDriftVocab + 1} AS INT), '<other>',
+        |        tp - ap, tc - ac
+        |      FROM tot CROSS JOIN at)
+        |SELECT u.rank, u.tok, u.n_prev, u.n_cur,
+        |  CAST(((n_prev + 1) * 1000000) // (tp + ${TokenDriftVocab + 1})
+        |    AS BIGINT) AS p_prev_e6,
+        |  CAST(((n_cur + 1) * 1000000) // (tc + ${TokenDriftVocab + 1})
+        |    AS BIGINT) AS p_cur_e6,
+        |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + ${TokenDriftVocab + 1})) *
+        |        ln((CAST(n_cur + 1 AS DOUBLE) / (tc + ${TokenDriftVocab + 1})) /
+        |           (CAST(n_prev + 1 AS DOUBLE) / (tp + ${TokenDriftVocab + 1}))),
+        |        6) AS kl_term
+        |FROM u CROSS JOIN tot ORDER BY rank""".stripMargin)),
     QueryDef("q116_score_drift_psi", q116,
       // q94's scoring CTEs + a CASE bucket chain and VALUES grid generated
       // from the same edge list the engine folds; shares are one IEEE

@@ -61,7 +61,10 @@ class EmptyInputSpec extends AnyFunSuite {
         graft.operators.Similarity.SweepShortlists.size).toLong,
     // and for the PSI drift grid: all 14 buckets, zero counts, psi 0
     "q116_score_drift_psi" ->
-      (graft.operators.TextAnalysis.GateSweepThresholds.size + 1).toLong)
+      (graft.operators.TextAnalysis.GateSweepThresholds.size + 1).toLong,
+    // token drift's axis is data-derived so an empty corpus has no vocab
+    // rows — but the <other> bucket row survives by the fold's contract
+    "q118_token_drift" -> 1L)
 
   test("every registered query runs on empty tables and returns 0 rows") {
     // q00 reads the fixed reference corpus, not the sf dir

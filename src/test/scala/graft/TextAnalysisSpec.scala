@@ -383,4 +383,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(empty.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L &&
       r.getDouble(6) == 0.0))
   }
+
+  /** q118: hand-computed token drift on a corpus where the current
+    * snapshot's two new docs (the doc_id % 10 == 9 slice) introduce new
+    * tokens and shift shares; axis rank, counts, e6 shares, and KL terms
+    * all asserted against the smoothed model.
+    */
+  test("token drift: hand-computed axis, counts, shares, and KL terms") {
+    import spark.implicits._
+    val docs = ((1L to 8L).map(i => i -> "aa bb") ++
+      Seq(9L -> "aa cc cc", 19L -> "dd")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDrift(docs).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    val nB = TextAnalysis.TokenDriftVocab + 1
+    val (tp, tc) = (16L, 20L)
+    def row(np: Long, nc: Long): (Long, Long, Double) = {
+      val (p, q) = ((nc + 1).toDouble / (tc + nB), (np + 1).toDouble / (tp + nB))
+      ((np + 1) * 1000000L / (tp + nB), (nc + 1) * 1000000L / (tc + nB),
+        BigDecimal(p * math.log(p / q))
+          .setScale(6, RoundingMode.HALF_UP).toDouble)
+    }
+    def full(np: Long, nc: Long): (Long, Long, Long, Long, Double) = {
+      val (pe, ce, kl) = row(np, nc); (np, nc, pe, ce, kl)
+    }
+    assert(got.size === 5)
+    assert(got(1)._1 === "aa" && (got(1)._2, got(1)._3, got(1)._4,
+      got(1)._5, got(1)._6) === full(8L, 9L))
+    assert(got(2)._1 === "bb" && (got(2)._2, got(2)._3) === ((8L, 8L)))
+    assert(got(3)._1 === "cc" && (got(3)._2, got(3)._3, got(3)._4,
+      got(3)._5, got(3)._6) === full(0L, 2L))
+    assert(got(4)._1 === "dd" && (got(4)._2, got(4)._3) === ((0L, 1L)))
+    val o = got(TextAnalysis.TokenDriftVocab + 1)
+    assert(o._1 === "<other>" && o._2 === 0L && o._3 === 0L)
+    // a stable token's KL term is tiny but nonzero (totals shifted)
+    assert(math.abs(got(2)._6) < 0.01)
+    // empty corpus: only the <other> row, all zero, kl 0
+    val empty = TextAnalysis.tokenDrift(
+        Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()
+    assert(empty.length === 1 && empty.head.getString(1) === "<other>" &&
+      empty.head.getDouble(6) === 0.0)
+  }
 }
