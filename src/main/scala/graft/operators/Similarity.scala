@@ -1503,6 +1503,73 @@ object Similarity {
         rows.sortBy(_.getInt(1)).map(_.getLong(2) / 1e6)
       }.toArray
 
+  /** q119's rank-discount weights, e6-quantized ONCE in Scala
+    * (w(k) = ⌊1e6 / log2(k+1)⌋) and embedded as literals in BOTH engines —
+    * integer summation is exact and order-free, and neither engine's libm
+    * is on the hash path at all.
+    */
+  lazy val NdcgWeightsE6: IndexedSeq[Long] = (1 to TopK)
+    .map(k => math.floor(1e6 / (math.log(k + 1) / math.log(2.0))).toLong)
+
+  /** Prefix sums of [[NdcgWeightsE6]]: IDCG_e6 for a truth set of size n. */
+  lazy val NdcgIdealE6: IndexedSeq[Long] =
+    NdcgWeightsE6.scanLeft(0L)(_ + _).tail
+
+  /** q119: retrieval-evaluation report — the quality scoreboard every ANN
+    * deployment reads before swapping an index: per probe, the served
+    * tier's recall@10, MRR, and NDCG@10 against exact ground truth. Truth
+    * = q20's exact top-10; served = q39b's deterministic-seed IVF (the
+    * literal ivfTopK path the trained tier runs), so the WHOLE eval —
+    * including the metrics — sits under a DuckDB hash; the trained
+    * q39/q98/q101 forms plug into the same [[retrievalEval]] core (their
+    * recall floors in SimilaritySpec and the q103 sweep are this
+    * computation's property-checked form).
+    *
+    * Determinism: hits/ranks are exact integers; recall/MRR are integer
+    * divisions; DCG uses [[NdcgWeightsE6]] — e6-quantized rank discounts
+    * computed once in Scala and embedded as literals in both engines, so
+    * the sums are exact integer folds with no float-sum order and no
+    * libm anywhere.
+    *
+    * Shape for 100 TB: both inputs are probes×K frames (the bounded
+    * output of the search tiers); everything here is model-sized.
+    */
+  def q119(spark: SparkSession, dir: String): DataFrame =
+    retrievalEval(q20(spark, dir), q39b(spark, dir))
+
+  /** The q119 core over any truth/served (probe_id, rnk, neighbor_id)
+    * frames — specs run it directly; truth size per probe must be ≤
+    * [[TopK]] (the weight tables are K-long).
+    */
+  def retrievalEval(truth: DataFrame, served: DataFrame): DataFrame = {
+    val wLit = typedLit(NdcgWeightsE6)
+    val pLit = typedLit(NdcgIdealE6)
+    val t = truth.select(col("probe_id"), col("neighbor_id"),
+      lit(true).as("rel"))
+    val per = served.select(col("probe_id"), col("rnk"), col("neighbor_id"))
+      .join(t, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(
+        sum(when(col("rel"), element_at(wLit, col("rnk"))).otherwise(0L))
+          .as("dcg_e6"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("rel"), col("rnk"))).as("minr"))
+    truth.groupBy(col("probe_id")).agg(count(lit(1)).as("n_truth"))
+      .join(per, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
+        col("minr"),
+        element_at(pLit, col("n_truth").cast("int")).as("idcg_e6"))
+      .select(col("probe_id"), col("n_truth"), col("hits"),
+        expr("CAST((hits * 1000000) DIV n_truth AS BIGINT)").as("recall_e6"),
+        coalesce(expr("CAST(1000000 DIV minr AS BIGINT)"), lit(0L))
+          .as("mrr_e6"),
+        col("dcg_e6"),
+        expr("CAST((dcg_e6 * 1000000) DIV idcg_e6 AS BIGINT)").as("ndcg_e6"))
+      .orderBy(col("probe_id"))
+  }
+
   /** MMR trade-off λ: 0.5 is the Carbonell & Goldstein '98 balanced point
     * (and keeps 1−λ = 0.5 an exact double — a λ like 0.7 would make the
     * two engine/oracle constants 0.7 and 0.30000000000000004, a parity
@@ -1655,6 +1722,78 @@ object Similarity {
         |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n,
         |    0)) * 100) AS BIGINT) AS std_e6
         |FROM g ORDER BY dim""".stripMargin)),
+    QueryDef("q119_retrieval_eval", q119,
+      // truth = q20's exact CTEs verbatim; served = q39b's CTEs verbatim
+      // (renamed); the metric tail folds the SAME Scala-computed e6
+      // weight/ideal literals both engines share — no libm on the hash
+      // path
+      Some {
+        val wCase = NdcgWeightsE6.zipWithIndex
+          .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+        val pCase = NdcgIdealE6.zipWithIndex
+          .map { case (s, i) => s"WHEN ${i + 1} THEN $s" }.mkString(" ")
+        s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |tp AS (
+        |  SELECT probe_id, vec_id AS neighbor_id,
+        |    list_cosine_similarity(pv, v) AS c
+        |  FROM e, p WHERE vec_id <> probe_id),
+        |tr AS (SELECT *, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM tp),
+        |truth AS (SELECT probe_id, neighbor_id FROM tr WHERE rnk <= $TopK),
+        |se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE embedding IS NOT NULL),
+        |ss AS (SELECT v AS sv,
+        |         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |           AS cell
+        |       FROM se ORDER BY vec_id LIMIT $IvfCells),
+        |nd AS (SELECT se.vec_id, se.v, ss.cell,
+        |         list_distance(se.v, ss.sv) AS d
+        |       FROM se CROSS JOIN ss),
+        |aa AS (SELECT vec_id, v, cell,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+        |           AS rn
+        |       FROM nd),
+        |asg AS (SELECT vec_id, cell FROM aa WHERE rn = 1),
+        |pc AS (SELECT vec_id AS probe_id, cell FROM aa
+        |       WHERE vec_id < 5 AND rn <= $IvfProbes),
+        |sc AS (SELECT pc.probe_id, asg.vec_id AS neighbor_id,
+        |    list_cosine_similarity(sp.v, sn.v) AS c
+        |  FROM asg JOIN pc USING (cell)
+        |    JOIN se sp ON sp.vec_id = pc.probe_id
+        |    JOIN se sn ON sn.vec_id = asg.vec_id
+        |  WHERE asg.vec_id <> pc.probe_id),
+        |sr AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS INTEGER)
+        |      AS rnk
+        |  FROM sc),
+        |srv AS (SELECT probe_id, rnk, neighbor_id FROM sr WHERE rnk <= $TopK),
+        |j AS (SELECT srv.probe_id, srv.rnk,
+        |        (t.neighbor_id IS NOT NULL) AS rel
+        |      FROM srv LEFT JOIN truth t
+        |        ON t.probe_id = srv.probe_id
+        |       AND t.neighbor_id = srv.neighbor_id),
+        |per AS (SELECT probe_id,
+        |          CAST(SUM(CASE WHEN rel THEN CASE rnk $wCase END
+        |                        ELSE 0 END) AS BIGINT) AS dcg_e6,
+        |          CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS hits,
+        |          MIN(CASE WHEN rel THEN rnk END) AS minr
+        |        FROM j GROUP BY 1),
+        |nt AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+        |       FROM truth GROUP BY 1)
+        |SELECT nt.probe_id, nt.n_truth,
+        |  COALESCE(per.hits, 0) AS hits,
+        |  CAST((COALESCE(per.hits, 0) * 1000000) // nt.n_truth AS BIGINT)
+        |    AS recall_e6,
+        |  CAST(COALESCE(1000000 // per.minr, 0) AS BIGINT) AS mrr_e6,
+        |  COALESCE(per.dcg_e6, 0) AS dcg_e6,
+        |  CAST((COALESCE(per.dcg_e6, 0) * 1000000) //
+        |    (CASE nt.n_truth $pCase END) AS BIGINT) AS ndcg_e6
+        |FROM nt LEFT JOIN per USING (probe_id) ORDER BY probe_id""".stripMargin
+      }),
     QueryDef("q117_mmr_diversified", q117,
       // the greedy walk as MmrK−1 generated CTE steps, each the literal
       // argmax the engine's loop iteration computes (same rounded scores,

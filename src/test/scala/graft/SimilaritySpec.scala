@@ -644,6 +644,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got((2, 2)) === ((0L, 10000000L, 10000000L, 0L)))
   }
 
+  /** q119: recall/MRR/NDCG hand-computed on planted rankings — a partial
+    * hitter (hits at served ranks 1 and 4), a complete miss, a perfect
+    * ranking (NDCG exactly 1e6), and a truth set smaller than K (the
+    * ideal prefix must follow n_truth, not K).
+    */
+  test("retrieval eval: hand-computed recall/MRR/NDCG on planted rankings") {
+    import spark.implicits._
+    val w = Similarity.NdcgWeightsE6
+    val p = Similarity.NdcgIdealE6
+    val truth = ((1L to 10L).map(n => (0L, n)) ++
+      (1L to 5L).map(n => (1L, n * 100)) ++
+      (1L to 10L).map(n => (2L, n))).toDF("probe_id", "neighbor_id")
+    val served = (
+      Seq((0L, 1, 1L), (0L, 2, 500L), (0L, 3, 501L), (0L, 4, 2L)) ++
+        (5 to 10).map(r => (0L, r, 600L + r)) ++
+        (1 to 10).map(r => (1L, r, 900L + r)) ++
+        (1 to 10).map(r => (2L, r, r.toLong)))
+      .toDF("probe_id", "rnk", "neighbor_id")
+    val got = Similarity.retrievalEval(truth, served).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val dcg0 = w(0) + w(3)
+    assert(got(0L) ===
+      ((10L, 2L, 200000L, 1000000L, dcg0, dcg0 * 1000000L / p(9))))
+    assert(got(1L) === ((5L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(2L) === ((10L, 10L, 1000000L, 1000000L, p(9), 1000000L)))
+  }
+
   /** q117: the greedy MMR walk against a plain-Scala model on a planted
     * 3-dim pool (an exact-dup pair at the top, moderately relevant
     * diverse candidates below), including the claim that makes the
