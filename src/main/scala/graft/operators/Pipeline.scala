@@ -1216,6 +1216,62 @@ object Pipeline {
       .orderBy(col("shard"), col("bucket"), col("batch_idx"), col("pos"))
   }
 
+  /** q120's bounded-anchor stride (the exact form's q82/q92 contract) and
+    * negatives per anchor.
+    */
+  val ContrastiveAnchorEvery = 5L
+  val ContrastiveNegK = 3
+
+  /** q120: contrastive training-pair construction — the dataset-building
+    * step of a retrieval/embedding training run (SimCSE-supervised /
+    * DPR-style batches): for each anchor document that has a text-space
+    * near-duplicate (a q21 pair at the 0.8 Jaccard bar — the "naturally
+    * occurring positive"), emit the positive (min-id partner) plus the
+    * top-[[ContrastiveNegK]] HARD negatives from q92's rank-and-gate tail
+    * (most-similar different-label vectors below the dup-suspect
+    * ceiling). Composes the two spaces deliberately: positives come from
+    * TEXT overlap (cheap, high precision), negatives from EMBEDDING
+    * similarity (where hard negatives live).
+    *
+    * Anchors are strided ([[ContrastiveAnchorEvery]]) — the exact form's
+    * bounded-probe contract (q82/q92); the production candidate generator
+    * is q92b's IVF tail, which takes the full anchor set because probes
+    * explode to cells instead of broadcasting. Anchors without an
+    * embedding are dropped (no vector, no negatives — unusable for
+    * contrastive training); anchors whose negatives all fail the gates
+    * fan back with a null negative (the pair is still a positive-only
+    * training example).
+    */
+  def q120(spark: SparkSession, dir: String): DataFrame =
+    contrastivePairs(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("label"),
+          graft.functions.vectors.toDouble(col("embedding")).as("v"))
+        .filter(col("v").isNotNull))
+
+  /** The q120 core over (doc_id, text) docs and (id, label, v) embeddings
+    * — planted specs run it directly.
+    */
+  def contrastivePairs(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val pairs = Dedup.nearDupPairsUnsorted(docs, 0.8)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val pos = pairs
+      .select(col("a_id").as("anchor_id"), col("b_id").as("partner"))
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .groupBy(col("anchor_id")).agg(min(col("partner")).as("positive_id"))
+      .filter(pmod(col("anchor_id"), lit(ContrastiveAnchorEvery)) === 0)
+    val aEmb = emb.join(pos.select(col("anchor_id").as("id")), Seq("id"))
+    val negs = Similarity.hardNegatives(aEmb, emb, ContrastiveNegK)
+      .withColumnRenamed("probe_id", "anchor_id")
+    pos.join(emb.select(col("id").as("anchor_id")), Seq("anchor_id"))
+      .join(negs, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("positive_id"),
+        col("rnk").as("neg_rank"), col("cand_id").as("negative_id"),
+        col("cosine").as("neg_cosine"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
   /** q105's "this crawl's new arrivals" slice: docs with
     * doc_id % DriftHoldout == DriftHoldout − 1 are absent from the
     * previous snapshot — a deterministic 10% stand-in for an incremental
@@ -1335,6 +1391,50 @@ object Pipeline {
         |       ELSE 'changed' END AS status
         |FROM cv LEFT JOIN pv USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q120_contrastive_pairs", q120,
+      // positives: q83's exact all-pairs-Jaccard CTEs (banded-LSH parity
+      // per FIXTURES §4); negatives: q92's gate+rank CTEs restricted to
+      // the strided anchors; the same constants interpolated from the
+      // engine's own values
+      Some(s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |pos AS (
+        |  SELECT anchor_id, MIN(partner) AS positive_id FROM (
+        |    SELECT a_id AS anchor_id, b_id AS partner FROM p
+        |    UNION ALL SELECT b_id, a_id FROM p) GROUP BY 1),
+        |e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE embedding IS NOT NULL),
+        |an AS (SELECT pos.anchor_id, pos.positive_id,
+        |         e.label AS plabel, e.v AS pv
+        |       FROM pos JOIN e ON e.id = pos.anchor_id
+        |       WHERE pos.anchor_id % $ContrastiveAnchorEvery = 0),
+        |sc AS (SELECT an.anchor_id, e.id AS cand_id,
+        |         round(list_cosine_similarity(an.pv, e.v), 6) AS c
+        |       FROM e JOIN an ON e.label <> an.plabel),
+        |r AS (SELECT anchor_id, cand_id, c,
+        |        CAST(row_number() OVER (
+        |          PARTITION BY anchor_id ORDER BY c DESC, cand_id)
+        |          AS INTEGER) AS rnk
+        |      FROM sc WHERE c < ${Similarity.NearDupCosine}),
+        |neg AS (SELECT * FROM r WHERE rnk <= $ContrastiveNegK)
+        |SELECT an.anchor_id, an.positive_id, neg.rnk AS neg_rank,
+        |  neg.cand_id AS negative_id, neg.c AS neg_cosine
+        |FROM an LEFT JOIN neg USING (anchor_id)
+        |ORDER BY anchor_id, neg_rank""".stripMargin)),
     QueryDef("q115_length_buckets", q115,
       // q100's md5 CTEs + an integer CASE bucket chain generated from the
       // same BucketCaps the engine folds; // is DuckDB integer division

@@ -692,4 +692,64 @@ class PipelineSpec extends AnyFunSuite {
         s"gapped batch numbering in ($sh, $b)")
     }
   }
+
+  /** q120 on a planted two-space corpus: the near-dup pair on the anchor
+    * stride emits with its min-id positive and the model's gated, ranked
+    * negatives (the ≥ 0.35-cosine dup suspect excluded, k = 3 cutting the
+    * weakest); an off-stride pair emits nothing; an on-stride pair
+    * without embeddings emits nothing; an all-same-label embedding space
+    * fans anchors back with null negatives (positive-only examples).
+    */
+  test("contrastive pairs: positives, gated negatives, stride and fan-back") {
+    import spark.implicits._
+    def alpha(n: Int): String = n.toString.map(c => ('a' + (c - '0')).toChar)
+    def nd(i: Int): (String, String) = {
+      val t = (0 until 80).map(j => s"w${alpha(i)}x${alpha(j)}").toArray
+      val u = t.clone(); u(10) = "wzzxa"; u(40) = "wzzxb"
+      (t.mkString(" "), u.mkString(" "))
+    }
+    val (a1, a2) = nd(1); val (b1, b2) = nd(2); val (c1, c2) = nd(3)
+    val docs = Seq(10L -> a1, 25L -> a2, // on-stride anchor pair
+      11L -> b1, 13L -> b2,              // off-stride: no anchors
+      15L -> c1, 20L -> c2)              // on-stride, no embeddings
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (10L, 0, Seq(1.0, 0.0, 0.0)), (25L, 0, Seq(1.0, 0.01, 0.0)),
+      (41L, 1, Seq(0.3, 0.954, 0.0)), (42L, 1, Seq(0.2, 0.98, 0.0)),
+      (43L, 1, Seq(0.1, 0.995, 0.0)), (44L, 1, Seq(0.34, 0.94, 0.0)),
+      (46L, 1, Seq(0.5, 0.87, 0.0))) // cos ~0.498: the gated dup suspect
+      .toDF("id", "label", "v")
+    val got = Pipeline.contrastivePairs(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.map(_._1).toSet === Set(10L, 25L),
+      "exactly the on-stride embeddable anchors emit")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = r6(
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    val vecs = Map(10L -> Seq(1.0, 0.0, 0.0), 25L -> Seq(1.0, 0.01, 0.0),
+      41L -> Seq(0.3, 0.954, 0.0), 42L -> Seq(0.2, 0.98, 0.0),
+      43L -> Seq(0.1, 0.995, 0.0), 44L -> Seq(0.34, 0.94, 0.0),
+      46L -> Seq(0.5, 0.87, 0.0))
+    for ((anchor, positive) <- Seq(10L -> 25L, 25L -> 10L)) {
+      val want = Seq(41L, 42L, 43L, 44L, 46L)
+        .map(id => id -> cos(vecs(anchor), vecs(id)))
+        .filter(_._2 < graft.operators.Similarity.NearDupCosine)
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Pipeline.ContrastiveNegK)
+      val rows = got.filter(_._1 == anchor).sortBy(_._3)
+      assert(rows.forall(_._2 == positive), s"positive of $anchor")
+      assert(rows.map(_._4).toSeq === want.map(_._1), s"negatives of $anchor")
+      assert(want.size === Pipeline.ContrastiveNegK &&
+        !want.map(_._1).contains(46L), "the dup suspect must be gated")
+    }
+    // all-same-label space: anchors fan back with null negatives
+    val sameLabel = emb.withColumn("label",
+      org.apache.spark.sql.functions.lit(0))
+    val got2 = Pipeline.contrastivePairs(docs, sameLabel).collect()
+    assert(got2.length === 2 && got2.forall(_.isNullAt(2)),
+      "positive-only examples must survive with null negatives")
+  }
 }
