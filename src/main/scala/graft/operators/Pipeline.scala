@@ -1216,10 +1216,19 @@ object Pipeline {
       .orderBy(col("shard"), col("bucket"), col("batch_idx"), col("pos"))
   }
 
-  /** q120's bounded-anchor stride (the exact form's q82/q92 contract) and
-    * negatives per anchor.
+  /** q120's anchor-batch size: the registered exact form scores a FIXED
+    * number of anchors per run (the md5-lowest pair-members — a uniform
+    * deterministic batch, q89's draw idiom), so its cost is
+    * cap × corpus — LINEAR like q20's fixed probes, not the growing
+    * %-stride quadratic the q82/q92 anchors accept (measured before this
+    * cap existed: ×149 at ×10 data; with it the probe side is constant).
+    * A real training run wants ALL anchors — that is q92b's IVF
+    * generator, which takes the full set because probes explode to cells
+    * instead of broadcasting.
     */
-  val ContrastiveAnchorEvery = 5L
+  val ContrastiveAnchorCap = 200
+
+  /** Negatives per anchor. */
   val ContrastiveNegK = 3
 
   /** q120: contrastive training-pair construction — the dataset-building
@@ -1233,14 +1242,16 @@ object Pipeline {
     * TEXT overlap (cheap, high precision), negatives from EMBEDDING
     * similarity (where hard negatives live).
     *
-    * Anchors are strided ([[ContrastiveAnchorEvery]]) — the exact form's
-    * bounded-probe contract (q82/q92); the production candidate generator
-    * is q92b's IVF tail, which takes the full anchor set because probes
-    * explode to cells instead of broadcasting. Anchors without an
-    * embedding are dropped (no vector, no negatives — unusable for
-    * contrastive training); anchors whose negatives all fail the gates
-    * fan back with a null negative (the pair is still a positive-only
-    * training example).
+    * Anchors are a FIXED-SIZE md5-lowest batch
+    * ([[ContrastiveAnchorCap]]) so the exact form's cost is cap × corpus
+    * — linear at any scale (see the constant's doc for the measured
+    * failure of the stride it replaced); the production candidate
+    * generator is q92b's IVF tail, which takes the full anchor set
+    * because probes explode to cells instead of broadcasting. Anchors
+    * without an embedding are dropped (no vector, no negatives —
+    * unusable for contrastive training); anchors whose negatives all
+    * fail the gates fan back with a null negative (the pair is still a
+    * positive-only training example).
     */
   def q120(spark: SparkSession, dir: String): DataFrame =
     contrastivePairs(
@@ -1260,7 +1271,11 @@ object Pipeline {
       .select(col("a_id").as("anchor_id"), col("b_id").as("partner"))
       .union(pairs.select(col("b_id"), col("a_id")))
       .groupBy(col("anchor_id")).agg(min(col("partner")).as("positive_id"))
-      .filter(pmod(col("anchor_id"), lit(ContrastiveAnchorEvery)) === 0)
+      // bounded batch: md5-lowest anchors (TakeOrdered, never a stride
+      // whose probe count grows with the corpus)
+      .orderBy(md5(col("anchor_id").cast("string").cast("binary")),
+        col("anchor_id"))
+      .limit(ContrastiveAnchorCap)
     val aEmb = emb.join(pos.select(col("anchor_id").as("id")), Seq("id"))
     val negs = Similarity.hardNegatives(aEmb, emb, ContrastiveNegK)
       .withColumnRenamed("probe_id", "anchor_id")
@@ -1418,10 +1433,12 @@ object Pipeline {
         |    UNION ALL SELECT b_id, a_id FROM p) GROUP BY 1),
         |e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v
         |      FROM embeddings WHERE embedding IS NOT NULL),
-        |an AS (SELECT pos.anchor_id, pos.positive_id,
+        |cap AS (SELECT * FROM pos
+        |        ORDER BY md5(CAST(anchor_id AS VARCHAR)), anchor_id
+        |        LIMIT $ContrastiveAnchorCap),
+        |an AS (SELECT cap.anchor_id, cap.positive_id,
         |         e.label AS plabel, e.v AS pv
-        |       FROM pos JOIN e ON e.id = pos.anchor_id
-        |       WHERE pos.anchor_id % $ContrastiveAnchorEvery = 0),
+        |       FROM cap JOIN e ON e.id = cap.anchor_id),
         |sc AS (SELECT an.anchor_id, e.id AS cand_id,
         |         round(list_cosine_similarity(an.pv, e.v), 6) AS c
         |       FROM e JOIN an ON e.label <> an.plabel),

@@ -693,14 +693,14 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  /** q120 on a planted two-space corpus: the near-dup pair on the anchor
-    * stride emits with its min-id positive and the model's gated, ranked
-    * negatives (the ≥ 0.35-cosine dup suspect excluded, k = 3 cutting the
-    * weakest); an off-stride pair emits nothing; an on-stride pair
-    * without embeddings emits nothing; an all-same-label embedding space
-    * fans anchors back with null negatives (positive-only examples).
+  /** q120 on a planted two-space corpus (all pair-members fit the anchor
+    * cap): the embeddable near-dup pair emits with its min-id positive
+    * and the model's gated, ranked negatives (the ≥ 0.35-cosine dup
+    * suspect excluded, k = 3 cutting the weakest); pairs without
+    * embeddings emit nothing; an all-same-label embedding space fans
+    * anchors back with null negatives (positive-only examples).
     */
-  test("contrastive pairs: positives, gated negatives, stride and fan-back") {
+  test("contrastive pairs: positives, gated negatives, cap and fan-back") {
     import spark.implicits._
     def alpha(n: Int): String = n.toString.map(c => ('a' + (c - '0')).toChar)
     def nd(i: Int): (String, String) = {
@@ -709,9 +709,9 @@ class PipelineSpec extends AnyFunSuite {
       (t.mkString(" "), u.mkString(" "))
     }
     val (a1, a2) = nd(1); val (b1, b2) = nd(2); val (c1, c2) = nd(3)
-    val docs = Seq(10L -> a1, 25L -> a2, // on-stride anchor pair
-      11L -> b1, 13L -> b2,              // off-stride: no anchors
-      15L -> c1, 20L -> c2)              // on-stride, no embeddings
+    val docs = Seq(10L -> a1, 25L -> a2, // the embeddable anchor pair
+      11L -> b1, 13L -> b2,              // near-dups, no embeddings
+      15L -> c1, 20L -> c2)              // near-dups, no embeddings
       .toDF("doc_id", "text")
     val emb = Seq(
       (10L, 0, Seq(1.0, 0.0, 0.0)), (25L, 0, Seq(1.0, 0.01, 0.0)),
@@ -722,7 +722,7 @@ class PipelineSpec extends AnyFunSuite {
     val got = Pipeline.contrastivePairs(docs, emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     assert(got.map(_._1).toSet === Set(10L, 25L),
-      "exactly the on-stride embeddable anchors emit")
+      "exactly the embeddable anchors emit")
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
         .toDouble
