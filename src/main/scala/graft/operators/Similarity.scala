@@ -1570,6 +1570,24 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** IMI form of the q111 refresh: each half-space codebook refreshes
+    * through the SAME [[codebookRefresh]] core over the corresponding
+    * vector slice — an IMI half-assignment IS a flat assignment in the
+    * half space, so the retrain step covers the tier past the flat
+    * plan-literal ceiling with zero new machinery. Returns the refreshed
+    * quantizer ready for [[graft.sources.ModelStore.saveQuantizer]].
+    * (Refreshing the halves independently is the IMI analogue of the
+    * Lloyd step: each half's SSE is minimized by its half-means, and the
+    * joint distance is their sum.)
+    */
+  def imiRefresh(base: DataFrame, quant: ImiQuantizer): ImiQuantizer = {
+    val split = quant.cbA.head.length
+    def half(from: Int, cb: Array[Array[Double]]): Array[Array[Double]] =
+      refreshedCodebook(codebookRefresh(
+        base.select(slice(col("v"), from, cb.head.length).as("v")), cb))
+    ImiQuantizer(half(1, quant.cbA), half(split + 1, quant.cbB))
+  }
+
   /** MMR trade-off λ: 0.5 is the Carbonell & Goldstein '98 balanced point
     * (and keeps 1−λ = 0.5 an exact double — a λ like 0.7 would make the
     * two engine/oracle constants 0.7 and 0.30000000000000004, a parity

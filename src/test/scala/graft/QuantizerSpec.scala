@@ -260,4 +260,38 @@ class QuantizerSpec extends AnyFunSuite {
     bg.foreach { case (id, _) =>
       assert(byId(id) === ((id, true)), s"background $id") }
   }
+
+  /** The q111 retrain step through an IMI quantizer: each half refreshes
+    * via the shared codebookRefresh core, per-half SSE never increases
+    * (the Lloyd contract, half-space form), and the refreshed model
+    * survives the ModelStore seam bit-identically — so the
+    * monitor→refresh→persist loop also covers the tier past the flat
+    * plan-literal ceiling.
+    */
+  test("imiRefresh: per-half Lloyd non-increase and ModelStore round trip") {
+    val df = synthetic(5000).localCheckpoint()
+    val (cbA, cbB) = Quantizers.fitImiCodebooks(df, 260) // 17x17 grid
+    val before = ImiQuantizer(cbA, cbB)
+    val after = Similarity.imiRefresh(df, before)
+    assert(after.cbA.length === cbA.length &&
+      after.cbB.length === cbB.length)
+    val vecs = df.collect().map(_.getSeq[Double](1).toArray)
+    def sse(cb: Array[Array[Double]], lo: Int, hi: Int): Double =
+      vecs.map { v =>
+        val h = v.slice(lo, hi)
+        cb.map(c => c.zip(h).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    val split = cbA.head.length
+    assert(sse(after.cbA, 0, split) <= sse(cbA, 0, split) + 1e-2,
+      "A-half SSE rose")
+    assert(sse(after.cbB, split, split + cbB.head.length) <=
+      sse(cbB, split, split + cbB.head.length) + 1e-2, "B-half SSE rose")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-imiref").toString
+    graft.sources.ModelStore.saveQuantizer(spark, after, s"$tmp/coarse")
+    val loaded = graft.sources.ModelStore.loadQuantizer(spark, s"$tmp/coarse")
+      .asInstanceOf[ImiQuantizer]
+    assert(loaded.cbA.zip(after.cbA).forall { case (a, b) => a.sameElements(b) })
+    assert(loaded.cbB.zip(after.cbB).forall { case (a, b) => a.sameElements(b) })
+    new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+  }
 }
