@@ -390,6 +390,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("label:int"), "scan reads pruned label column")
   }
 
+  /** The three per-row round-13 gates must stay pure scan-side
+    * projections: no UDF, no join, no aggregate-free shuffle beyond the
+    * presentation sort — their whole 100 TB story is "rides the scan".
+    */
+  test("q112/q114: per-row gate batteries stay joinless codegen projections") {
+    Seq(
+      graft.operators.TextAnalysis.q112(spark, dir),
+      graft.operators.Pipeline.q114(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("ScalaUDF"), "gate fell out of codegen")
+      assert(!p.contains("Join"), "a per-row gate must not join")
+      assert(!p.contains("HashAggregate"), "a per-row gate must not aggregate")
+    }
+  }
+
+  /** q115's batch numbering must sort within (shard, bucket) cells — a
+    * hash-partitioned window — and never a single global partition (the
+    * q89/q100 lesson); the scan reads only (doc_id, text).
+    */
+  test("q115: shard-local window, no global single-partition sort, pruned scan") {
+    val p = plan(graft.operators.Pipeline.q115(spark, dir))
+    assert(!p.contains("ScalaUDF"))
+    assert(p.contains("hashpartitioning"), "window lost its hash partitioning")
+    assert(!p.contains("SinglePartition"), "batch rank went through one partition")
+    assert(!p.contains("lang"), "scan reads pruned columns")
+  }
+
   /** q111's refresh pass: assignment must evaluate inside codegen (no
     * ScalaUDF — the one pass that touches every vector), the n×d explode
     * must partial-aggregate to cells×d before its exchange (q96's
