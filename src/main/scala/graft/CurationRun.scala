@@ -27,6 +27,18 @@ final case class CurationParams(
     nearDupJaccard: Double = Pipeline.FunnelNearDupJaccard,
     sourceCap: Int = Pipeline.SourceCap,
     reuseModels: Option[String] = None,
+    // round-14: reuse a prior run's PERSISTED (vec_id, cell) assignment
+    // index (model/index) — implies reusing that run's quantizer too
+    // (assignments are only valid under the codebook that produced them):
+    // the sem_dedup stage assigns ONLY the arrivals and reads everything
+    // else from the artifact, so the full-corpus assignment scan is paid
+    // once per quantizer, not once per run
+    reuseIndex: Option[String] = None,
+    // round-14: diff this run against a prior run's persisted verdicts —
+    // writes verdicts/drift (per-doc fate diff vs the prior doc_fates/,
+    // q105's between-runs form) and verdicts/psi (score-distribution PSI
+    // vs the prior scores/, q116's between-runs form)
+    prevRun: Option[String] = None,
     // round-13 late additions, each default-off so a flag-less run stays
     // bit-identical to the q88-parity behavior:
     // q114's HTML-to-text transform applied to every doc BEFORE the funnel
@@ -178,7 +190,7 @@ object CurationRun {
       val n = subject.count()
       if (n == 0) dec // nothing clusterable: the stage judges no one
       else {
-        val quant = params.reuseModels match {
+        val quant = params.reuseIndex.orElse(params.reuseModels) match {
           case Some(prior) => timed("quant_load") {
             ModelStore.loadQuantizer(spark, s"$prior/model/coarse")
           }
@@ -187,9 +199,35 @@ object CurationRun {
           }
         }
         ModelStore.saveQuantizer(spark, quant, s"$outDir/model/coarse")
-        val verdict = Similarity.semanticDedupQuantized(
+        // the (vec_id, cell) soft-assignment index. With --reuse-index the
+        // prior run's persisted rows serve every doc it already assigned
+        // (valid because the quantizer IS that run's — assignment is a
+        // pure function of (codebook, vector)) and only the ARRIVALS pay
+        // the assignment pass; the run always persists the index it USED
+        // (model/index) so any run can seed the next. The verdict then
+        // reads the just-written artifact: the candidate self-join
+        // consumes the cells frame twice, and re-reading clustered
+        // parquet beats re-executing the N×k assignment lineage.
+        val fresh: DataFrame => DataFrame = df => df.select(col("vec_id"),
+          explode(quant.probeCells(col("v"), Similarity.SemProbeCells))
+            .as("cell"))
+        val cells = params.reuseIndex match {
+          case Some(prior) => timed("index_load") {
+            val priorIdx = ModelStore.loadIndex(spark, s"$prior/model/index")
+              .select(col("vec_id"), col("cell"))
+            priorIdx.join(subject.select(col("vec_id")), Seq("vec_id"))
+              .unionByName(fresh(subject.join(
+                priorIdx.select(col("vec_id")).distinct(),
+                Seq("vec_id"), "left_anti")))
+          }
+          case None => fresh(subject)
+        }
+        ModelStore.saveIndex(cells, s"$outDir/model/index")
+        val verdict = Similarity.semanticDedupCells(
           subject.select(col("vec_id")), subject,
-          params.semDedupCosine, quant)
+          ModelStore.loadIndex(spark, s"$outDir/model/index")
+            .select(col("vec_id"), col("cell")),
+          params.semDedupCosine)
         dec.join(
             verdict.filter(!col("is_kept"))
               .select(col("vec_id").as("doc_id")),
@@ -292,11 +330,12 @@ object CurationRun {
       import spark.implicits._
       Seq((params.semDedupCosine, params.classifierFloorE6,
         params.nearDupJaccard, params.sourceCap,
-        params.reuseModels.orNull,
+        params.reuseModels.orNull, params.reuseIndex.orNull,
+        params.prevRun.orNull,
         params.stripMarkup, params.gopherGate, params.qualityKeeper))
         .toDF("sem_dedup_cosine", "classifier_floor_e6", "neardup_jaccard",
-          "source_cap", "reused_models_from",
-          "strip_markup", "gopher_gate", "quality_keeper")
+          "source_cap", "reused_models_from", "reused_index_from",
+          "prev_run", "strip_markup", "gopher_gate", "quality_keeper")
     }
     timed("artifacts") {
       PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
@@ -307,6 +346,29 @@ object CurationRun {
       runParams.coalesce(1).write.mode("overwrite").parquet(s"$outDir/run_params")
       manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
     }
+    // per-doc classifier scores of the RAW snapshot (pre-gate, so two
+    // runs' tables describe the same population even when their gate
+    // params differ) — the between-runs monitoring artifact the next
+    // run's --prev-run PSI reads, q116's production prev side
+    timed("scores") {
+      operators.TextAnalysis.classifierScoresUnsorted(
+          scanned.select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(s"$outDir/verdicts/scores")
+    }
+    // between-runs monitoring against a REAL prior run: the prev side of
+    // both reports is READ from that run's persisted artifacts (one pass +
+    // one join — the collapse q105/q116 promise), never recomputed
+    params.prevRun.foreach { prior => timed("prev_drift") {
+      Pipeline.fateDrift(
+          spark.read.parquet(s"$prior/verdicts/doc_fates")
+            .select(col("doc_id"), col("last_stage").as("fate")),
+          fates.select(col("doc_id"), col("last_stage").as("fate")))
+        .write.mode("overwrite").parquet(s"$outDir/verdicts/drift")
+      operators.TextAnalysis.scoreDriftPsiBetween(
+          spark.read.parquet(s"$prior/verdicts/scores"),
+          spark.read.parquet(s"$outDir/verdicts/scores"))
+        .write.mode("overwrite").parquet(s"$outDir/verdicts/psi")
+    } }
     manifest
   }
 
@@ -324,6 +386,8 @@ object CurationRun {
         p.copy(nearDupJaccard = v.toDouble)
       case (p, Seq("--source-cap", v)) => p.copy(sourceCap = v.toInt)
       case (p, Seq("--reuse-models", v)) => p.copy(reuseModels = Some(v))
+      case (p, Seq("--reuse-index", v)) => p.copy(reuseIndex = Some(v))
+      case (p, Seq("--prev-run", v)) => p.copy(prevRun = Some(v))
       case (p, Seq("--strip-markup", v)) =>
         p.copy(stripMarkup = v.toBoolean)
       case (p, Seq("--gopher-gate", v)) => p.copy(gopherGate = v.toBoolean)
@@ -339,7 +403,8 @@ object CurationRun {
     require(args.length >= 2,
       "usage: CurationRun <sfDir> <outDir> [--sem-cosine X] " +
         "[--classifier-floor-e6 N] [--neardup-jaccard X] [--source-cap N] " +
-        "[--reuse-models priorOutDir] [--strip-markup B] [--gopher-gate B] " +
+        "[--reuse-models priorOutDir] [--reuse-index priorOutDir] " +
+        "[--prev-run priorOutDir] [--strip-markup B] [--gopher-gate B] " +
         "[--quality-keeper B]")
     val params = parseParams(args.drop(2).toSeq)
     val spark = Sessions.local("graft-curation-run")

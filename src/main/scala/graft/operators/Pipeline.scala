@@ -1322,17 +1322,31 @@ object Pipeline {
     */
   def snapshotDrift(docs: DataFrame): DataFrame = {
     val d = docs.filter(col("doc_id").isNotNull)
-    val prev = snapshotFates(
-      d.filter(col("doc_id") % DriftHoldout =!= DriftHoldout - 1))
-      .select(col("doc_id"), col("fate").as("prev_fate"))
-    val cur = snapshotFates(d).select(col("doc_id"), col("fate").as("cur_fate"))
-    cur.join(prev, Seq("doc_id"), "left")
+    fateDrift(
+      snapshotFates(
+        d.filter(col("doc_id") % DriftHoldout =!= DriftHoldout - 1)),
+      snapshotFates(d))
+  }
+
+  /** The between-runs diff tail over any prev/cur (doc_id, fate) frames —
+    * the collapse q105's scaladoc promises, now a real code path: the
+    * registered q105 feeds it two slice-derived fate sets (so the whole
+    * diff is hash-checkable from one table), while `CurationRun
+    * --prev-run` feeds it the PRIOR RUN'S persisted `verdicts/doc_fates/`
+    * against the current run's — one id-keyed join, no recomputation of
+    * the previous side. Status: `arrived` (absent from prev), `stable`
+    * (same fate), `changed` (incl. the regraded-keeper case the q105 doc
+    * describes).
+    */
+  def fateDrift(prev: DataFrame, cur: DataFrame): DataFrame =
+    cur.select(col("doc_id"), col("fate").as("cur_fate"))
+      .join(prev.select(col("doc_id"), col("fate").as("prev_fate")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), col("prev_fate"), col("cur_fate"),
         when(col("prev_fate").isNull, lit("arrived"))
           .when(col("prev_fate") === col("cur_fate"), lit("stable"))
           .otherwise(lit("changed")).as("status"))
       .orderBy(col("doc_id"))
-  }
 
   /** Per-doc fate under the funnel's deterministic prefix (q44's quality
     * gates, then min-id exact-dedup keeper AMONG the snapshot's quality

@@ -597,21 +597,45 @@ object TextAnalysis {
 
   /** The q116 core over any (doc_id, text) frame — specs run it directly. */
   def scoreDriftPsi(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+    val scored = classifierScoresUnsorted(docs.filter(col("doc_id").isNotNull))
+    psiReport(scored.select(col("mean_e6"),
+      (col("doc_id") % Pipeline.DriftHoldout =!=
+        Pipeline.DriftHoldout - 1).as("is_prev"),
+      lit(true).as("is_cur")))
+  }
+
+  /** q116 between REAL runs: `prevScores`/`curScores` are two snapshots'
+    * persisted score tables (CurationRun's `verdicts/scores/`, carrying
+    * `mean_e6`) — the prev side is READ, never recomputed, which is the
+    * collapse the q116 scaladoc promises for production. Same grid, same
+    * smoothing, same exactness discipline as the registered slice form.
+    */
+  def scoreDriftPsiBetween(prevScores: DataFrame,
+      curScores: DataFrame): DataFrame =
+    psiReport(
+      prevScores.select(col("mean_e6"),
+        lit(true).as("is_prev"), lit(false).as("is_cur"))
+        .unionByName(curScores.select(col("mean_e6"),
+          lit(false).as("is_prev"), lit(true).as("is_cur"))))
+
+  /** The shared PSI tail over (mean_e6, is_prev, is_cur) rows. The slice
+    * form marks every row is_cur with prev ⊂ cur (one conditional sum, no
+    * second scan); the between-runs form unions two disjointly-flagged
+    * score tables. Identical arithmetic either way.
+    */
+  private def psiReport(flagged: DataFrame): DataFrame = {
+    val spark = flagged.sparkSession
     import spark.implicits._
     val edges = GateSweepThresholds
     val nB = edges.size + 1 // buckets
-    val scored = classifierScoresUnsorted(docs.filter(col("doc_id").isNotNull))
     val bucket = edges.zipWithIndex.reverse
       .foldLeft(lit(edges.size)) { case (acc, (e, i)) =>
         when(col("mean_e6") <= e, lit(i)).otherwise(acc)
       }
-    val counts = scored
-      .select(bucket.as("bucket"),
-        (col("doc_id") % Pipeline.DriftHoldout =!=
-          Pipeline.DriftHoldout - 1).as("is_prev"))
+    val counts = flagged
+      .select(bucket.as("bucket"), col("is_prev"), col("is_cur"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("nc"),
+      .agg(sum(when(col("is_cur"), 1L).otherwise(0L)).as("nc"),
         sum(when(col("is_prev"), 1L).otherwise(0L)).as("np"))
     // full grid fan-back (q102's empty-corpus contract); hi_e6 = the
     // bucket's inclusive upper edge, null for the open top bucket

@@ -95,4 +95,36 @@ object ModelStore {
       rs.sortBy(_.getInt(2)).map(_.getSeq[Double](3).toArray)
     }.toArray
   }
+
+  /** Persist an ENCODED corpus index — the (vec_id, cell[, c0..cM-1])
+    * resident form the IVF/IVF-PQ tier builds once and serves thousands of
+    * queries from ([[graft.operators.Similarity.ivfPqEncode]]'s output, or
+    * the (vec_id, cell) soft-assignment frame a dedup run used). This is
+    * the artifact seam ONE LEVEL BELOW the codebooks above: the model
+    * (KB-scale centroids) reproduces assignments, but re-deriving them
+    * still costs a full raw-vector scan per query — exactly the fit+encode
+    * wall a production deployment pays ONCE. Unlike the codebook tables
+    * this is data-sized, so it is written as a normal distributed parquet
+    * table (no coalesce), clustered by `cell`: rows repartition on cell and
+    * sort by (cell, vec_id) within files, so each cell's codes are
+    * contiguous and a served probe's cell equi-join touches a contiguous
+    * slice per cell (and a reader pushing `cell IN (...)` skips whole row
+    * groups via parquet min/max stats). Codes are small ints — the
+    * 8–64 B/vector residency the PQ tier promises is what lands on disk.
+    */
+  def saveIndex(index: DataFrame, path: String): Unit = {
+    val cols = index.columns
+    require(cols.contains("vec_id") && cols.contains("cell"),
+      s"index artifact needs (vec_id, cell[, codes...]); got ${cols.mkString(",")}")
+    index.repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload an encoded index written by [[saveIndex]]. Plain distributed
+    * parquet read — the scored pass runs straight off these columns and
+    * never touches raw vectors (the served-path contract q121 hashes).
+    */
+  def loadIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

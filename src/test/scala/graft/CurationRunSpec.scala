@@ -121,6 +121,104 @@ class CurationRunSpec extends AnyFunSuite {
     assert(rp.getAs[String]("reused_models_from") === outDir)
   }
 
+  /** Round-14 #1 (index tier): the run persists the (vec_id, cell)
+    * assignment index it used (`model/index`), and a `--reuse-index` rerun
+    * serves the sem_dedup stage from the PRIOR run's artifact — loading
+    * both the quantizer and the assignments, paying the assignment pass
+    * only for arrivals (none here) — and still reproduces the manifest
+    * exactly. This is the artifact seam one level below reuse-models: the
+    * model reproduces assignments, but re-deriving them costs a full
+    * vector scan per run; the index artifact doesn't.
+    */
+  test("a reuse-index rerun serves assignments from the prior artifact and reproduces the manifest") {
+    val priorIdx = graft.sources.ModelStore.loadIndex(
+      spark, s"$outDir/model/index")
+    assert(priorIdx.count() > 0, "first run wrote an empty assignment index")
+    assert(priorIdx.columns.toSet === Set("vec_id", "cell"))
+    val reuseDir = Files.createTempDirectory("curation_run_ridx").toString
+    CurationRun.run(spark, sfDir, reuseDir,
+      CurationParams(reuseIndex = Some(outDir))).collect()
+    def rows(d: String) = spark.read.parquet(s"$d/manifest")
+      .orderBy(col("stage_idx")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows(reuseDir) === rows(outDir),
+      "manifest drift under a reused assignment index")
+    // the reused run re-publishes the index it served from (any run can
+    // seed the next) — same (vec_id, cell) multiset bit-for-bit
+    def idx(d: String) = graft.sources.ModelStore
+      .loadIndex(spark, s"$d/model/index")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(idx(reuseDir) === idx(outDir), "republished index drifted")
+    val rp = spark.read.parquet(s"$reuseDir/run_params").head()
+    assert(rp.getAs[String]("reused_index_from") === outDir)
+  }
+
+  /** Round-14 #2: `--prev-run` diffs TWO REAL RUNS — the second run reads
+    * the first's persisted `verdicts/doc_fates/` and `verdicts/scores/`
+    * instead of recomputing a slice stand-in. Corpus B = corpus A plus a
+    * LOWER-id exact copy of an A keeper (the regrade q105's scaladoc
+    * documents: the old keeper loses its training data without its content
+    * changing) plus a brand-new doc. The drift report must classify by
+    * the slice-based oracle's semantics: arrivals `arrived`, the regraded
+    * keeper `changed`, untouched docs `stable`; the PSI artifact must
+    * carry the full 14-bucket grid with each side's raw-doc total.
+    */
+  test("a prev-run rerun diffs real runs: arrived, stable, and a regraded keeper") {
+    import spark.implicits._
+    def alpha(n: Int): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar)
+    def prose(i: Int): String = {
+      val t = (0 until 80).map(j => s"p${alpha(i)}y${alpha(j)}").toArray
+      t(5) = "the"; t(20) = "and"; t(35) = "is"; t(50) = "that"
+      t.mkString(" ")
+    }
+    val aDocs = Seq(10L -> prose(1), 11L -> prose(2), 12L -> prose(3),
+      13L -> prose(3)) // 13 = exact copy; A's keeper is 12
+    // 52, not 50: doc_id % EvalEvery == 0 docs play the funnel's EVAL side
+    // (decon holdout) and never enter the corpus or its fates
+    val bDocs = aDocs ++ Seq(5L -> prose(1), 52L -> prose(4))
+    def write(dir: String, docs: Seq[(Long, String)]): Unit = {
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      docs.zipWithIndex.map { case ((id, _), i) =>
+        (id, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.01f * i), 0)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val sfA = Files.createTempDirectory("prevrun_sfA").toString
+    val sfB = Files.createTempDirectory("prevrun_sfB").toString
+    write(sfA, aDocs); write(sfB, bDocs)
+    val outA = Files.createTempDirectory("prevrun_outA").toString
+    val outB = Files.createTempDirectory("prevrun_outB").toString
+    CurationRun.run(spark, sfA, outA).collect()
+    CurationRun.run(spark, sfB, outB,
+      CurationParams(prevRun = Some(outA))).collect()
+    val drift = spark.read.parquet(s"$outB/verdicts/drift").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getString(2), r.getString(3)))).toMap
+    assert(drift.keySet === bDocs.map(_._1).toSet,
+      "drift must cover every current-run doc")
+    assert(drift(5L)._3 === "arrived" && drift(5L)._1.isEmpty)
+    assert(drift(52L)._3 === "arrived")
+    // the regrade: 10 was A's keeper of prose(1); the lower-id arrival 5
+    // takes keeper status in B, so 10's fate changes without its content
+    assert(drift(10L)._1.contains("sampled") && drift(10L)._3 === "changed",
+      s"regraded keeper must surface as changed, got ${drift(10L)}")
+    assert(drift(10L)._2 !== "sampled", "10 must have lost keeper status")
+    Seq(11L, 12L, 13L).foreach(id => assert(drift(id)._3 === "stable",
+      s"untouched doc $id must be stable, got ${drift(id)}"))
+    // the between-runs PSI: full grid, each side totalling its run's raw docs
+    val psi = spark.read.parquet(s"$outB/verdicts/psi").collect()
+    assert(psi.length ===
+      operators.TextAnalysis.GateSweepThresholds.size + 1)
+    assert(psi.map(_.getAs[Long]("n_prev")).sum === aDocs.size.toLong)
+    assert(psi.map(_.getAs[Long]("n_cur")).sum === bDocs.size.toLong)
+    Seq(sfA, sfB, outA, outB).foreach(d =>
+      new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+  }
+
   /** Stage 10 (q100): the shards artifact must be a PERMUTATION of the
     * shipped corpus — every corpus doc exactly once, shard dirs
     * Hive-partitioned, positions contiguous from 1 within each shard, and

@@ -233,6 +233,37 @@ class QuantizerSpec extends AnyFunSuite {
     assert(got === want, "ADC search results drifted under the loaded model")
   }
 
+  /** The round-14 seam one level below the codebooks: the ENCODED corpus
+    * (vec_id, cell, c0..cM-1) through ModelStore.saveIndex/loadIndex must
+    * reproduce (a) the encoded rows exactly — codes are small exact ints,
+    * so parquet is bit-lossless — and (b) the served search: ivfPqServe
+    * off the LOADED index ≡ the one-shot ivfPqTopK that encodes inline.
+    * This is what lets a deployment pay the fit+encode wall once (q121's
+    * oracle hashes the same claim against DuckDB).
+    */
+  test("ModelStore round-trips an encoded IVF-PQ index: rows and served search bit-identical") {
+    import graft.functions.vectors
+    val tmp = java.nio.file.Files.createTempDirectory("modelstore-idx").toString
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint()
+    val quant = Quantizers.quantizerFor(emb, Similarity.IvfCells)
+    val cbs = Quantizers.pqFitCodebooks(
+      emb, Similarity.PqSubspaces, Similarity.PqCodewords)
+    val encoded = Similarity.ivfPqEncode(emb, quant, cbs).localCheckpoint()
+    graft.sources.ModelStore.saveIndex(encoded, s"$tmp/index")
+    val loaded = graft.sources.ModelStore.loadIndex(spark, s"$tmp/index")
+    assert(loaded.columns.sorted.toSeq === encoded.columns.sorted.toSeq)
+    val wantRows = encoded.orderBy(col("vec_id")).collect().toSeq
+    val gotRows = loaded.select(encoded.columns.map(col).toIndexedSeq: _*)
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(gotRows === wantRows, "encoded rows drifted through the store")
+    val want = Similarity.ivfPqTopK(emb, quant, cbs).collect().toSeq
+    val got = Similarity.ivfPqServe(loaded, emb, quant, cbs).collect().toSeq
+    assert(got === want, "served search drifted off the loaded index")
+  }
+
   test("semantic dedup through a forced IMI quantizer resolves the planted clique identically") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
