@@ -1656,6 +1656,111 @@ object Similarity {
     ImiQuantizer(half(1, quant.cbA), half(split + 1, quant.cbB))
   }
 
+  /** q122: per-subspace PQ codebook refresh — the q111 Lloyd step applied
+    * to the STORAGE tier, closing the last open loop of the model
+    * lifecycle: the coarse quantizer (q111) and IMI halves ([[imiRefresh]])
+    * already refresh, but the PQ codebooks — whose staleness directly
+    * degrades every ADC ranking q98/q101/q121 serve — did not. Semantics
+    * per subspace m: every vector's m-slice takes its nearest codeword
+    * under the current codebook (the literal [[pqCodeCols]] encode pass
+    * every PQ consumer runs), each codeword's new centroid is the exact
+    * per-dimension mean of its member slices, and a codeword with no
+    * members keeps its old value (q111's empty-cell rule). Output: the
+    * per-(m, cw, dim) refresh report — member count, new mean, old value,
+    * shift — the "how stale is the storage tier" table reviewed before
+    * [[refreshedPqCodebooks]] + ModelStore swap the artifact.
+    *
+    * Determinism is q111's verbatim: member dims quantize to
+    * q = floor(v·1e4) so per-codeword sums are exact integers in both
+    * engines; ONE IEEE division then floor to e6; old values floor to e6
+    * directly. The codebook is q98b's deterministic-seed idiom, so the
+    * whole encode→aggregate→blend path carries a DuckDB hash; a trained /
+    * ModelStore-loaded codebook plugs into the same [[pqRefresh]] core.
+    *
+    * Shape for 100 TB: ONE corpus scan — all M per-subspace assignments
+    * ride the same codegen'd pass ([[pqCodeCols]], M plan-literal argmins
+    * per row), the dim explode fans n×dim rows but the aggregate keys on
+    * M×K×(dim/M) = K×dim — partial aggregation collapses each task to
+    * K×dim rows of two longs (q96's argument), so the exchange is
+    * #partitions × K×dim tiny rows at any corpus size. Contrast: a naive
+    * per-subspace loop would pay M corpus scans. The subspace of an
+    * exploded dim is pure integer arithmetic (m = ⌊((pos+1)·M−1)/dim⌋ —
+    * the exact inverse of the ⌊dim·m/M⌋ slice rule all PQ code shares).
+    */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val seeds = base.orderBy(col("vec_id")).limit(PqCodewords)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("m", IntegerType),
+          StructField("cw", IntegerType), StructField("dim", IntegerType),
+          StructField("n", LongType), StructField("new_mean_e6", LongType),
+          StructField("old_e6", LongType), StructField("shift_e6", LongType))))
+    }
+    pqRefresh(base, pqCodebooksFromSeeds(seeds))
+  }
+
+  /** The q122 core over any clean (vec_id, v: array<double>) frame and any
+    * per-subspace codebooks — planted specs and ModelStore-loaded models
+    * run it directly.
+    */
+  def pqRefresh(base: DataFrame,
+      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val mCount = cbs.length
+    val x = base
+      .select(array(pqCodeCols(cbs): _*).as("codes"),
+        size(col("v")).as("dt"), posexplode(col("v")))
+      .select(col("codes"), col("dt"), col("pos"), col("col"),
+        expr(s"CAST(((pos + 1) * $mCount - 1) DIV dt AS INT)").as("m"))
+      .select(col("m"),
+        element_at(col("codes"), col("m") + 1).as("cw"),
+        (col("pos") - expr(s"(dt * m) DIV $mCount") + 1).cast("int")
+          .as("dim"),
+        floor(col("col") * lit(10000)).cast("long").as("q"))
+    val g = x.groupBy(col("m"), col("cw"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+    // model state as a frame: M×K×(dim/M) rows of (m, cw, dim, old_e6)
+    val old = cbs.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.flatMap { case (cwv, cw) =>
+        cwv.zipWithIndex.map { case (v, d) =>
+          (m, cw, d + 1, math.floor(v * 1e6).toLong) } }
+    }.toSeq.toDF("m", "cw", "dim", "old_e6")
+    old.join(g, Seq("m", "cw", "dim"), "left")
+      .select(col("m"), col("cw"), col("dim"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNotNull,
+          floor(col("sq").cast("double") * lit(100) / col("n"))
+            .cast("long"))
+          .otherwise(col("old_e6")).as("new_mean_e6"),
+        col("old_e6"))
+      .withColumn("shift_e6", col("new_mean_e6") - col("old_e6"))
+      .orderBy(col("m"), col("cw"), col("dim"))
+  }
+
+  /** Materialize the refreshed per-subspace codebooks from [[pqRefresh]]'s
+    * output — the array a caller hands to
+    * [[graft.sources.ModelStore.savePqCodebooks]] to complete the
+    * monitor→refresh→persist loop for the storage tier. Model-sized
+    * collect (K×dim rows).
+    */
+  def refreshedPqCodebooks(refresh: DataFrame): Array[Array[Array[Double]]] =
+    refresh.select(col("m"), col("cw"), col("dim"), col("new_mean_e6"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (_, rs) =>
+          rs.sortBy(_.getInt(2)).map(_.getLong(3) / 1e6)
+        }.toArray
+      }.toArray
+
   /** MMR trade-off λ: 0.5 is the Carbonell & Goldstein '98 balanced point
     * (and keeps 1−λ = 0.5 an exact double — a λ like 0.7 would make the
     * two engine/oracle constants 0.7 and 0.30000000000000004, a parity
@@ -2058,6 +2163,56 @@ object Similarity {
         |SELECT cell, dim, n, new_mean_e6, old_e6,
         |  new_mean_e6 - old_e6 AS shift_e6
         |FROM r ORDER BY cell, dim""".stripMargin)),
+    QueryDef("q122_pq_refresh", q122,
+      // encode CTEs are q98b's verbatim (seed slices, per-(vector,
+      // subspace) argmin); the refresh tail is q111's quantize-then-
+      // aggregate discipline applied per (m, cw, dim), so every output
+      // column is an exact BIGINT in both engines
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |s AS (SELECT v AS sv,
+        |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |          AS cw
+        |      FROM e ORDER BY vec_id LIMIT $PqCodewords),
+        |ms AS (SELECT CAST(unnest(range($PqSubspaces)) AS INTEGER) AS m),
+        |sub AS (SELECT ms.m, s.cw,
+        |    s.sv[(len(s.sv)*ms.m)//$PqSubspaces + 1 :
+        |         (len(s.sv)*(ms.m+1))//$PqSubspaces] AS csub
+        |  FROM s CROSS JOIN ms),
+        |enc AS (SELECT e.vec_id, sub.m, sub.cw,
+        |    list_distance(e.v[(len(e.v)*sub.m)//$PqSubspaces + 1 :
+        |                      (len(e.v)*(sub.m+1))//$PqSubspaces],
+        |      sub.csub) AS d
+        |  FROM e CROSS JOIN sub),
+        |a AS (SELECT vec_id, m, cw,
+        |        row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cw)
+        |          AS rn
+        |      FROM enc),
+        |codes AS (SELECT vec_id, m, cw FROM a WHERE rn = 1),
+        |x AS (SELECT c.m, c.cw, CAST(i AS INT) AS dim,
+        |        CAST(FLOOR(e.v[(len(e.v)*c.m)//$PqSubspaces + i] * 10000)
+        |             AS BIGINT) AS q
+        |      FROM codes c JOIN e USING (vec_id),
+        |        unnest(generate_series(1,
+        |          (len(e.v)*(c.m+1))//$PqSubspaces -
+        |          (len(e.v)*c.m)//$PqSubspaces)) AS t(i)),
+        |g AS (SELECT m, cw, dim, COUNT(*) AS n, SUM(q) AS sq
+        |      FROM x GROUP BY 1, 2, 3),
+        |o AS (SELECT sub.m, sub.cw, CAST(i AS INT) AS dim,
+        |        CAST(FLOOR(sub.csub[i] * 1000000) AS BIGINT) AS old_e6
+        |      FROM sub, unnest(generate_series(1, len(sub.csub))) AS t(i)),
+        |r AS (SELECT o.m, o.cw, o.dim,
+        |        CAST(COALESCE(g.n, 0) AS BIGINT) AS n,
+        |        CASE WHEN g.n IS NOT NULL
+        |             THEN CAST(FLOOR(CAST(g.sq AS DOUBLE) * 100 / g.n)
+        |                       AS BIGINT)
+        |             ELSE o.old_e6 END AS new_mean_e6,
+        |        o.old_e6
+        |      FROM o LEFT JOIN g USING (m, cw, dim))
+        |SELECT m, cw, dim, n, new_mean_e6, old_e6,
+        |  new_mean_e6 - old_e6 AS shift_e6
+        |FROM r ORDER BY m, cw, dim""".stripMargin)),
     QueryDef("q85_semantic_dedup", q85, Some(semanticDedupOracle)),
     // q104 = q85 through the ModelStore save→load seam; the reload is
     // bit-identical, so the SAME oracle hash pins the artifact round trip

@@ -292,6 +292,42 @@ class QuantizerSpec extends AnyFunSuite {
       assert(byId(id) === ((id, true)), s"background $id") }
   }
 
+  /** The q122 retrain step for the STORAGE tier: each subspace codebook
+    * refreshes through the one-pass pqRefresh core, per-subspace SSE over
+    * the sliced vectors never increases (the Lloyd contract, subspace
+    * form), and the refreshed codebooks survive the ModelStore seam
+    * bit-identically — the monitor→refresh→persist loop now covers all
+    * three model tiers (coarse q111, IMI halves, PQ here).
+    */
+  test("pqRefresh: per-subspace Lloyd non-increase and ModelStore round trip") {
+    import graft.operators.Similarity
+    val df = synthetic(3000).localCheckpoint()
+    val m = 4
+    val cbs = Quantizers.pqFitCodebooks(df, m, 8)
+    val after = Similarity.refreshedPqCodebooks(Similarity.pqRefresh(df, cbs))
+    assert(after.length === cbs.length)
+    assert(after.zip(cbs).forall { case (a, b) =>
+      a.length == b.length && a.head.length == b.head.length })
+    val vecs = df.collect().map(_.getSeq[Double](1).toArray)
+    val dim = vecs.head.length
+    def sse(cb: Array[Array[Double]], i: Int): Double = {
+      val lo = dim * i / m; val hi = dim * (i + 1) / m
+      vecs.map { v =>
+        val h = v.slice(lo, hi)
+        cb.map(c => c.zip(h).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    }
+    cbs.indices.foreach(i =>
+      assert(sse(after(i), i) <= sse(cbs(i), i) + 1e-2,
+        s"subspace $i SSE rose through the refresh"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqref").toString
+    graft.sources.ModelStore.savePqCodebooks(spark, after, s"$tmp/pq")
+    val loaded = graft.sources.ModelStore.loadPqCodebooks(spark, s"$tmp/pq")
+    assert(loaded.map(_.map(_.toSeq).toSeq).toSeq ===
+      after.map(_.map(_.toSeq).toSeq).toSeq,
+      "refreshed PQ codebooks drifted through the store")
+  }
+
   /** The q111 retrain step through an IMI quantizer: each half refreshes
     * via the shared codebookRefresh core, per-half SSE never increases
     * (the Lloyd contract, half-space form), and the refreshed model
