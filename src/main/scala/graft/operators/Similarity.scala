@@ -650,6 +650,29 @@ object Similarity {
     ivfTopK(base, FlatQuantizer(seeds))
   }
 
+  /** [[ivfTopK]]'s serve half over a MAINTAINED (cell, vec_id) index — the
+    * assignment column comes from the index (a streaming state store's
+    * drain in q123, a persisted artifact in a batch deployment) instead of
+    * being recomputed per query; neighbor vectors are fetched from the
+    * at-rest table by id. Keeper-independent: when the index holds exactly
+    * [[CellQuantizer.assign]]'s cells for `base`'s rows, the output is
+    * bit-identical to [[ivfTopK]]'s (q39b's oracle applies verbatim).
+    */
+  def ivfServe(index: DataFrame, base: DataFrame,
+      quant: CellQuantizer): DataFrame = {
+    val probeRows = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val probeCells = probeRows.select(col("probe_id"), col("pv"),
+      explode(quant.probeCells(col("pv"), ivfProbesFor(quant)))
+        .as("cell"))
+    index.join(broadcast(probeCells), Seq("cell"))
+      .join(base.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        vecexprs.cosineSim(col("pv"), col("v")).as("c"))
+      .transform(rankTopK)
+  }
+
   // ---- Product quantization (PQ-ADC) --------------------------------------
 
   /** PQ geometry: M subspaces × K codewords per subspace. The demo point
@@ -1895,6 +1918,44 @@ object Similarity {
       |SELECT v AS vec_id, MIN(lab) AS rep_id, (MIN(lab) = v) AS is_kept
       |FROM cc GROUP BY v ORDER BY vec_id""".stripMargin
 
+  /** The q39b DuckDB mirror — assignment = argmin of euclidean distance
+    * with a lowest-cell tie-break, probe fan-out = top-[[IvfProbes]] of
+    * the same ranking. Shared VERBATIM by q123 (the streaming-maintained
+    * index serve): the drained (cell, vec_id) state holds exactly
+    * `assign`'s cells, so the online path's serve is bit-identical to the
+    * batch assignment this SQL mirrors — q107's keeper-independence idiom
+    * applied to the ANN tier.
+    */
+  val ivfSeededOracle: String =
+    s"""WITH e AS (
+    |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    |  WHERE embedding IS NOT NULL),
+    |s AS (SELECT v AS sv,
+    |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+    |          AS cell
+    |      FROM e ORDER BY vec_id LIMIT $IvfCells),
+    |nd AS (SELECT e.vec_id, s.cell, list_distance(e.v, s.sv) AS d
+    |       FROM e CROSS JOIN s),
+    |a AS (SELECT vec_id, cell,
+    |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+    |          AS rn
+    |      FROM nd),
+    |asg AS (SELECT vec_id, cell FROM a WHERE rn = 1),
+    |pc AS (SELECT vec_id AS probe_id, cell FROM a
+    |       WHERE vec_id < 5 AND rn <= $IvfProbes),
+    |sc AS (SELECT pc.probe_id, asg.vec_id AS neighbor_id,
+    |    list_cosine_similarity(p.v, n.v) AS c
+    |  FROM asg JOIN pc USING (cell)
+    |    JOIN e p ON p.vec_id = pc.probe_id
+    |    JOIN e n ON n.vec_id = asg.vec_id
+    |  WHERE asg.vec_id <> pc.probe_id),
+    |r AS (SELECT *, CAST(row_number() OVER (
+    |    PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS INTEGER)
+    |      AS rnk
+    |  FROM sc)
+    |SELECT probe_id, rnk, neighbor_id, round(c, $ScoreDp) AS score
+    |FROM r WHERE rnk <= $TopK ORDER BY probe_id, rnk""".stripMargin
+
   /** The q101b DuckDB mirror — q39b's assignment CTEs (s/nd/ar/asg/pc)
     * produce the cell-mate pairs, q98b's encode/LUT CTEs
     * (sq/ms/sub/enc/ae/codes) produce the ADC sums over exactly those
@@ -2299,35 +2360,7 @@ object Similarity {
     // distance with lowest-cell tie-break (row_number over the seed cross
     // join — euclidean orders identically to nearestCells' squared form),
     // probe fan-out = top-IvfProbes of the same ranking.
-    QueryDef("q39b_ann_ivf_seeded", q39b,
-      Some(s"""WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  WHERE embedding IS NOT NULL),
-        |s AS (SELECT v AS sv,
-        |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-        |          AS cell
-        |      FROM e ORDER BY vec_id LIMIT $IvfCells),
-        |nd AS (SELECT e.vec_id, s.cell, list_distance(e.v, s.sv) AS d
-        |       FROM e CROSS JOIN s),
-        |a AS (SELECT vec_id, cell,
-        |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
-        |          AS rn
-        |      FROM nd),
-        |asg AS (SELECT vec_id, cell FROM a WHERE rn = 1),
-        |pc AS (SELECT vec_id AS probe_id, cell FROM a
-        |       WHERE vec_id < 5 AND rn <= $IvfProbes),
-        |sc AS (SELECT pc.probe_id, asg.vec_id AS neighbor_id,
-        |    list_cosine_similarity(p.v, n.v) AS c
-        |  FROM asg JOIN pc USING (cell)
-        |    JOIN e p ON p.vec_id = pc.probe_id
-        |    JOIN e n ON n.vec_id = asg.vec_id
-        |  WHERE asg.vec_id <> pc.probe_id),
-        |r AS (SELECT *, CAST(row_number() OVER (
-        |    PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS INTEGER)
-        |      AS rnk
-        |  FROM sc)
-        |SELECT probe_id, rnk, neighbor_id, round(c, $ScoreDp) AS score
-        |FROM r WHERE rnk <= $TopK ORDER BY probe_id, rnk""".stripMargin)),
+    QueryDef("q39b_ann_ivf_seeded", q39b, Some(ivfSeededOracle)),
     QueryDef("q98_pq_adc", q98, None),
     // q98b pins the SAME pqAdcTopK encode→LUT→ADC-rank code q98 runs, with
     // the init-free lowest-id codebooks (q39b's idiom). The mirror encodes

@@ -582,6 +582,70 @@ object StreamReplay {
       .orderBy(col("bucket_ms"))
   }
 
+  /** q123: streaming served-index maintenance for the ANN tier — q107
+    * maintains the near-dup band index online; this is its embedding
+    * sibling, completing the online family's index story: a codebook
+    * trained offline goes through the ModelStore save→load seam
+    * ([[servedQuantizer]] — q106/q108's serving path), the corpus then
+    * streams through a REAL file-stream source with the LOADED quantizer
+    * assigning every arrival its IVF cell INSIDE the micro-batch
+    * (plan-literal codegen), and the state store maintains the inverted
+    * index a production ANN deployment keeps warm: per cell, the sorted
+    * arrival ids. The registered output is the SERVE step off the drained
+    * index — [[graft.operators.Similarity.ivfServe]]: probes fan out under
+    * the same loaded quantizer, cell-mates come from the INDEX (not a
+    * recomputed assignment), neighbor vectors are fetched from the at-rest
+    * table by id. Cell-of-arrival is arrival-order-free (a pure function
+    * of codebook and vector) and ids sort in the drain, so the online path
+    * is micro-batch-split-independent and q39b's batch SQL hashes it
+    * verbatim — q107's keeper-independence idiom on the ANN tier.
+    *
+    * Scale shape: state is the index — O(corpus) IDS grouped into
+    * O(cells) state rows (the inherent floor for serving: an index must
+    * remember what it indexed — q61/q107's class), ~8 B/vector vs the
+    * corpus' KBs: the payload VECTORS die inside the micro-batch, only
+    * (cell, id) reaches the store (state-gauge spec'd: rows == cells).
+    * The serve join is ids-only on the big side; at 100 TB the index is
+    * the big side and shuffles ids, never payloads, while the probe side
+    * stays broadcast (q39's contract). The PQ composition (codes in the
+    * state row, q121's served ADC off the drained index) is the same plan
+    * with [[graft.operators.Similarity.ivfPqEncode]]'s columns riding the
+    * arrival projection.
+    */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val served = servedQuantizer(spark, dir)
+    if (served.isEmpty) return emptyTopKResult(spark)
+    val (quant, _, _) = served.get
+    val stream = replayTable(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+      .select(quant.assign(col("v")).as("cell"), col("vec_id"))
+    val index = drain(stream.groupBy(col("cell"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids")),
+      "q123_annindex_sink", "complete")
+      .select(col("cell"), explode(col("ids")).as("vec_id"))
+    val base = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    Similarity.ivfServe(index, base, quant)
+  }
+
+  /** Empty, schema-correct ranked-top-k result — q123's short-circuit for
+    * a corpus no codebook can be trained on (Similarity.emptyTopK's shape).
+    */
+  private def emptyTopKResult(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("probe_id", LongType), StructField("rnk", IntegerType),
+        StructField("neighbor_id", LongType),
+        StructField("score", DoubleType))))
+  }
+
   /** Empty, schema-correct q108 result — the windowed monitor for a corpus
     * no codebook can be trained on.
     */
@@ -609,6 +673,11 @@ object StreamReplay {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // q39b's mirror VERBATIM: the drained (cell → sorted ids) state holds
+    // exactly assign()'s cells, so the served online path is bit-identical
+    // to the batch assignment the SQL mirrors (q107's idiom, ANN tier)
+    QueryDef("q123_stream_ann_index_serve", q123,
+      Some(graft.operators.Similarity.ivfSeededOracle)),
     // the whole online path is hash-mirrorable because MdBandKeysExpr is
     // cross-engine by construction: tokenization ≡ the regexp_split mirror
     // (the TokenXxh64Expr-documented identity), the 60-bit md5 draw ≡ the

@@ -380,4 +380,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(6L) === ((false, None)))
     assert(streaming.StreamReplay.lastStateOps.map(_._2).sum === 24L)
   }
+
+  /** q123's two contracts on a planted corpus: (a) serve-equivalence — the
+    * top-k served off the STREAM-MAINTAINED index equals the batch q39b
+    * path bit-for-bit (cell-of-arrival is arrival-order-free, so the
+    * micro-batch split cannot show); (b) the state gauge — state rows =
+    * distinct CELLS (the ids-only inverted index), never O(arrivals) rows,
+    * and the vectors die in the micro-batch (only (cell, ids) reach the
+    * store).
+    */
+  test("q123 streaming ANN index: served top-k equals batch, state rows = cells") {
+    import spark.implicits._
+    import graft.operators.{FlatQuantizer, Similarity}
+    val d = java.nio.file.Files.createTempDirectory("graft-q123-fix").toString
+    val rnd = new scala.util.Random(7)
+    (0L until 60L).map(i =>
+        (i, Array.fill(8)(rnd.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = streaming.StreamReplay.q123(spark, d).collect().toSeq
+    val want = Similarity.q39b(spark, d).collect().toSeq
+    assert(got === want, "served-from-stream-index top-k drifted from batch")
+    assert(got.nonEmpty)
+    // state gauge: rows in the store == distinct cells of the batch
+    // assignment (ids grouped per cell), not 60 arrival rows
+    val base = Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v"))
+    val seeds = base.orderBy(col("vec_id")).limit(Similarity.IvfCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val cells = base.select(FlatQuantizer(seeds).assign(col("v")).as("c"))
+      .distinct().count()
+    assert(streaming.StreamReplay.lastStateOps.map(_._2).sum === cells,
+      s"state rows must equal distinct cells ($cells)")
+    new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+  }
 }
