@@ -1836,8 +1836,26 @@ object Similarity {
 
   /** The q117 core over bounded (probe_id, pv) probes and a (vec_id, v)
     * corpus — planted specs run it directly.
+    *
+    * Round-14 shape: the greedy selection runs as ONE job — the pool rows
+    * carry their pairwise-sim maps (probes × Pool rows, Pool-sized maps)
+    * into a per-probe `flatMapGroups` walk over the ≤ [[MmrPool]]
+    * in-memory candidates. Round 13 scheduled the walk as MmrK−1
+    * sequential Spark jobs with a localCheckpoint each (~3 s of fixed
+    * job-dispatch overhead on KB-scale frames — flat in the corpus, but
+    * pure waste). Every hash-bearing double is computed BEFORE the typed
+    * walk by the same codegen'd expressions as before (rounded rel and
+    * pairwise sims); the walk itself only compares those exact doubles and
+    * applies λ·rel − (1−λ)·msim with [[mmrRound6]] — the literal
+    * scala.math.BigDecimal HALF_UP arithmetic Catalyst's `round` runs on
+    * doubles — so the selected path and the oracle's unrolled-CTE walk are
+    * unchanged bit for bit. The typed operator touches probes×Pool rows
+    * (model-sized), never the corpus: the zero-ScalaUDF rule on data paths
+    * holds.
     */
   def mmrTopK(probes: DataFrame, corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     // relevance pass: the one corpus touch; pool = top-MmrPool per probe
     val rel = corpus.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -1848,53 +1866,80 @@ object Similarity {
         Window.partitionBy(col("probe_id"))
           .orderBy(col("rel").desc, col("cand_id"))))
       .filter(col("rnk") <= MmrPool)
-      .localCheckpoint() // bounded: probes × Pool rows
-    // pairwise sims within each pool: probes × Pool² rounded scalars
+      .localCheckpoint() // bounded: probes × Pool rows; feeds 3 consumers
+    // pairwise sims within each pool (probes × Pool² rounded scalars),
+    // folded to a Pool-sized map per candidate; null sims (zero-norm
+    // members) drop here exactly as max(s) ignored them before
     val a = rel.select(col("probe_id"), col("cand_id"), col("v"))
     val b = rel.select(col("probe_id"), col("cand_id").as("other_id"),
       col("v").as("ov"))
-    val pair = a.join(b, Seq("probe_id"))
+    val simMaps = a.join(b, Seq("probe_id"))
       .filter(col("cand_id") =!= col("other_id"))
       .select(col("probe_id"), col("cand_id"), col("other_id"),
         round(vecexprs.cosineSim(col("v"), col("ov")), ScoreDp).as("s"))
-      .localCheckpoint()
+      .filter(col("s").isNotNull)
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(map_from_entries(collect_list(struct(col("other_id"), col("s"))))
+        .as("sims"))
     val pool = rel.select(col("probe_id"), col("cand_id"), col("rel"))
-    // greedy walk: K bounded argmax steps over model-sized frames
-    var sel = pool.filter(col("rel").isNotNull)
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("rel").desc, col("cand_id"))))
-      .filter(col("r") === 1)
-      .select(col("probe_id"), col("cand_id"), lit(1).as("step"),
-        round(lit(MmrLambda) * col("rel"), ScoreDp).as("mmr"))
-      .localCheckpoint()
-    for (k <- 2 to MmrK) {
-      val remaining = pool.join(
-        sel.select(col("probe_id"), col("cand_id")),
-        Seq("probe_id", "cand_id"), "left_anti")
-      val maxSim = pair.join(
-          sel.select(col("probe_id"), col("cand_id").as("other_id")),
-          Seq("probe_id", "other_id"))
-        .groupBy(col("probe_id"), col("cand_id"))
-        .agg(max(col("s")).as("msim"))
-      val pick = remaining
-        .join(maxSim, Seq("probe_id", "cand_id"), "left")
-        .withColumn("mmr", round(
-          lit(MmrLambda) * col("rel") -
-            lit(1 - MmrLambda) * coalesce(col("msim"), lit(0.0)),
-          ScoreDp))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("probe_id"))
-            .orderBy(col("mmr").desc, col("cand_id"))))
-        .filter(col("r") === 1)
-        .select(col("probe_id"), col("cand_id"), lit(k).as("step"),
-          col("mmr"))
-      sel = sel.union(pick).localCheckpoint()
-    }
-    sel.join(pool, Seq("probe_id", "cand_id"))
-      .select(col("probe_id"), col("step"), col("cand_id"), col("rel"),
-        col("mmr"))
+      .join(simMaps, Seq("probe_id", "cand_id"), "left")
+    pool.as[(Long, Long, Option[Double], Option[Map[Long, Double]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (probe, it) =>
+        val cands = it.map(t =>
+          (t._2, t._3, t._4.getOrElse(Map.empty[Long, Double]))).toVector
+        mmrWalk(cands).map { case (step, cand, r, m) =>
+          (probe, step, cand, r, m) }
+      }
+      .toDF("probe_id", "step", "cand_id", "rel", "mmr")
       .orderBy(col("probe_id"), col("step"))
+  }
+
+  /** Catalyst's `round(double, 6)` arithmetic, verbatim (RoundBase:
+    * BigDecimal HALF_UP on the double) — the walk must round exactly as
+    * the Column expression the round-13 form used, or the greedy path
+    * could diverge from the oracle at a boundary.
+    */
+  private def mmrRound6(v: Double): Double =
+    BigDecimal(v).setScale(ScoreDp, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** The per-probe greedy walk over ≤ [[MmrPool]] pooled candidates of
+    * (cand_id, rounded rel, rounded sims-to-pool-mates). Selection order
+    * mirrors the round-13 frame loop exactly: step 1 = best DEFINED rel
+    * (ties to lowest id; absent when no rel is defined — a degenerate
+    * all-null pool starts selecting at step 2 by lowest id, as the
+    * window's nulls-last rank did); steps 2..[[MmrK]] = argmax of
+    * λ·rel − (1−λ)·max-sim-to-selected with null rel ranking last and
+    * missing sims coalescing to 0.
+    */
+  private def mmrWalk(
+      cands: Vector[(Long, Option[Double], Map[Long, Double])])
+      : Seq[(Int, Long, Option[Double], Option[Double])] = {
+    val byId = cands.map(c => c._1 -> c).toMap
+    val out = Seq.newBuilder[(Int, Long, Option[Double], Option[Double])]
+    val selected = scala.collection.mutable.ArrayBuffer[Long]()
+    var ids = cands.map(_._1).toSet
+    val defined = cands.filter(_._2.isDefined)
+    if (defined.nonEmpty) {
+      val best = defined.minBy(c => (-c._2.get, c._1))
+      out += ((1, best._1, best._2, Some(mmrRound6(MmrLambda * best._2.get))))
+      selected += best._1; ids -= best._1
+    }
+    var step = 2
+    while (step <= MmrK && ids.nonEmpty) {
+      val pick = ids.toSeq.map { id =>
+        val (_, r, sims) = byId(id)
+        val msims = selected.flatMap(sims.get)
+        val msim = if (msims.nonEmpty) msims.max else 0.0
+        (id, r, r.map(x => mmrRound6(MmrLambda * x - (1 - MmrLambda) * msim)))
+      }.minBy { case (id, _, m) =>
+        (m.map(-_).getOrElse(Double.MaxValue), id) }
+      out += ((step, pick._1, pick._2, pick._3))
+      selected += pick._1; ids -= pick._1
+      step += 1
+    }
+    out.result()
   }
 
   /** The q85 DuckDB mirror (unrestricted exact pairs + recursive-CTE CC +
