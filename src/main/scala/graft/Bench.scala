@@ -35,6 +35,38 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Hardware-independent clock canary (BASELINE.md §box-speed: "every
+    // engine-vs-baseline ratio must be computed against a same-window
+    // C-binary canary run"): build the reference binary ONCE in scratch
+    // (never touching /root/reference) and time its whole workload, min of
+    // 2, at the start and end of the bench. The r13 driver artifact's
+    // load-contaminated window manufactured 15 phantom ×1.5 regressions;
+    // with canary_s in the JSON the window's speed is machine-checkable.
+    lazy val canaryBin: Option[java.io.File] =
+      try {
+        val scratch = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_canary")
+        val bin = new java.io.File(scratch, "index")
+        if (!bin.canExecute) {
+          scratch.mkdirs()
+          import scala.sys.process._
+          Seq("cp", "-r", "/root/reference/.", scratch.getAbsolutePath).!
+          Process(Seq("make"), scratch).!(ProcessLogger(_ => ()))
+        }
+        if (bin.canExecute) Some(bin) else None
+      } catch { case _: Throwable => None }
+    def canarySecs(): Double = canaryBin.map { bin =>
+      import scala.sys.process._
+      val sink = ProcessLogger(_ => ())
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Process(Seq("./index", "-p", "24", "-c", "10"), bin.getParentFile)
+          .!(sink)
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }.getOrElse(-1.0)
+    val canaryStart = canarySecs()
     // One timed run. Every sample is kept (spread = noise evidence).
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -178,8 +210,12 @@ object Bench {
       .flatMap(n => allRuns.get(n).map(r =>
         "\"" + shortId(n) + "\":[" + fmt(r.min) + "," + fmt(r.max) + "]"))
       .mkString("{", ",", "}")
+    // canary = [start-of-bench, end-of-bench] min-of-2 C-binary timings:
+    // ~0.08 s on a full-speed box, ×3-5 in a loaded/throttled window —
+    // the ratio context BASELINE.md's rule requires, now in the artifact
+    val canaryEnd = canarySecs()
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline":${fmt(headline)},"median":${fmt(median)},"hl_spread":$hlSpread,"load":${fmt(loadavg1)},"queries":$qs,"n_err":${errors.size},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline":${fmt(headline)},"median":${fmt(median)},"hl_spread":$hlSpread,"load":${fmt(loadavg1)},"canary_s":[${fmt(canaryStart)},${fmt(canaryEnd)}],"queries":$qs,"n_err":${errors.size},"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
         "nearing the driver's 2000-char stdout tail; shorten before adding queries")
