@@ -511,10 +511,21 @@ object Similarity {
   // ---- ANN: IVF (KMeans coarse quantizer) --------------------------------
 
   /** IVF cells and probe fan-out. Cells ~ sqrt(corpus) at real scale; the
-    * fixture gets 16 cells / 4 probes (a quarter of the corpus scanned).
+    * fixture gets 16 cells / 8 probes.
+    *
+    * The fan-out FLOOR moved 4 → 8 in round 14, moved by the closed loop
+    * the r13 calibration started: the new recall-contract spec reads the
+    * q103 sweep and found the deployed point at 4/16 cells delivering
+    * recall 0.88 on the fixture geometry — below the
+    * [[ServedRecallTarget]] 0.9 contract — with (nprobe 8, shortlist 160)
+    * the cheapest sufficient grid point. The floor only binds at tiny
+    * cell counts (≤ 64 cells, where probing half of very little is
+    * trivially cheap); at scale [[ivfProbesFor]]'s ⌈√k⌉ co-scaling
+    * dominates (√5041 = 71 > 8 at the 200k decade) so production scanned
+    * mass is unchanged.
     */
   val IvfCells = 16
-  val IvfProbes = 4
+  val IvfProbes = 8
 
   /** Quantizer cell count for an n-vector corpus: ~√n, floored at the
     * fixture's [[IvfCells]], capped at [[Quantizers.FlatCellCap]]² (the IMI
@@ -984,6 +995,19 @@ object Similarity {
   }
 
   // ---- ANN operating-point calibration (q103) -----------------------------
+
+  /** The served tier's recall contract: the deployed (fan-out, shortlist)
+    * operating point must reach at least this recall@[[TopK]] against the
+    * exact ground truth on the calibration corpus. 0.9 is the operating
+    * point the round-13 200k-decade sweep was tuned to (SCALE.md — the
+    * shortlist move 40 → 160 took the deployed point from 0.50 to 1.00
+    * there). The q103 sweep MEASURES the grid; SimilaritySpec's contract
+    * test closes the loop — it picks the cheapest grid point meeting this
+    * target and asserts the deployed constants sit at or above it, so a
+    * data change that silently degrades the operating point fails a test
+    * instead of a dashboard.
+    */
+  val ServedRecallTarget = 0.9
 
   /** q103's probe-fan-out grid. The deployed [[IvfProbes]] (= the
     * [[ivfProbesFor]] floor, and its exact value at the fixture's 16

@@ -438,6 +438,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.forall(r => r._5 === 50L), "5 probes × top-10 ground truth")
   }
 
+  /** The closed loop over the q103 table (round-14 #7): the sweep and the
+    * q119 scoreboard existed separately; this contract reads the
+    * calibration table, finds the CHEAPEST grid point meeting
+    * [[Similarity.ServedRecallTarget]], and asserts the DEPLOYED
+    * (IvfProbes, PqShortlist) constants sit at or above it — both in
+    * recall (the served tier keeps its promise) and in knob position (the
+    * deployed point dominates the cheapest sufficient one, so it isn't
+    * accidentally sub-minimal). A future fixture/data change that silently
+    * degrades the deployed operating point below target now fails here
+    * instead of on a dashboard.
+    */
+  test("recall contract: deployed ANN knobs meet the target the sweep justifies") {
+    val dir = "/root/testdata/sf0.001"
+    val grid = Similarity.q103(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6)))
+    val qualifying = grid.filter(
+      _._4.exists(_ >= Similarity.ServedRecallTarget))
+    assert(qualifying.nonEmpty,
+      s"no grid point reaches recall ${Similarity.ServedRecallTarget} — " +
+        "the sweep grid no longer contains a viable operating point")
+    val cheapest = qualifying.minBy(r => (r._3, r._2, r._1))
+    val deployed = grid.find(_._5).get
+    assert(deployed._4.exists(_ >= Similarity.ServedRecallTarget),
+      s"deployed point recall ${deployed._4} fell below the " +
+        s"${Similarity.ServedRecallTarget} contract (cheapest sufficient " +
+        s"point: nprobe=${cheapest._1}, shortlist=${cheapest._2})")
+    assert(deployed._1 >= cheapest._1 && deployed._2 >= cheapest._2,
+      s"deployed knobs (${deployed._1}, ${deployed._2}) sit below the " +
+        s"cheapest sufficient point (${cheapest._1}, ${cheapest._2})")
+  }
+
   /** Empty-eval edge (round-13 contract fix): BOTH decon forms must fan
     * every train row back clean when the eval set is empty — an empty
     * benchmark suite contaminates nothing, it doesn't erase the training
