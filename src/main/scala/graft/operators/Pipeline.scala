@@ -1216,6 +1216,74 @@ object Pipeline {
       .orderBy(col("shard"), col("bucket"), col("batch_idx"), col("pos"))
   }
 
+  /** Per-sequence token budget for q124: the training context length the
+    * packer fills. Docs past it truncate to exactly one full sequence
+    * (q115's least() truncation rule applied at the packing tier).
+    */
+  val SeqTokenBudget = 2048L
+
+  /** q124: training-sequence packing — the step AFTER q100's shuffle and
+    * q115's bucketing in a real dataloader: short documents are
+    * CONCATENATED into fixed-[[SeqTokenBudget]] training sequences
+    * (the T5/GPT "example packing" idiom — pad waste goes to the tail of
+    * each sequence instead of every row), next-fit in q100's training
+    * order: walk each shard's salted-md5 order once, append a doc while
+    * it fits, else seal the sequence and open the next. Reported per doc:
+    * the sequence it lands in, its token offset inside it, its packed
+    * cost (truncated docs pay exactly one full sequence), so Σ(budget −
+    * seq fill) over sealed sequences — the pad the packer exists to
+    * minimize — is one GROUP BY away.
+    *
+    * Shape for 100 TB: packing is inherently sequential — the ORDER
+    * INSIDE a shard is the state — so the parallel unit is the shard,
+    * exactly like q100's writer (~10^5 shards at real scale): one bounded
+    * exchange on shard of (id, key, count) rows ONLY (text never
+    * shuffles), then a per-partition STREAMING walk (sortWithinPartitions
+    * + mapPartitions, O(1) state: current fill + sequence index, reset on
+    * shard change) — never a corpus-wide window, never a driver loop, and
+    * the typed walk carries no doubles so the q117 hash-safety rule is
+    * trivially met (every output column is integer arithmetic over
+    * integer inputs).
+    */
+  def q124(spark: SparkSession, dir: String): DataFrame =
+    packSequences(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q124 core over any (doc_id, text) frame — specs run it directly. */
+  def packSequences(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(text.tokenCount(col("text"))).as("n_tokens"),
+        md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))
+          .cast("binary")).as("sk"))
+      .withColumn("shard",
+        pmod(conv(substring(col("sk"), 1, 8), 16, 10).cast("long"),
+          lit(ShardCount.toLong)).cast("int"))
+      .withColumn("cost", least(col("n_tokens"), lit(SeqTokenBudget)))
+    val walked = keyed
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("sk"), col("doc_id"))
+      .select(col("doc_id"), col("shard"), col("cost"), col("n_tokens"))
+      .as[(Long, Int, Long, Long)]
+      .mapPartitions { it =>
+        // O(1) state per partition; a partition may hold several whole
+        // shards (sorted shard-first), so state resets on shard change
+        var curShard = -1; var seq = 0; var fill = 0L
+        it.map { case (id, sh, c, nt) =>
+          if (sh != curShard) { curShard = sh; seq = 0; fill = 0L }
+          else if (fill + c > SeqTokenBudget) { seq += 1; fill = 0L }
+          val off = fill
+          fill += c
+          (id, sh, seq, off, c, nt > SeqTokenBudget)
+        }
+      }
+      .toDF("doc_id", "shard", "seq_idx", "seq_off", "cost", "truncated")
+    walked.orderBy(col("shard"), col("seq_idx"), col("seq_off"), col("doc_id"))
+  }
+
   /** q120's anchor-batch size: the registered exact form scores a FIXED
     * number of anchors per run (the md5-lowest pair-members — a uniform
     * deterministic batch, q89's draw idiom), so its cost is
@@ -1494,6 +1562,37 @@ object Pipeline {
         |  CAST(bucket - least(n_tokens, bucket) AS BIGINT) AS pad_tokens
         |FROM r ORDER BY shard, bucket, batch_idx, pos""".stripMargin
       }),
+    QueryDef("q124_seq_pack", q124,
+      // q100's md5 CTEs + a recursive next-fit walk: the packer's state
+      // (current fill, sequence index) steps row-by-row in (sk, doc_id)
+      // order per shard — depth = max rows per shard, fixture-sized
+      Some(s"""WITH RECURSIVE k AS (
+        |  SELECT doc_id,
+        |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                                  t -> t <> '')) AS BIGINT), 0) AS n_tokens,
+        |    md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |o AS (SELECT doc_id, n_tokens, sk,
+        |    CAST(CAST('0x' || substr(sk, 1, 8) AS BIGINT) % $ShardCount
+        |      AS INTEGER) AS shard,
+        |    least(n_tokens, $SeqTokenBudget) AS cost
+        |  FROM k),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY shard ORDER BY sk, doc_id) AS rn FROM o),
+        |rec AS (
+        |  SELECT shard, rn, doc_id, cost, n_tokens,
+        |    0 AS seq_idx, CAST(0 AS BIGINT) AS seq_off
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.doc_id, r.cost, r.n_tokens,
+        |    CASE WHEN p.seq_off + p.cost + r.cost <= $SeqTokenBudget
+        |      THEN p.seq_idx ELSE p.seq_idx + 1 END,
+        |    CASE WHEN p.seq_off + p.cost + r.cost <= $SeqTokenBudget
+        |      THEN p.seq_off + p.cost ELSE CAST(0 AS BIGINT) END
+        |  FROM rec p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+        |SELECT doc_id, shard, CAST(seq_idx AS INTEGER) AS seq_idx,
+        |  seq_off, cost, (n_tokens > $SeqTokenBudget) AS truncated
+        |FROM rec ORDER BY shard, seq_idx, seq_off, doc_id""".stripMargin)),
     QueryDef("q100_train_shards", q100,
       Some(s"""WITH k AS (
         |  SELECT doc_id,

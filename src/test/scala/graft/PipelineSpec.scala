@@ -693,6 +693,61 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  /** q124: a uniform corpus packs to the arithmetic answer whatever md5
+    * order the walk sees (600×3 fits the 2048 budget, +600 does not → 3
+    * docs per sealed sequence), then the structural packing contracts on
+    * a mixed corpus: per-sequence fill ≤ budget, offsets are the gapless
+    * running sum in walk order, sequences seal ONLY when the next doc
+    * would overflow (the next-fit law), and an over-budget doc truncates
+    * to exactly one full sequence at offset 0.
+    */
+  test("sequence packing: budget, offsets, next-fit seal, truncation") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.packSequences(df).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))
+    val uni = rows((1L to 100L).map(i =>
+      i -> Seq.fill(600)("tok").mkString(" ")).toDF("doc_id", "text"))
+    assert(uni.length === 100)
+    val uniShardMax = uni.groupBy(_._2).map { case (sh, rs) =>
+      sh -> rs.map(_._3).max }
+    uni.groupBy(t => (t._2, t._3)).foreach { case ((sh, sq), rs) =>
+      assert(rs.map(_._4).sorted.toVector ===
+        (0 until rs.length).map(_ * 600L).toVector, s"offsets in ($sh, $sq)")
+      if (sq < uniShardMax(sh))
+        assert(rs.length === 3, s"sealed sequence ($sh, $sq) not full")
+      else assert(rs.length <= 3, s"overfull tail sequence ($sh, $sq)")
+    }
+    // mixed: varied sizes (all ≥ 1 token so walk order == offset order),
+    // one over-budget doc
+    val mixed = rows(((1L to 200L).map { i =>
+      i -> Seq.fill((i % 97).toInt + 1)("tok").mkString(" ")
+    } :+ (1001L -> ("x " * 9000).trim)).toDF("doc_id", "text"))
+    val big = mixed.find(_._1 == 1001L).get
+    assert(big._4 === 0L && big._5 === Pipeline.SeqTokenBudget && big._6,
+      "over-budget doc must fill its own sequence from offset 0")
+    assert(mixed.filter(_._6).map(_._1).toSeq === Seq(1001L))
+    val byShard = mixed.groupBy(_._2)
+    byShard.foreach { case (sh, rs) =>
+      val bySeq = rs.groupBy(_._3).map { case (sq, g) =>
+        sq -> g.sortBy(_._4) }
+      bySeq.foreach { case (sq, g) =>
+        assert(g.map(_._5).sum <= Pipeline.SeqTokenBudget,
+          s"overfull sequence ($sh, $sq)")
+        g.zipWithIndex.foreach { case (t, k) =>
+          assert(t._4 === g.take(k).map(_._5).sum,
+            s"gapped offset for doc ${t._1} in ($sh, $sq)")
+        }
+      }
+      (0 until bySeq.keys.max).foreach { sq =>
+        val fill = bySeq(sq).map(_._5).sum
+        assert(fill + bySeq(sq + 1).head._5 > Pipeline.SeqTokenBudget,
+          s"sequence ($sh, $sq) sealed early — next doc would have fit")
+      }
+    }
+  }
+
   /** q120 on a planted two-space corpus (all pair-members fit the anchor
     * cap): the embeddable near-dup pair emits with its min-id positive
     * and the model's gated, ranked negatives (the ≥ 0.35-cosine dup

@@ -417,6 +417,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lang"), "scan reads pruned columns")
   }
 
+  /** q124's packing walk: one bounded hash exchange on shard (text is
+    * consumed by tokenCount inside the scan projection and never rides
+    * it), the walk itself is a typed per-partition operator — never a
+    * per-row ScalaUDF — and nothing funnels through a single partition
+    * ahead of the walk (the final presentation sort is a range exchange).
+    */
+  test("q124: shard hash exchange, per-partition walk, no UDF, pruned scan") {
+    val p = plan(graft.operators.Pipeline.q124(spark, dir))
+    assert(!p.contains("ScalaUDF"))
+    assert(p.contains("hashpartitioning"), "walk lost its shard exchange")
+    assert(!p.contains("SinglePartition"), "packing funneled through one partition")
+    assert(!p.contains("lang"), "scan reads pruned columns")
+  }
+
   /** q111's refresh pass: assignment must evaluate inside codegen (no
     * ScalaUDF — the one pass that touches every vector), the n×d explode
     * must partial-aggregate to cells×d before its exchange (q96's
