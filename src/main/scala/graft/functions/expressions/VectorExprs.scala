@@ -49,6 +49,15 @@ object vecexprs {
     ColumnBridge.column(
       DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Euclidean distance √Σ(aᵢ−bᵢ)² (sequential left-to-right fold, then
+    * one IEEE-754 correctly-rounded sqrt) — bit-compatible with DuckDB's
+    * `list_distance` on the same doubles, so a ranking over this column
+    * and an oracle ranking over `list_distance` agree exactly.
+    */
+  def l2Dist(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      L2DistExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** The `k` jointly-nearest IMI product cells (a·|cbB|+b, ordered by
     * dA(a)+dB(b) ascending, ties by cell id) — the multi-sequence probe
     * order of the inverted multi-index, as ONE codegen'd expression. See
@@ -156,6 +165,56 @@ object DotProductExpr {
     var i = 0
     while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
     dot
+  }
+}
+
+/** Euclidean distance of two `array<double>` columns. Same contracts as
+  * [[DotProductExpr]] (null on length mismatch, tight primitive loop); the
+  * final sqrt is IEEE-754 correctly rounded, so on equal squared sums the
+  * value is bit-identical to DuckDB's `list_distance`.
+  */
+case class L2DistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"l2_dist needs array<double>, got $l, $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[ArrayData]; val r = b.asInstanceOf[ArrayData]
+    if (l.numElements() != r.numElements()) null
+    else L2DistExpr.compute(l, r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.expressions.L2DistExpr.compute($a, $b);
+         |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2DistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2DistExpr {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
   }
 }
 

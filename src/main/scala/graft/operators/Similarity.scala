@@ -1074,6 +1074,78 @@ object Similarity {
       pqCodebooksFromSeeds(seeds.take(PqCodewords)))
   }
 
+  // ---- embedding cluster-trim curation (q125) ------------------------------
+
+  /** q125's trim denominator: per cell, the farthest ⌊n/[[TrimDecile]]⌋
+    * members are flagged. Floor, not ceil — a cell smaller than the decile
+    * has no fringe to spare, so tiny cells trim nothing.
+    */
+  val TrimDecile = 10
+
+  /** q125: embedding cluster-trim curation — the distance-to-centroid
+    * outlier cut an embedding-filtered pipeline runs after clustering
+    * (trim each cluster's farthest fringe before the cluster is trusted
+    * for dedup/sampling; the per-cluster analog of q93's global z-score
+    * gate): every vector takes its nearest cell under the deterministic
+    * lowest-id seed quantizer (q39b's idiom — the trained twin is the
+    * q111-refreshed codebook), ranks within its cell by distance to the
+    * cell seed FARTHEST-FIRST, and the top ⌊n/[[TrimDecile]]⌋ of each
+    * cell are flagged. Rank key is the e6-rounded distance (vec_id
+    * tie-break), so a last-ulp disagreement between engines collapses to
+    * the same tie and breaks the same way; the raw distance itself never
+    * leaves the plan.
+    *
+    * Shape for 100 TB: assignment is the one corpus pass (plan-literal
+    * codegen, q39's machinery); the seed fan-back is a 16-row broadcast;
+    * the per-cell window partitions on cell — at real scale cells ≈ √n
+    * (ivfCellsFor), so no window partition exceeds ~√n rows and nothing
+    * funnels through one task.
+    */
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val seeds = base.orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty) return emptyClusterTrim(spark)
+    clusterTrim(base, seeds)
+  }
+
+  /** Empty, schema-correct q125 result for a seedless corpus. */
+  private def emptyClusterTrim(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType), StructField("cell", IntegerType),
+        StructField("far_rnk", IntegerType), StructField("cell_n", LongType),
+        StructField("is_trimmed", BooleanType))))
+  }
+
+  /** The q125 core over a clean (vec_id, v) frame and explicit seed
+    * centroids — planted specs run it directly.
+    */
+  def clusterTrim(base: DataFrame, seeds: Array[Array[Double]]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val seedDf = seeds.zipWithIndex
+      .map { case (sv, i) => (i, sv.toSeq) }.toSeq.toDF("cell", "sv")
+    val assigned = base.select(col("vec_id"), col("v"),
+      element_at(vecexprs.nearestCells(col("v"), seeds, 1), 1).as("cell"))
+    val w = Window.partitionBy(col("cell"))
+    assigned.join(broadcast(seedDf), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        round(vecexprs.l2Dist(col("v"), col("sv")), ScoreDp).as("rd"))
+      .select(col("vec_id"), col("cell"),
+        row_number().over(w.orderBy(col("rd").desc, col("vec_id")))
+          .as("far_rnk"),
+        count(lit(1)).over(w).as("cell_n"))
+      .withColumn("is_trimmed",
+        col("far_rnk") <= expr(s"cell_n DIV $TrimDecile"))
+      .orderBy(col("cell"), col("far_rnk"))
+  }
+
   /** The q103 core over any clean (vec_id, v) frame and a fitted
     * quantizer + PQ codebooks — specs run it directly, and a TRAINED
     * (or [[graft.sources.ModelStore]]-reloaded) model plugs in the same
@@ -2497,6 +2569,33 @@ object Similarity {
       }),
     QueryDef("q101_ivf_pq", q101, None),
     QueryDef("q103_ann_sweep", q103, None),
+    QueryDef("q125_cluster_trim", q125,
+      // q39b's seed/assignment CTEs, then the per-cell farthest rank on
+      // the e6-rounded distance (the raw double never reaches the output)
+      Some(s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL),
+      |s AS (SELECT v AS sv,
+      |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+      |          AS cell
+      |      FROM e ORDER BY vec_id LIMIT $IvfCells),
+      |nd AS (SELECT e.vec_id, s.cell, list_distance(e.v, s.sv) AS d
+      |       FROM e CROSS JOIN s),
+      |a AS (SELECT vec_id, cell, d,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+      |          AS rn
+      |      FROM nd),
+      |asg AS (SELECT vec_id, cell, round(d, $ScoreDp) AS rd
+      |        FROM a WHERE rn = 1),
+      |r AS (SELECT vec_id, cell,
+      |        CAST(row_number() OVER (
+      |          PARTITION BY cell ORDER BY rd DESC, vec_id) AS INTEGER)
+      |          AS far_rnk,
+      |        count(*) OVER (PARTITION BY cell) AS cell_n
+      |      FROM asg)
+      |SELECT vec_id, cell, far_rnk, cell_n,
+      |  (far_rnk <= cell_n // $TrimDecile) AS is_trimmed
+      |FROM r ORDER BY cell, far_rnk""".stripMargin)),
     // q101b pins the SAME ivfPqTopK route→ADC→refine code q101 runs, with
     // ONE lowest-id seed set feeding both tiers: q39b's assignment CTEs
     // (s/nd/ar/asg/pc) produce the cell-mate pairs, q98b's encode/LUT CTEs

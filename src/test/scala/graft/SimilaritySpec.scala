@@ -470,6 +470,38 @@ class SimilaritySpec extends AnyFunSuite {
         s"cheapest sufficient point (${cheapest._1}, ${cheapest._2})")
   }
 
+  /** q125 on a planted two-cluster corpus: members assign to their
+    * nearest seed, each cell flags exactly its farthest ⌊n/10⌋ members
+    * (floor — the 5-member cell trims nothing), and members tied at the
+    * same rounded distance rank in vec_id order (the e6-round tie-break
+    * contract the oracle shares).
+    */
+  test("cluster trim flags exactly the farthest floor(n/10) per cell") {
+    import spark.implicits._
+    val seeds = Array(Array(0.0, 0.0), Array(100.0, 0.0))
+    // cell 0: ids 1..12 at distance i from the origin seed, plus ids 20/21
+    // tied with id 3 at rounded distance 3.0 → n=14, trim ⌊14/10⌋=1
+    // cell 1: ids 30..34 at distance 1..5 from (100,0) → n=5, trim 0
+    val base = ((1 to 12).map(i => (i.toLong, Seq(i.toDouble, 0.0))) ++
+      Seq((20L, Seq(0.0, 3.0)), (21L, Seq(-3.0, 0.0))) ++
+      (30 to 34).map(i => (i.toLong, Seq(100.0, (i - 29).toDouble))))
+      .toDF("vec_id", "v")
+    val got = Similarity.clusterTrim(base, seeds).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(got.count(_._2 == 0) === 14 && got.count(_._2 == 1) === 5)
+    assert(got.filter(_._5).map(_._1).toSeq === Seq(12L),
+      "exactly the farthest member of the 14-cell is trimmed")
+    assert(byId(12L)._3 === 1, "farthest ranks first")
+    assert(got.filter(_._2 == 1).forall(!_._5), "5-member cell trims nothing")
+    // the three members at rounded distance 3.0 rank in vec_id order
+    val tied = Seq(byId(3L)._3, byId(20L)._3, byId(21L)._3)
+    assert(tied === tied.sorted, "ties must break by vec_id ascending")
+    assert(byId(3L)._3 === byId(20L)._3 - 1 && byId(20L)._3 === byId(21L)._3 - 1,
+      "tied members must rank adjacently")
+  }
+
   /** Empty-eval edge (round-13 contract fix): BOTH decon forms must fan
     * every train row back clean when the eval set is empty — an empty
     * benchmark suite contaminates nothing, it doesn't erase the training
