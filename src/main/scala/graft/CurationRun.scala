@@ -50,7 +50,10 @@ final case class CurationParams(
     gopherGate: Boolean = false,
     // q113's keeper policy for the near-dup stage: the argmax-classifier
     // member survives each cluster instead of the min-id one
-    qualityKeeper: Boolean = false)
+    qualityKeeper: Boolean = false,
+    // round-14: q124's training-sequence packing over the final survivors
+    // (a layout artifact beside shards/, not a gate — no doc is dropped)
+    packSequences: Boolean = false)
 
 /** The end-to-end curation RUN: every stage of the shipped curation family,
   * chained as ONE artifact-writing job (reference: the pipeline a
@@ -332,10 +335,12 @@ object CurationRun {
         params.nearDupJaccard, params.sourceCap,
         params.reuseModels.orNull, params.reuseIndex.orNull,
         params.prevRun.orNull,
-        params.stripMarkup, params.gopherGate, params.qualityKeeper))
+        params.stripMarkup, params.gopherGate, params.qualityKeeper,
+        params.packSequences))
         .toDF("sem_dedup_cosine", "classifier_floor_e6", "neardup_jaccard",
           "source_cap", "reused_models_from", "reused_index_from",
-          "prev_run", "strip_markup", "gopher_gate", "quality_keeper")
+          "prev_run", "strip_markup", "gopher_gate", "quality_keeper",
+          "pack_sequences")
     }
     timed("artifacts") {
       PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
@@ -345,6 +350,14 @@ object CurationRun {
       fates.write.mode("overwrite").parquet(s"$outDir/verdicts/doc_fates")
       runParams.coalesce(1).write.mode("overwrite").parquet(s"$outDir/run_params")
       manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    }
+    // opt-in q124 layout: the packed training-sequence plan over the SAME
+    // survivors the shards stage laid out (next-fit in q100's salted
+    // order, so shard here == shards/'s shard) — the dataloader reads
+    // sequences instead of padding per row
+    if (params.packSequences) timed("pack") {
+      Pipeline.packSequences(sampled.select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(s"$outDir/layout/sequences")
     }
     // per-doc classifier scores of the RAW snapshot (pre-gate, so two
     // runs' tables describe the same population even when their gate
@@ -393,6 +406,8 @@ object CurationRun {
       case (p, Seq("--gopher-gate", v)) => p.copy(gopherGate = v.toBoolean)
       case (p, Seq("--quality-keeper", v)) =>
         p.copy(qualityKeeper = v.toBoolean)
+      case (p, Seq("--pack-sequences", v)) =>
+        p.copy(packSequences = v.toBoolean)
       case (_, other) =>
         throw new IllegalArgumentException(
           s"unknown flag ${other.headOption.getOrElse("")}")
@@ -405,7 +420,7 @@ object CurationRun {
         "[--classifier-floor-e6 N] [--neardup-jaccard X] [--source-cap N] " +
         "[--reuse-models priorOutDir] [--reuse-index priorOutDir] " +
         "[--prev-run priorOutDir] [--strip-markup B] [--gopher-gate B] " +
-        "[--quality-keeper B]")
+        "[--quality-keeper B] [--pack-sequences B]")
     val params = parseParams(args.drop(2).toSeq)
     val spark = Sessions.local("graft-curation-run")
     val t0 = System.nanoTime()

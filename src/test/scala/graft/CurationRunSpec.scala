@@ -256,7 +256,8 @@ class CurationRunSpec extends AnyFunSuite {
     * higher-score one (scores computed by the independent Scala weight
     * model, ids ASSIGNED so the two policies must disagree). Defaults
     * remain bit-compatible: the flag-off run keeps min-id and the short
-    * doc.
+    * doc. The flagged run also packs (round 14): layout/sequences must be
+    * q124 over the run's OWN final corpus, verbatim.
     */
   test("curation flags: markup strip, gopher gate, quality keeper") {
     import spark.implicits._
@@ -317,7 +318,8 @@ class CurationRunSpec extends AnyFunSuite {
 
     val outB = java.nio.file.Files.createTempDirectory("cfB").toString
     CurationRun.run(spark, sf, outB, CurationParams(
-      stripMarkup = true, gopherGate = true, qualityKeeper = true)).collect()
+      stripMarkup = true, gopherGate = true, qualityKeeper = true,
+      packSequences = true)).collect()
     val corpusB = spark.read.parquet(s"$outB/corpus")
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -328,8 +330,20 @@ class CurationRunSpec extends AnyFunSuite {
       "markup strip must rescue the style-block doc to its exact prose")
     val rp = spark.read.parquet(s"$outB/run_params").collect().head
     assert(rp.getAs[Boolean]("strip_markup") &&
-      rp.getAs[Boolean]("gopher_gate") && rp.getAs[Boolean]("quality_keeper"),
+      rp.getAs[Boolean]("gopher_gate") && rp.getAs[Boolean]("quality_keeper") &&
+      rp.getAs[Boolean]("pack_sequences"),
       "run_params must record the flags used")
+    // the packed layout is q124 over the run's OWN final corpus, verbatim
+    def packRows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("shard"), col("seq_idx"), col("seq_off"), col("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Int]("seq_idx"), r.getAs[Long]("seq_off"),
+        r.getAs[Long]("cost"), r.getAs[Boolean]("truncated"))).toSeq
+    val packed = packRows(spark.read.parquet(s"$outB/layout/sequences"))
+    val want = packRows(Pipeline.packSequences(
+      spark.read.parquet(s"$outB/corpus").select(col("doc_id"), col("text"))))
+    assert(packed.nonEmpty && packed === want,
+      "layout/sequences drifted from q124 over the run's corpus")
     Seq(sf, outA, outB).foreach(d =>
       new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
   }
