@@ -1123,6 +1123,67 @@ object Similarity {
         StructField("is_trimmed", BooleanType))))
   }
 
+  /** q126's per-cell keep budget and its deterministic draw salt (a new
+    * salt is a fresh draw — re-balancing reshuffles by bumping it, q100's
+    * epoch idiom).
+    */
+  val ClusterSampleCap = 24
+  val ClusterSampleSalt = "cluster-sample:1:"
+
+  /** q126: cluster-balanced sampling — the diversity downsampler an
+    * embedding-curated pipeline runs after q125's fringe trim (the
+    * SemDeDup→DataComp shape: trim each cluster, then BALANCE the
+    * clusters so no dense region dominates the training mix): under the
+    * same seeded quantizer, each cell keeps its [[ClusterSampleCap]]
+    * lowest-md5(salt‖vec_id) members — a uniform deterministic draw
+    * (q89's idiom on embedding cells instead of sources), rerun-stable
+    * and independent of input order. Output carries the draw rank and
+    * cell size so the balance audit is one GROUP BY away.
+    *
+    * Shape for 100 TB: one codegen assignment pass; the draw key is
+    * computed map-side (8 bytes + id leave the scan); the per-cell window
+    * co-scales as q125's (cells ≈ √n). No doubles anywhere past the
+    * assignment — every output column is exact cross-engine.
+    */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val seeds = base.orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty) return emptyClusterSample(spark)
+    clusterSample(base, seeds)
+  }
+
+  /** Empty, schema-correct q126 result for a seedless corpus. */
+  private def emptyClusterSample(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType), StructField("cell", IntegerType),
+        StructField("pick_rnk", IntegerType), StructField("cell_n", LongType),
+        StructField("is_kept", BooleanType))))
+  }
+
+  /** The q126 core over a clean (vec_id, v) frame and explicit seed
+    * centroids — planted specs run it directly.
+    */
+  def clusterSample(base: DataFrame, seeds: Array[Array[Double]]): DataFrame = {
+    val w = Window.partitionBy(col("cell"))
+    base.select(col("vec_id"),
+        element_at(vecexprs.nearestCells(col("v"), seeds, 1), 1).as("cell"),
+        md5(concat(lit(ClusterSampleSalt), col("vec_id").cast("string"))
+          .cast("binary")).as("dk"))
+      .select(col("vec_id"), col("cell"),
+        row_number().over(w.orderBy(col("dk"), col("vec_id")))
+          .as("pick_rnk"),
+        count(lit(1)).over(w).as("cell_n"))
+      .withColumn("is_kept", col("pick_rnk") <= lit(ClusterSampleCap))
+      .orderBy(col("cell"), col("pick_rnk"))
+  }
+
   /** The q125 core over a clean (vec_id, v) frame and explicit seed
     * centroids — planted specs run it directly.
     */
@@ -2596,6 +2657,34 @@ object Similarity {
       |SELECT vec_id, cell, far_rnk, cell_n,
       |  (far_rnk <= cell_n // $TrimDecile) AS is_trimmed
       |FROM r ORDER BY cell, far_rnk""".stripMargin)),
+    QueryDef("q126_cluster_sample", q126,
+      // q39b's seed/assignment CTEs, then q89's deterministic md5 draw
+      // ranked per cell — no doubles anywhere past the assignment
+      Some(s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL),
+      |s AS (SELECT v AS sv,
+      |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+      |          AS cell
+      |      FROM e ORDER BY vec_id LIMIT $IvfCells),
+      |nd AS (SELECT e.vec_id, s.cell, list_distance(e.v, s.sv) AS d
+      |       FROM e CROSS JOIN s),
+      |a AS (SELECT vec_id, cell,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+      |          AS rn
+      |      FROM nd),
+      |asg AS (SELECT vec_id, cell,
+      |          md5('$ClusterSampleSalt' || CAST(vec_id AS VARCHAR)) AS dk
+      |        FROM a WHERE rn = 1),
+      |r AS (SELECT vec_id, cell,
+      |        CAST(row_number() OVER (
+      |          PARTITION BY cell ORDER BY dk, vec_id) AS INTEGER)
+      |          AS pick_rnk,
+      |        count(*) OVER (PARTITION BY cell) AS cell_n
+      |      FROM asg)
+      |SELECT vec_id, cell, pick_rnk, cell_n,
+      |  (pick_rnk <= $ClusterSampleCap) AS is_kept
+      |FROM r ORDER BY cell, pick_rnk""".stripMargin)),
     // q101b pins the SAME ivfPqTopK route→ADC→refine code q101 runs, with
     // ONE lowest-id seed set feeding both tiers: q39b's assignment CTEs
     // (s/nd/ar/asg/pc) produce the cell-mate pairs, q98b's encode/LUT CTEs

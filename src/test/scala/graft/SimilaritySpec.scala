@@ -502,6 +502,37 @@ class SimilaritySpec extends AnyFunSuite {
       "tied members must rank adjacently")
   }
 
+  /** q126 on a planted two-cluster corpus: the over-cap cell keeps exactly
+    * its [[Similarity.ClusterSampleCap]] lowest-md5(salt‖id) members (the
+    * expected draw computed independently with MessageDigest), the
+    * under-cap cell keeps everyone, and ranks are the gapless 1..n per
+    * cell.
+    */
+  test("cluster sample keeps the md5-lowest cap per cell") {
+    import spark.implicits._
+    val seeds = Array(Array(0.0, 0.0), Array(100.0, 0.0))
+    val base = ((1 to 30).map(i => (i.toLong, Seq(i % 7 * 1.0, i % 5 * 1.0)))
+      ++ (40 to 44).map(i => (i.toLong, Seq(100.0, (i - 39).toDouble))))
+      .toDF("vec_id", "v")
+    val got = Similarity.clusterSample(base, seeds).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    def dk(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"${Similarity.ClusterSampleSalt}$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val wantKept = (1L to 30L).sortBy(id => (dk(id), id))
+      .take(Similarity.ClusterSampleCap).toSet
+    assert(got.filter(t => t._2 == 0 && t._5).map(_._1).toSet === wantKept,
+      "over-cap cell must keep exactly the md5-lowest cap draw")
+    assert(got.filter(_._2 == 1).forall(t => t._5 && t._4 === 5L),
+      "under-cap cell keeps everyone")
+    got.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).sorted.toVector === (1 to rs.length).toVector,
+        s"gapped pick ranks in cell $c")
+    }
+  }
+
   /** Empty-eval edge (round-13 contract fix): BOTH decon forms must fan
     * every train row back clean when the eval set is empty — an empty
     * benchmark suite contaminates nothing, it doesn't erase the training
