@@ -533,6 +533,47 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  /** Trained twins of q125/q126 (init-dependent like q39, so structural
+    * rather than oracle-hashed): under a KMeans-FIT codebook on the real
+    * fixture, the trim still flags exactly ⌊n/10⌋ per cell and the sample
+    * keeps exactly min(cap, n) per cell with gapless ranks. The policies
+    * are codebook-independent — the seeded oracle rows pin the ranking
+    * machinery, this pins the trained composition.
+    */
+  test("cluster trim/sample policies hold under a trained quantizer") {
+    import graft.functions.vectors
+    val base = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val quant = graft.operators.Quantizers.quantizerFor(
+      base, Similarity.ivfCellsFor(base.count()))
+    val cents = quant match {
+      case graft.operators.FlatQuantizer(c) => c
+      case other => fail(s"fixture-scale quantizer should be flat: $other")
+    }
+    val trim = Similarity.clusterTrim(base, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(trim.length === 500)
+    trim.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.forall(_._4 === rs.length.toLong), s"cell_n drift in cell $c")
+      assert(rs.count(_._5) === rs.length / Similarity.TrimDecile,
+        s"trim count in cell $c")
+      assert(rs.filter(_._5).map(_._3).forall(_ <= rs.length / 10),
+        s"trimmed set must be the farthest ranks in cell $c")
+    }
+    val samp = Similarity.clusterSample(base, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    samp.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.count(_._5) ===
+        math.min(Similarity.ClusterSampleCap, rs.length),
+        s"keep count in cell $c")
+      assert(rs.map(_._3).sorted.toVector === (1 to rs.length).toVector,
+        s"gapped pick ranks in cell $c")
+    }
+  }
+
   /** Empty-eval edge (round-13 contract fix): BOTH decon forms must fan
     * every train row back clean when the eval set is empty — an empty
     * benchmark suite contaminates nothing, it doesn't erase the training
