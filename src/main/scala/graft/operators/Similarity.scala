@@ -1098,8 +1098,12 @@ object Similarity {
     * Shape for 100 TB: assignment is the one corpus pass (plan-literal
     * codegen, q39's machinery); the seed fan-back is a 16-row broadcast;
     * the per-cell window partitions on cell — at real scale cells ≈ √n
-    * (ivfCellsFor), so no window partition exceeds ~√n rows and nothing
-    * funnels through one task.
+    * (ivfCellsFor), so a BALANCED corpus keeps every window partition
+    * ~√n rows. Under hot-cell skew (sf1skew's one-clique cell = 10% of
+    * the corpus) the wall measured flat, but the full per-cell rank IS
+    * this query's output; a deployment that needs only the verdicts at
+    * extreme skew drops the non-survivor ranks and collapses to q113's
+    * map-side order-statistic shape (SCALE.md, round-14 skew probes).
     */
   def q125(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
@@ -1142,8 +1146,12 @@ object Similarity {
     *
     * Shape for 100 TB: one codegen assignment pass; the draw key is
     * computed map-side (8 bytes + id leave the scan); the per-cell window
-    * co-scales as q125's (cells ≈ √n). No doubles anywhere past the
-    * assignment — every output column is exact cross-engine.
+    * co-scales as q125's (cells ≈ √n, measured flat under sf1skew's
+    * hot cell). No doubles anywhere past the assignment — every output
+    * column is exact cross-engine. At extreme per-cell skew a
+    * verdict-only deployment is exactly q89's salted two-phase draw
+    * (keep the cap per (cell, salt) bucket, re-rank ≤ buckets×cap
+    * survivors) — the same kept set without ranking non-survivors.
     */
   def q126(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
