@@ -55,7 +55,10 @@ object Bench {
         }
         if (bin.canExecute) Some(bin) else None
       } catch { case _: Throwable => None }
-    def canarySecs(): Double = canaryBin.map { bin =>
+    // guarded like the build above: a canary that dies mid-bench (tmp
+    // reaper, concurrent rebuild) must cost the artifact a -1 field, not
+    // the whole measured run
+    def canarySecs(): Double = try canaryBin.map { bin =>
       import scala.sys.process._
       val sink = ProcessLogger(_ => ())
       def once(): Double = {
@@ -66,6 +69,7 @@ object Bench {
       }
       math.min(once(), once())
     }.getOrElse(-1.0)
+    catch { case _: Throwable => -1.0 }
     val canaryStart = canarySecs()
     // One timed run. Every sample is kept (spread = noise evidence).
     def once(name: String): Double = {

@@ -53,7 +53,11 @@ final case class CurationParams(
     qualityKeeper: Boolean = false,
     // round-14: q124's training-sequence packing over the final survivors
     // (a layout artifact beside shards/, not a gate — no doc is dropped)
-    packSequences: Boolean = false)
+    packSequences: Boolean = false,
+    // round-14: opt OUT of the verdicts/scores monitoring artifact (a
+    // full-snapshot scoring pass — the priciest non-funnel stage at sf10);
+    // default on so any run can seed a later --prev-run chain
+    writeScores: Boolean = true)
 
 /** The end-to-end curation RUN: every stage of the shipped curation family,
   * chained as ONE artifact-writing job (reference: the pipeline a
@@ -134,6 +138,18 @@ object CurationRun {
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
       params: CurationParams): DataFrame = {
+    // --reuse-index implies the quantizer of the run that BUILT the index
+    // (assignments are only valid under their own codebook), so a
+    // conflicting --reuse-models would be silently ignored — reject it
+    // instead of recording misleading provenance
+    require(params.reuseModels.isEmpty || params.reuseIndex.isEmpty ||
+      params.reuseModels == params.reuseIndex,
+      s"--reuse-index ${params.reuseIndex.get} implies that run's " +
+        s"quantizer; drop --reuse-models ${params.reuseModels.get} or " +
+        "point both at the same prior run")
+    require(params.writeScores || params.prevRun.isEmpty,
+      "--prev-run needs this run's verdicts/scores for the PSI side; " +
+        "drop --write-scores false")
     // one parquet scan feeds the funnel AND both dimension fan-backs
     val scanned = timed("scan") {
       Tables.documents(spark, sfDir)
@@ -336,11 +352,11 @@ object CurationRun {
         params.reuseModels.orNull, params.reuseIndex.orNull,
         params.prevRun.orNull,
         params.stripMarkup, params.gopherGate, params.qualityKeeper,
-        params.packSequences))
+        params.packSequences, params.writeScores))
         .toDF("sem_dedup_cosine", "classifier_floor_e6", "neardup_jaccard",
           "source_cap", "reused_models_from", "reused_index_from",
           "prev_run", "strip_markup", "gopher_gate", "quality_keeper",
-          "pack_sequences")
+          "pack_sequences", "write_scores")
     }
     timed("artifacts") {
       PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
@@ -362,20 +378,27 @@ object CurationRun {
     // per-doc classifier scores of the RAW snapshot (pre-gate, so two
     // runs' tables describe the same population even when their gate
     // params differ) — the between-runs monitoring artifact the next
-    // run's --prev-run PSI reads, q116's production prev side
-    timed("scores") {
+    // run's --prev-run PSI reads, q116's production prev side. This is a
+    // full-snapshot token-explode pass (the one stage whose sf10 wall
+    // dominated the round-13 profile), so a run whose output will never
+    // seed a monitoring chain can opt out with --write-scores false
+    if (params.writeScores) timed("scores") {
       operators.TextAnalysis.classifierScoresUnsorted(
           scanned.select(col("doc_id"), col("text")))
         .write.mode("overwrite").parquet(s"$outDir/verdicts/scores")
     }
-    // between-runs monitoring against a REAL prior run: the prev side of
-    // both reports is READ from that run's persisted artifacts (one pass +
-    // one join — the collapse q105/q116 promise), never recomputed
+    // between-runs monitoring against a REAL prior run: BOTH sides of
+    // both reports are READ from persisted artifacts (one pass + one join
+    // — the collapse q105/q116 promise): the prev side from the prior
+    // run's, the cur side from the files this run just wrote — re-reading
+    // clustered parquet beats re-executing the 11-frame fates lineage /
+    // the scoring pass (the q78 between-stages lesson)
     params.prevRun.foreach { prior => timed("prev_drift") {
       Pipeline.fateDrift(
           spark.read.parquet(s"$prior/verdicts/doc_fates")
             .select(col("doc_id"), col("last_stage").as("fate")),
-          fates.select(col("doc_id"), col("last_stage").as("fate")))
+          spark.read.parquet(s"$outDir/verdicts/doc_fates")
+            .select(col("doc_id"), col("last_stage").as("fate")))
         .write.mode("overwrite").parquet(s"$outDir/verdicts/drift")
       operators.TextAnalysis.scoreDriftPsiBetween(
           spark.read.parquet(s"$prior/verdicts/scores"),
@@ -408,6 +431,8 @@ object CurationRun {
         p.copy(qualityKeeper = v.toBoolean)
       case (p, Seq("--pack-sequences", v)) =>
         p.copy(packSequences = v.toBoolean)
+      case (p, Seq("--write-scores", v)) =>
+        p.copy(writeScores = v.toBoolean)
       case (_, other) =>
         throw new IllegalArgumentException(
           s"unknown flag ${other.headOption.getOrElse("")}")
@@ -420,7 +445,7 @@ object CurationRun {
         "[--classifier-floor-e6 N] [--neardup-jaccard X] [--source-cap N] " +
         "[--reuse-models priorOutDir] [--reuse-index priorOutDir] " +
         "[--prev-run priorOutDir] [--strip-markup B] [--gopher-gate B] " +
-        "[--quality-keeper B] [--pack-sequences B]")
+        "[--quality-keeper B] [--pack-sequences B] [--write-scores B]")
     val params = parseParams(args.drop(2).toSeq)
     val spark = Sessions.local("graft-curation-run")
     val t0 = System.nanoTime()

@@ -1401,17 +1401,22 @@ object Pipeline {
     * registered q105 feeds it two slice-derived fate sets (so the whole
     * diff is hash-checkable from one table), while `CurationRun
     * --prev-run` feeds it the PRIOR RUN'S persisted `verdicts/doc_fates/`
-    * against the current run's — one id-keyed join, no recomputation of
-    * the previous side. Status: `arrived` (absent from prev), `stable`
-    * (same fate), `changed` (incl. the regraded-keeper case the q105 doc
-    * describes).
+    * against the current run's — one id-keyed FULL-OUTER join, no
+    * recomputation of the previous side. Status: `arrived` (absent from
+    * prev), `departed` (absent from cur — a crawl losing a source is
+    * exactly the event this artifact must surface; a cur-sided left join
+    * would silently drop it), `stable` (same fate), `changed` (incl. the
+    * regraded-keeper case the q105 doc describes). q105's slice form has
+    * prev ⊆ cur by construction, so its oracle hash is unaffected by the
+    * departed branch.
     */
   def fateDrift(prev: DataFrame, cur: DataFrame): DataFrame =
     cur.select(col("doc_id"), col("fate").as("cur_fate"))
       .join(prev.select(col("doc_id"), col("fate").as("prev_fate")),
-        Seq("doc_id"), "left")
+        Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("prev_fate"), col("cur_fate"),
         when(col("prev_fate").isNull, lit("arrived"))
+          .when(col("cur_fate").isNull, lit("departed"))
           .when(col("prev_fate") === col("cur_fate"), lit("stable"))
           .otherwise(lit("changed")).as("status"))
       .orderBy(col("doc_id"))
@@ -1482,11 +1487,12 @@ object Pipeline {
         |${driftFatesSql(s"doc_id % $DriftHoldout <> ${DriftHoldout - 1}")}),
         |cv AS (
         |${driftFatesSql("TRUE")})
-        |SELECT cv.doc_id, pv.fate AS prev_fate, cv.fate AS cur_fate,
+        |SELECT doc_id, pv.fate AS prev_fate, cv.fate AS cur_fate,
         |  CASE WHEN pv.fate IS NULL THEN 'arrived'
+        |       WHEN cv.fate IS NULL THEN 'departed'
         |       WHEN pv.fate = cv.fate THEN 'stable'
         |       ELSE 'changed' END AS status
-        |FROM cv LEFT JOIN pv USING (doc_id)
+        |FROM cv FULL JOIN pv USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q120_contrastive_pairs", q120,
       // positives: q83's exact all-pairs-Jaccard CTEs (banded-LSH parity

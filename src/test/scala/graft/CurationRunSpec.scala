@@ -160,11 +160,13 @@ class CurationRunSpec extends AnyFunSuite {
     * LOWER-id exact copy of an A keeper (the regrade q105's scaladoc
     * documents: the old keeper loses its training data without its content
     * changing) plus a brand-new doc. The drift report must classify by
-    * the slice-based oracle's semantics: arrivals `arrived`, the regraded
-    * keeper `changed`, untouched docs `stable`; the PSI artifact must
-    * carry the full 14-bucket grid with each side's raw-doc total.
+    * the slice-based oracle's semantics plus the between-runs-only case:
+    * arrivals `arrived`, a doc present only in A `departed` (the
+    * full-outer branch a cur-sided join would silently drop), the
+    * regraded keeper `changed`, untouched docs `stable`; the PSI artifact
+    * must carry the full 14-bucket grid with each side's raw-doc total.
     */
-  test("a prev-run rerun diffs real runs: arrived, stable, and a regraded keeper") {
+  test("a prev-run rerun diffs real runs: arrived, departed, stable, regraded") {
     import spark.implicits._
     def alpha(n: Int): String =
       n.toString.map(c => ('a' + (c - '0')).toChar)
@@ -176,8 +178,11 @@ class CurationRunSpec extends AnyFunSuite {
     val aDocs = Seq(10L -> prose(1), 11L -> prose(2), 12L -> prose(3),
       13L -> prose(3)) // 13 = exact copy; A's keeper is 12
     // 52, not 50: doc_id % EvalEvery == 0 docs play the funnel's EVAL side
-    // (decon holdout) and never enter the corpus or its fates
-    val bDocs = aDocs ++ Seq(5L -> prose(1), 52L -> prose(4))
+    // (decon holdout) and never enter the corpus or its fates.
+    // B drops 11 (the departure a crawl losing a source produces) and
+    // adds the regrading copy + a brand-new doc
+    val bDocs = aDocs.filterNot(_._1 == 11L) ++
+      Seq(5L -> prose(1), 52L -> prose(4))
     def write(dir: String, docs: Seq[(Long, String)]): Unit = {
       docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -197,17 +202,23 @@ class CurationRunSpec extends AnyFunSuite {
       CurationParams(prevRun = Some(outA))).collect()
     val drift = spark.read.parquet(s"$outB/verdicts/drift").collect()
       .map(r => r.getLong(0) ->
-        ((Option(r.getString(1)), r.getString(2), r.getString(3)))).toMap
-    assert(drift.keySet === bDocs.map(_._1).toSet,
-      "drift must cover every current-run doc")
+        ((Option(r.getString(1)), Option(r.getString(2)), r.getString(3))))
+      .toMap
+    assert(drift.keySet === (aDocs ++ bDocs).map(_._1).toSet,
+      "drift must cover every doc of EITHER run")
     assert(drift(5L)._3 === "arrived" && drift(5L)._1.isEmpty)
     assert(drift(52L)._3 === "arrived")
+    // the departure: 11 existed in A, vanished from B's snapshot — the
+    // full-outer drift must surface it, not silently drop it
+    assert(drift(11L)._3 === "departed" && drift(11L)._2.isEmpty &&
+      drift(11L)._1.nonEmpty,
+      s"dropped doc must surface as departed, got ${drift(11L)}")
     // the regrade: 10 was A's keeper of prose(1); the lower-id arrival 5
     // takes keeper status in B, so 10's fate changes without its content
     assert(drift(10L)._1.contains("sampled") && drift(10L)._3 === "changed",
       s"regraded keeper must surface as changed, got ${drift(10L)}")
-    assert(drift(10L)._2 !== "sampled", "10 must have lost keeper status")
-    Seq(11L, 12L, 13L).foreach(id => assert(drift(id)._3 === "stable",
+    assert(!drift(10L)._2.contains("sampled"), "10 must have lost keeper status")
+    Seq(12L, 13L).foreach(id => assert(drift(id)._3 === "stable",
       s"untouched doc $id must be stable, got ${drift(id)}"))
     // the between-runs PSI: full grid, each side totalling its run's raw docs
     val psi = spark.read.parquet(s"$outB/verdicts/psi").collect()
