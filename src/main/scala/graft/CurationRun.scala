@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Pipeline, Quantizers, Similarity}
+import graft.operators.{Dedup, FlatQuantizer, ImiQuantizer, Pipeline, Quantizers, Similarity}
 import graft.sources.{ModelStore, PartitionedParquet}
 
 /** The tunable operating points of a curation run — every knife threshold
@@ -34,6 +34,13 @@ final case class CurationParams(
     // else from the artifact, so the full-corpus assignment scan is paid
     // once per quantizer, not once per run
     reuseIndex: Option[String] = None,
+    // round-14: the production middle path between refit and reuse — load
+    // a prior run's codebook and take ONE Lloyd step on THIS run's
+    // subject (q111/imiRefresh composed into the pipeline): adapts to
+    // drift for one aggregate pass instead of a full KMeans refit, and
+    // keeps cell semantics comparable to the prior run (centroids move,
+    // they are not re-drawn)
+    refreshModels: Option[String] = None,
     // round-14: diff this run against a prior run's persisted verdicts —
     // writes verdicts/drift (per-doc fate diff vs the prior doc_fates/,
     // q105's between-runs form) and verdicts/psi (score-distribution PSI
@@ -150,6 +157,11 @@ object CurationRun {
     require(params.writeScores || params.prevRun.isEmpty,
       "--prev-run needs this run's verdicts/scores for the PSI side; " +
         "drop --write-scores false")
+    require(params.refreshModels.isEmpty ||
+      (params.reuseModels.isEmpty && params.reuseIndex.isEmpty),
+      "--refresh-models takes a Lloyd step on the prior codebook; it " +
+        "cannot combine with --reuse-models/--reuse-index (which pin the " +
+        "codebook verbatim)")
     // one parquet scan feeds the funnel AND both dimension fan-backs
     val scanned = timed("scan") {
       Tables.documents(spark, sfDir)
@@ -209,11 +221,25 @@ object CurationRun {
       val n = subject.count()
       if (n == 0) dec // nothing clusterable: the stage judges no one
       else {
-        val quant = params.reuseIndex.orElse(params.reuseModels) match {
-          case Some(prior) => timed("quant_load") {
+        val quant = (params.reuseIndex.orElse(params.reuseModels),
+            params.refreshModels) match {
+          case (Some(prior), _) => timed("quant_load") {
             ModelStore.loadQuantizer(spark, s"$prior/model/coarse")
           }
-          case None => timed("quant_fit") {
+          // the production middle path: prior codebook + ONE Lloyd step
+          // on THIS run's subject (q111/imiRefresh composed into the
+          // pipeline) — adapts to drift for one aggregate pass instead
+          // of a full KMeans refit
+          case (None, Some(prior)) => timed("quant_refresh") {
+            ModelStore.loadQuantizer(spark, s"$prior/model/coarse") match {
+              case FlatQuantizer(cs) => FlatQuantizer(
+                Similarity.refreshedCodebook(Similarity.codebookRefresh(
+                  subject.select(col("v")), cs)))
+              case imi: ImiQuantizer =>
+                Similarity.imiRefresh(subject.select(col("v")), imi)
+            }
+          }
+          case (None, None) => timed("quant_fit") {
             Quantizers.quantizerFor(subject, Similarity.ivfCellsFor(n))
           }
         }
@@ -350,13 +376,13 @@ object CurationRun {
       Seq((params.semDedupCosine, params.classifierFloorE6,
         params.nearDupJaccard, params.sourceCap,
         params.reuseModels.orNull, params.reuseIndex.orNull,
-        params.prevRun.orNull,
+        params.refreshModels.orNull, params.prevRun.orNull,
         params.stripMarkup, params.gopherGate, params.qualityKeeper,
         params.packSequences, params.writeScores))
         .toDF("sem_dedup_cosine", "classifier_floor_e6", "neardup_jaccard",
           "source_cap", "reused_models_from", "reused_index_from",
-          "prev_run", "strip_markup", "gopher_gate", "quality_keeper",
-          "pack_sequences", "write_scores")
+          "refreshed_models_from", "prev_run", "strip_markup",
+          "gopher_gate", "quality_keeper", "pack_sequences", "write_scores")
     }
     timed("artifacts") {
       PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
@@ -423,6 +449,7 @@ object CurationRun {
       case (p, Seq("--source-cap", v)) => p.copy(sourceCap = v.toInt)
       case (p, Seq("--reuse-models", v)) => p.copy(reuseModels = Some(v))
       case (p, Seq("--reuse-index", v)) => p.copy(reuseIndex = Some(v))
+      case (p, Seq("--refresh-models", v)) => p.copy(refreshModels = Some(v))
       case (p, Seq("--prev-run", v)) => p.copy(prevRun = Some(v))
       case (p, Seq("--strip-markup", v)) =>
         p.copy(stripMarkup = v.toBoolean)
@@ -444,6 +471,7 @@ object CurationRun {
       "usage: CurationRun <sfDir> <outDir> [--sem-cosine X] " +
         "[--classifier-floor-e6 N] [--neardup-jaccard X] [--source-cap N] " +
         "[--reuse-models priorOutDir] [--reuse-index priorOutDir] " +
+        "[--refresh-models priorOutDir] " +
         "[--prev-run priorOutDir] [--strip-markup B] [--gopher-gate B] " +
         "[--quality-keeper B] [--pack-sequences B] [--write-scores B]")
     val params = parseParams(args.drop(2).toSeq)

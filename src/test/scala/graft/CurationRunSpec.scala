@@ -230,6 +230,71 @@ class CurationRunSpec extends AnyFunSuite {
       new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
   }
 
+  /** Round-14 composition: `--refresh-models` is the middle path between
+    * refit and verbatim reuse — run B loads A's persisted codebook and
+    * takes ONE Lloyd step on ITS OWN subject before using/persisting it.
+    * On a clean corpus (every doc passes every gate, no dups, no eval
+    * ids, every doc embedded) the subject is reconstructable, so the
+    * saved codebook must BE refreshedCodebook(codebookRefresh(subjectB,
+    * A's centroids)) verbatim — the wiring claim; q111's specs own the
+    * math — and the step must have MOVED the codebook.
+    */
+  test("refresh-models takes one Lloyd step on the current run's subject") {
+    import spark.implicits._
+    import graft.operators.{FlatQuantizer, Similarity}
+    import graft.sources.ModelStore
+    def alpha(n: Int): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar)
+    def prose(i: Int): String = {
+      val t = (0 until 80).map(j => s"r${alpha(i)}z${alpha(j)}").toArray
+      t(5) = "the"; t(20) = "and"; t(35) = "is"; t(50) = "that"
+      t.mkString(" ")
+    }
+    val aDocs = Seq(1L, 2L, 3L, 4L).map(id => id -> prose(id.toInt))
+    val bDocs = aDocs ++ Seq(6L -> prose(6), 7L -> prose(7))
+    def write(dir: String, docs: Seq[(Long, String)]): Unit = {
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      docs.zipWithIndex.map { case ((id, _), i) =>
+        (id, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.03f * i), 0)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val sfA = Files.createTempDirectory("refresh_sfA").toString
+    val sfB = Files.createTempDirectory("refresh_sfB").toString
+    write(sfA, aDocs); write(sfB, bDocs)
+    val outA = Files.createTempDirectory("refresh_outA").toString
+    val outB = Files.createTempDirectory("refresh_outB").toString
+    CurationRun.run(spark, sfA, outA).collect()
+    CurationRun.run(spark, sfB, outB,
+      CurationParams(refreshModels = Some(outA))).collect()
+    def load(dir: String): Array[Array[Double]] =
+      ModelStore.loadQuantizer(spark, s"$dir/model/coarse") match {
+        case FlatQuantizer(c) => c
+        case other => fail(s"expected a flat codebook, got $other")
+      }
+    val csA = load(outA)
+    val subjB = spark.read.parquet(s"$sfB/embeddings.parquet")
+      .select(graft.functions.vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val want = Similarity.refreshedCodebook(
+      Similarity.codebookRefresh(subjB, csA))
+    val got = load(outB)
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq,
+      "persisted codebook must be exactly one Lloyd step from A's on B's subject")
+    assert(got.map(_.toSeq).toSeq !== csA.map(_.toSeq).toSeq,
+      "the refresh step must move the codebook")
+    val rp = spark.read.parquet(s"$outB/run_params").collect().head
+    assert(rp.getAs[String]("refreshed_models_from") === outA)
+    intercept[IllegalArgumentException] {
+      CurationRun.run(spark, sfB, outB, CurationParams(
+        refreshModels = Some(outA), reuseModels = Some(outA)))
+    }
+    Seq(sfA, sfB, outA, outB).foreach(d =>
+      new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+  }
+
   /** Stage 10 (q100): the shards artifact must be a PERMUTATION of the
     * shipped corpus — every corpus doc exactly once, shard dirs
     * Hive-partitioned, positions contiguous from 1 within each shard, and
