@@ -523,6 +523,55 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q127: within-document line dedup — the self-boilerplate cut CCNet
+    * applies per PAGE before any corpus-level stage (navigation chrome,
+    * repeated headers/footers, cookie banners repeat INSIDE one page long
+    * before they repeat across pages): each document keeps the FIRST
+    * occurrence of every distinct line, in original order. Complements
+    * q80/q80b (corpus-duplicated line strip — lines shared ACROSS docs)
+    * and q58 (repetition SIGNALS — this is the cut). Reported per doc:
+    * line totals and the rebuilt text, so Σ(n_lines − n_kept) is the
+    * self-boilerplate mass.
+    *
+    * 100 TB shape: the explode and the (doc_id, line)-keyed first-wins
+    * window never leave the document — the window partitions on
+    * (doc_id, line), so partition width is a single document's copies of
+    * ONE line, and the rebuild groups by doc_id (one doc per group, the
+    * parallel unit a per-doc transform wants). Text rides exactly two
+    * exchanges (window + rebuild) at line granularity; no corpus-wide
+    * anything.
+    */
+  def q127(spark: SparkSession, dir: String): DataFrame =
+    docLineDedup(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The q127 core over any (doc_id, text) frame — planted specs run it
+    * directly. Null-text docs fan back with zero counts and null text
+    * (nothing to clean is not an error — q87's null accounting).
+    */
+  def docLineDedup(docs: DataFrame): DataFrame = {
+    val ids = docs.filter(col("doc_id").isNotNull)
+    val lines = ids.filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .withColumnRenamed("col", "line")
+    val marked = lines.withColumn("rn", row_number().over(
+      Window.partitionBy(col("doc_id"), col("line")).orderBy(col("pos"))))
+    val rebuilt = marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("rn") === 1, struct(col("pos"), col("line"))))),
+          x => x.getField("line")),
+        "\n").as("clean_text"))
+    ids.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def q49(spark: SparkSession, dir: String): DataFrame =
     redact(Tables.documents(spark, dir))
 
@@ -1907,6 +1956,28 @@ object Pipeline {
         |  CASE WHEN substr(md5(text), 1, 1) IN ('0', '1')
         |       THEN 'heldout' ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q127_doc_line_dedup", q127,
+      // first-wins rank per (doc, line), ordered string_agg rebuild; the
+      // range-unnest gives 1-based positions (Spark's are 0-based) — both
+      // only ORDER within their own engine, so parity holds
+      Some("""WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |      FROM d WHERE text IS NOT NULL),
+        |e AS (SELECT doc_id, ls[i] AS line, i AS pos
+        |      FROM l, unnest(range(1, len(ls) + 1)) AS r(i)),
+        |m AS (SELECT doc_id, line, pos, row_number() OVER (
+        |        PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |      FROM e),
+        |r AS (SELECT doc_id, count(*) AS n_lines,
+        |        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_kept,
+        |        string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+        |                   ORDER BY pos) AS clean_text
+        |      FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.n_lines, 0) AS n_lines,
+        |  coalesce(r.n_kept, 0) AS n_kept, r.clean_text
+        |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin)),
     QueryDef("q114_markup_strip", q114,
       // the identical replace chain, generated from the same pattern list
       // the engine folds (Java-regex ∩ RE2 subset; 'g' = Spark's

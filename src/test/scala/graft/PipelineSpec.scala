@@ -693,6 +693,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  /** q127: within-doc line dedup on planted shapes — repeated lines keep
+    * their FIRST occurrence in original order, unique docs round-trip
+    * byte-identically (incl. a trailing newline), repeated EMPTY lines
+    * collapse like any line, and null text fans back with zero counts.
+    */
+  test("doc line dedup keeps first occurrences in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb"),              // dups of a and b drop
+      (2L, "one\ntwo\nthree"),            // untouched
+      (3L, "x\n"),                        // trailing newline round-trips
+      (4L, "a\n\n\nb"),                   // repeated empty line collapses
+      (5L, null.asInstanceOf[String]))    // nothing to clean
+      .toDF("doc_id", "text")
+    val got = Pipeline.docLineDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(got(1L) === ((5L, 3L, Some("a\nb\nc"))))
+    assert(got(2L) === ((3L, 3L, Some("one\ntwo\nthree"))))
+    assert(got(3L) === ((2L, 2L, Some("x\n"))))
+    assert(got(4L) === ((4L, 3L, Some("a\n\nb"))))
+    assert(got(5L) === ((0L, 0L, None)))
+  }
+
   /** q124: a uniform corpus packs to the arithmetic answer whatever md5
     * order the walk sees (600×3 fits the 2048 budget, +600 does not → 3
     * docs per sealed sequence), then the structural packing contracts on
