@@ -16,6 +16,7 @@ object Registry {
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       operators.Pipeline.defs ++
+      sources.Interchange.defs ++
       streaming.StreamReplay.defs
 
   def byName(name: String): QueryDef =

@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interchange-format sources/sinks: JSONL and CSV, the two formats a real
+  * corpus actually ARRIVES in before anyone converts it to parquet. Each is
+  * registered as a ROUND TRIP — write the documents table through the
+  * format, read it back with an explicit schema, hash the result against
+  * the parquet truth — so the oracle checks the full encode+decode path
+  * (escaping, quoting, null-vs-empty, embedded newlines), not just a read.
+  *
+  * Scale notes (the reason production pipelines pick one over the other):
+  * JSONL is line-delimited, so the read SPLITS — a 100 TB dump fans out to
+  * block-sized tasks like any text source. CSV with embedded newlines
+  * needs `multiLine`, which parses each FILE whole (non-splittable) — fine
+  * for many medium files, a single-task wall for one giant file; q129
+  * documents the trade instead of hiding it.
+  */
+object Interchange {
+
+  /** Fixed scratch roots (overwrite-in-place — the graft_canary pattern:
+    * a registered query must not leak one corpus-sized artifact per bench
+    * sample).
+    */
+  private def scratch(name: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), name).toString
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .filter(col("doc_id").isNotNull)
+
+  /** q128: JSONL round trip — write the documents table as line-delimited
+    * JSON, read it back under the explicit schema. JSON escapes newlines
+    * and quotes inside values, so one record is always one line and the
+    * read splits at block granularity; absent fields decode to null, so
+    * null text survives the trip.
+    */
+  def q128(spark: SparkSession, dir: String): DataFrame =
+    jsonlRoundTrip(docs(spark, dir), scratch("graft-q128-jsonl"))
+
+  /** The q128 core over any frame — planted specs run it on nasty strings. */
+  def jsonlRoundTrip(d: DataFrame, path: String): DataFrame = {
+    d.write.mode("overwrite").json(path)
+    d.sparkSession.read.schema(d.schema).json(path).orderBy(col("doc_id"))
+  }
+
+  /** q129: CSV round trip — RFC-4180 quoting (escape = `"` so embedded
+    * quotes double instead of backslash-escaping), `multiLine` on the
+    * read because document text embeds newlines, and an explicit
+    * `nullValue` sentinel so null text and the empty string survive as
+    * DISTINCT values (the default empty-for-null conflates them — the
+    * classic CSV data-loss bug, spec'd against here).
+    */
+  def q129(spark: SparkSession, dir: String): DataFrame =
+    csvRoundTrip(docs(spark, dir), scratch("graft-q129-csv"))
+
+  /** The q129 core over any frame — planted specs run it on nasty
+    * strings. The two whitespace options must be false on the WRITE side:
+    * Spark's CSV writer TRIMS leading/trailing whitespace by default
+    * (read defaults are already false) — silent data loss the planted
+    * padded-string row catches.
+    */
+  def csvRoundTrip(d: DataFrame, path: String): DataFrame = {
+    d.write.mode("overwrite")
+      .option("header", value = true).option("escape", "\"")
+      .option("nullValue", "\\N")
+      .option("ignoreLeadingWhiteSpace", value = false)
+      .option("ignoreTrailingWhiteSpace", value = false)
+      .csv(path)
+    d.sparkSession.read.schema(d.schema)
+      .option("header", value = true).option("escape", "\"")
+      .option("nullValue", "\\N").option("multiLine", value = true)
+      .option("ignoreLeadingWhiteSpace", value = false)
+      .option("ignoreTrailingWhiteSpace", value = false)
+      .csv(path)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Both round trips hash against the SAME truth: the parquet table
+    * itself — the trip must be lossless, so the oracle is the identity
+    * read.
+    */
+  private val roundTripOracle: String =
+    """SELECT doc_id, lang, source, text FROM documents
+    |WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q128_jsonl_roundtrip", q128, Some(roundTripOracle)),
+    QueryDef("q129_csv_roundtrip", q129, Some(roundTripOracle)))
+}
