@@ -79,7 +79,22 @@ object Interchange {
       .orderBy(col("doc_id"))
   }
 
-  /** Both round trips hash against the SAME truth: the parquet table
+  /** q130: ORC round trip — the other COLUMNAR interchange: unlike the
+    * text formats above it carries types natively (no escaping surface at
+    * all) and keeps the parquet-class scan properties — column pruning,
+    * predicate pushdown, splittable stripes — so it is the one format
+    * here that is also a legitimate RESIDENT format for a 100 TB corpus.
+    */
+  def q130(spark: SparkSession, dir: String): DataFrame =
+    orcRoundTrip(docs(spark, dir), scratch("graft-q130-orc"))
+
+  /** The q130 core over any frame. */
+  def orcRoundTrip(d: DataFrame, path: String): DataFrame = {
+    d.write.mode("overwrite").orc(path)
+    d.sparkSession.read.schema(d.schema).orc(path).orderBy(col("doc_id"))
+  }
+
+  /** All round trips hash against the SAME truth: the parquet table
     * itself — the trip must be lossless, so the oracle is the identity
     * read.
     */
@@ -89,5 +104,6 @@ object Interchange {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q128_jsonl_roundtrip", q128, Some(roundTripOracle)),
-    QueryDef("q129_csv_roundtrip", q129, Some(roundTripOracle)))
+    QueryDef("q129_csv_roundtrip", q129, Some(roundTripOracle)),
+    QueryDef("q130_orc_roundtrip", q130, Some(roundTripOracle)))
 }

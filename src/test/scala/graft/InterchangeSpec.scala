@@ -41,6 +41,13 @@ class InterchangeSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
   }
 
+  test("ORC round trip is lossless on nasty strings") {
+    val tmp = Files.createTempDirectory("interchange_orc").toString
+    val got = rows(Interchange.orcRoundTrip(nasty, s"$tmp/o"))
+    assert(got === rows(nasty.orderBy(org.apache.spark.sql.functions.col("doc_id"))))
+    new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+  }
+
   test("CSV round trip is lossless, keeping null and empty string distinct") {
     val tmp = Files.createTempDirectory("interchange_csv").toString
     val got = rows(Interchange.csvRoundTrip(nasty, s"$tmp/c"))
