@@ -431,6 +431,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lang"), "scan reads pruned columns")
   }
 
+  /** q125/q126: the assignment is the one corpus pass and must stay a
+    * codegen'd expression (never a ScalaUDF); the per-cell window is a
+    * hash-partitioned exchange, never one partition; the seed fan-back
+    * (q125) broadcasts; nothing plans a cartesian.
+    */
+  test("q125/q126: codegen assignment, cell-hashed window, no UDF, no cartesian") {
+    Seq(Similarity.q125(spark, dir), Similarity.q126(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("ScalaUDF"), "assignment fell out of codegen")
+      assert(p.contains("hashpartitioning"), "cell window lost its hash exchange")
+      assert(!p.contains("SinglePartition"), "cell rank funneled through one partition")
+      assert(!p.contains("CartesianProduct"))
+    }
+    assert(plan(Similarity.q125(spark, dir)).contains("Broadcast"),
+      "q125's seed fan-back must broadcast")
+  }
+
+  /** q127: the first-wins window keys on (doc_id, line) — hash-partitioned
+    * at line granularity so corpus-level skew cannot concentrate it — and
+    * the whole transform carries no ScalaUDF and no join beyond the
+    * id-keyed null fan-back.
+    */
+  test("q127: line-granular hash window, no UDF, no single partition") {
+    val p = plan(graft.operators.Pipeline.q127(spark, dir))
+    assert(!p.contains("ScalaUDF"))
+    assert(p.contains("hashpartitioning"), "line window lost its hash exchange")
+    assert(!p.contains("SinglePartition"), "line rank funneled through one partition")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   /** q111's refresh pass: assignment must evaluate inside codegen (no
     * ScalaUDF — the one pass that touches every vector), the n×d explode
     * must partial-aggregate to cells×d before its exchange (q96's
