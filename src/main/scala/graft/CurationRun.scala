@@ -412,6 +412,14 @@ object CurationRun {
       operators.TextAnalysis.classifierScoresUnsorted(
           scanned.select(col("doc_id"), col("text")))
         .write.mode("overwrite").parquet(s"$outDir/verdicts/scores")
+    } else {
+      // outDir reuse is a supported workflow (every artifact writes
+      // mode=overwrite), so an opted-out run must DELETE any prior run's
+      // scores — a later --prev-run reading a stale table against fresh
+      // doc_fates would fabricate a drift signal instead of failing loudly
+      new scala.reflect.io.Directory(
+        new java.io.File(s"$outDir/verdicts/scores")).deleteRecursively()
+      ()
     }
     // between-runs monitoring against a REAL prior run: BOTH sides of
     // both reports are READ from persisted artifacts (one pass + one join

@@ -986,12 +986,11 @@ object Similarity {
     if (seeds.isEmpty) return emptyTopK(spark)
     val quant = FlatQuantizer(seeds.take(IvfCells))
     val cbs = pqCodebooksFromSeeds(seeds.take(PqCodewords))
-    // fixed scratch path + overwrite (the graft_canary pattern): this
+    // per-process scratch + overwrite (graft.sources.Scratch): this
     // artifact is corpus-proportional by design (~5 B/vector), so a fresh
     // temp dir per invocation would leak one data-sized copy per bench
-    // sample — one well-known path bounds the residue at a single copy
-    val tmp = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-q121-index").toString
+    // sample, while one fixed path would collide across concurrent runs
+    val tmp = graft.sources.Scratch.dir("q121-index")
     graft.sources.ModelStore.saveIndex(
       ivfPqEncode(base, quant, cbs), s"$tmp/index")
     ivfPqServe(graft.sources.ModelStore.loadIndex(spark, s"$tmp/index"),

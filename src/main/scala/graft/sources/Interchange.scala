@@ -20,12 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Interchange {
 
-  /** Fixed scratch roots (overwrite-in-place — the graft_canary pattern:
-    * a registered query must not leak one corpus-sized artifact per bench
-    * sample).
+  /** Per-process scratch roots (overwrite-in-place within one JVM,
+    * isolated across processes — see [[Scratch]]): a registered query
+    * must not leak one corpus-sized artifact per bench sample, and must
+    * not share a mutable path with a concurrent run.
     */
-  private def scratch(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), name).toString
+  private def scratch(name: String): String = Scratch.dir(name)
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -47,10 +47,21 @@ object Interchange {
     d.sparkSession.read.schema(d.schema).json(path).orderBy(col("doc_id"))
   }
 
+  /** q129's null sentinel. CSV fundamentally cannot distinguish "a value
+    * that LOOKS like the sentinel" from null — whatever token is chosen,
+    * a field equal to it reads back null (the reader matches nullValue on
+    * the parsed value, quoted or not). A NUL byte is chosen over the
+    * conventional `\N` because real scraped/DB-dumped text CONTAINS `\N`
+    * and essentially never contains NUL; the residual corner is pinned by
+    * a spec row rather than hidden, and is one more reason q128/q130 are
+    * the at-scale defaults.
+    */
+  val CsvNullSentinel = "\u0000"
+
   /** q129: CSV round trip — RFC-4180 quoting (escape = `"` so embedded
     * quotes double instead of backslash-escaping), `multiLine` on the
     * read because document text embeds newlines, and an explicit
-    * `nullValue` sentinel so null text and the empty string survive as
+    * [[CsvNullSentinel]] so null text and the empty string survive as
     * DISTINCT values (the default empty-for-null conflates them — the
     * classic CSV data-loss bug, spec'd against here).
     */
@@ -66,13 +77,13 @@ object Interchange {
   def csvRoundTrip(d: DataFrame, path: String): DataFrame = {
     d.write.mode("overwrite")
       .option("header", value = true).option("escape", "\"")
-      .option("nullValue", "\\N")
+      .option("nullValue", CsvNullSentinel)
       .option("ignoreLeadingWhiteSpace", value = false)
       .option("ignoreTrailingWhiteSpace", value = false)
       .csv(path)
     d.sparkSession.read.schema(d.schema)
       .option("header", value = true).option("escape", "\"")
-      .option("nullValue", "\\N").option("multiLine", value = true)
+      .option("nullValue", CsvNullSentinel).option("multiLine", value = true)
       .option("ignoreLeadingWhiteSpace", value = false)
       .option("ignoreTrailingWhiteSpace", value = false)
       .csv(path)

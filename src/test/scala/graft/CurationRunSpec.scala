@@ -230,6 +230,41 @@ class CurationRunSpec extends AnyFunSuite {
       new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
   }
 
+  /** Reused outDirs are a supported workflow (every artifact writes
+    * mode=overwrite), so a `--write-scores false` rerun must DELETE a
+    * prior run's scores — a later `--prev-run` reading a stale table
+    * against fresh doc_fates would fabricate drift — and combining the
+    * opt-out with `--prev-run` (whose PSI needs this run's scores) must
+    * fail loudly.
+    */
+  test("write-scores opt-out removes stale scores from a reused outDir") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L).map(id =>
+      (id, (0 until 60).map(j => s"w${id}x$j").mkString(" "),
+        "en", "web", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq(1L, 2L, 3L).zipWithIndex.map { case (id, i) =>
+      (id, Array.tabulate(8)(d => if (d == i) 1.0f else 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val sf = Files.createTempDirectory("ws_sf").toString
+    docs.write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    emb.write.mode("overwrite").parquet(s"$sf/embeddings.parquet")
+    val out = Files.createTempDirectory("ws_out").toString
+    CurationRun.run(spark, sf, out).collect()
+    assert(new java.io.File(s"$out/verdicts/scores").exists,
+      "default run must write the monitoring scores")
+    CurationRun.run(spark, sf, out,
+      CurationParams(writeScores = false)).collect()
+    assert(!new java.io.File(s"$out/verdicts/scores").exists,
+      "stale scores must not survive an opted-out rerun")
+    intercept[IllegalArgumentException] {
+      CurationRun.run(spark, sf, out,
+        CurationParams(writeScores = false, prevRun = Some(out)))
+    }
+    Seq(sf, out).foreach(d =>
+      new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+  }
+
   /** Round-14 composition: `--refresh-models` is the middle path between
     * refit and verbatim reuse — run B loads A's persisted codebook and
     * takes ONE Lloyd step on ITS OWN subject before using/persisting it.

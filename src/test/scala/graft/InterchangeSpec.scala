@@ -57,4 +57,23 @@ class InterchangeSpec extends AnyFunSuite {
     assert(byId(9L) === None, "null must survive as null, not empty")
     new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
   }
+
+  /** The documented CSV corner, pinned rather than hidden: CSV cannot
+    * distinguish a value EQUAL to the null sentinel from null, whatever
+    * sentinel is chosen — a NUL-byte text reads back null through CSV.
+    * JSONL has no such corner (it escapes the byte), which is part of why
+    * it is the at-scale default.
+    */
+  test("CSV sentinel corner is lossy and pinned; JSONL carries the same byte") {
+    import spark.implicits._
+    val df = Seq((1L, "en", "web", Interchange.CsvNullSentinel))
+      .toDF("doc_id", "lang", "source", "text")
+    val tmp = Files.createTempDirectory("interchange_corner").toString
+    assert(rows(Interchange.csvRoundTrip(df, s"$tmp/c")).head._4 === None,
+      "the documented lossy corner: sentinel-valued text reads back null")
+    assert(rows(Interchange.jsonlRoundTrip(df, s"$tmp/j")).head._4 ===
+      Some(Interchange.CsvNullSentinel),
+      "JSONL must carry the same byte losslessly")
+    new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+  }
 }
