@@ -37,23 +37,38 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     // Hardware-independent clock canary (BASELINE.md §box-speed: "every
     // engine-vs-baseline ratio must be computed against a same-window
-    // C-binary canary run"): build the reference binary ONCE in scratch
-    // (never touching /root/reference) and time its whole workload, min of
-    // 2, at the start and end of the bench. The r13 driver artifact's
-    // load-contaminated window manufactured 15 phantom ×1.5 regressions;
-    // with canary_s in the JSON the window's speed is machine-checkable.
+    // C-binary canary run"): build the reference binary in this process's
+    // scratch root (never touching /root/reference) and time its whole
+    // workload, min of 2, at the start and end of the bench. The r13 driver
+    // artifact's load-contaminated window manufactured 15 phantom ×1.5
+    // regressions; with canary_s in the JSON the window's speed is
+    // machine-checkable.
+    //
+    // The build lands in the per-(user, pid) Scratch root — never a fixed
+    // shared path: a fixed path both collides across concurrent/cross-user
+    // runs AND silently times whatever stale or foreign `index` binary it
+    // finds there. A per-process dir makes every timed binary one THIS
+    // process just compiled from the current reference sources (lazy val =
+    // once per JVM), which is also the staleness fix: there is no reusable
+    // artifact to go stale. SPARK_GRAFT_CANARY=0 opts out entirely for
+    // harnesses that don't want the bench executing the reference's
+    // Makefile at all (the canary_s fields then read -1, and the artifact
+    // says so instead of lying).
     lazy val canaryBin: Option[java.io.File] =
       try {
-        val scratch = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_canary")
-        val bin = new java.io.File(scratch, "index")
-        if (!bin.canExecute) {
-          scratch.mkdirs()
-          import scala.sys.process._
-          Seq("cp", "-r", "/root/reference/.", scratch.getAbsolutePath).!
-          Process(Seq("make"), scratch).!(ProcessLogger(_ => ()))
+        if (sys.env.get("SPARK_GRAFT_CANARY").contains("0")) None
+        else {
+          val scratch = new java.io.File(
+            graft.sources.Scratch.dir("canary"))
+          val bin = new java.io.File(scratch, "index")
+          if (!bin.canExecute) {
+            scratch.mkdirs()
+            import scala.sys.process._
+            Seq("cp", "-r", "/root/reference/.", scratch.getAbsolutePath).!
+            Process(Seq("make"), scratch).!(ProcessLogger(_ => ()))
+          }
+          if (bin.canExecute) Some(bin) else None
         }
-        if (bin.canExecute) Some(bin) else None
       } catch { case _: Throwable => None }
     // guarded like the build above: a canary that dies mid-bench (tmp
     // reaper, concurrent rebuild) must cost the artifact a -1 field, not

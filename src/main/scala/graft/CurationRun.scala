@@ -162,6 +162,27 @@ object CurationRun {
       "--refresh-models takes a Lloyd step on the prior codebook; it " +
         "cannot combine with --reuse-models/--reuse-index (which pin the " +
         "codebook verbatim)")
+    // In-place outDir reuse is a supported workflow (every artifact writes
+    // mode=overwrite), which makes "prior run == this run's outDir" a real
+    // foot-gun, not a hypothetical: --prev-run <outDir> would read the
+    // verdicts THIS run just overwrote as the "prev" side and fabricate an
+    // all-stable drift report with zero PSI, and --reuse-index <outDir>
+    // makes saveIndex overwrite the parquet path its own lazily-planned
+    // input is still reading (AnalysisException at best, corruption at
+    // worst). Reject both up front, path-normalized so `out/` vs `out`
+    // doesn't slip through.
+    def same(a: String, b: String): Boolean =
+      a == b || (try new java.io.File(a).getCanonicalPath ==
+        new java.io.File(b).getCanonicalPath
+      catch { case _: java.io.IOException => false })
+    require(!params.prevRun.exists(same(_, outDir)),
+      "--prev-run must point at a DIFFERENT prior run's outDir: this run " +
+        s"overwrites $outDir's verdicts before the drift diff reads them, " +
+        "so diffing against itself fabricates an all-stable report")
+    require(!params.reuseIndex.exists(same(_, outDir)),
+      "--reuse-index must point at a DIFFERENT prior run's outDir: " +
+        s"saveIndex would overwrite $outDir/model/index while the reused " +
+        "index is still lazily reading it")
     // one parquet scan feeds the funnel AND both dimension fan-backs
     val scanned = timed("scan") {
       Tables.documents(spark, sfDir)
@@ -416,9 +437,14 @@ object CurationRun {
       // outDir reuse is a supported workflow (every artifact writes
       // mode=overwrite), so an opted-out run must DELETE any prior run's
       // scores — a later --prev-run reading a stale table against fresh
-      // doc_fates would fabricate a drift signal instead of failing loudly
-      new scala.reflect.io.Directory(
-        new java.io.File(s"$outDir/verdicts/scores")).deleteRecursively()
+      // doc_fates would fabricate a drift signal instead of failing loudly.
+      // Deleted through the Hadoop FileSystem resolved from the session so
+      // the cleanup honors the same URI schemes the writers do (a
+      // java.io.File delete silently no-ops on hdfs://"/s3a:// outDirs,
+      // re-enabling exactly the stale-table hazard this exists to close).
+      val scores = new org.apache.hadoop.fs.Path(s"$outDir/verdicts/scores")
+      scores.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(scores, true)
       ()
     }
     // between-runs monitoring against a REAL prior run: BOTH sides of

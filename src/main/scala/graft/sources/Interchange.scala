@@ -41,11 +41,54 @@ object Interchange {
   def q128(spark: SparkSession, dir: String): DataFrame =
     jsonlRoundTrip(docs(spark, dir), scratch("graft-q128-jsonl"))
 
-  /** The q128 core over any frame — planted specs run it on nasty strings. */
-  def jsonlRoundTrip(d: DataFrame, path: String): DataFrame = {
-    d.write.mode("overwrite").json(path)
+  /** The q128 core over any frame — planted specs run it on nasty strings.
+    * `codec` is the write-side compression ("none", "gzip", "bzip2", … —
+    * Spark resolves the read side from the file extension).
+    */
+  def jsonlRoundTrip(d: DataFrame, path: String,
+      codec: String = "none"): DataFrame = {
+    d.write.mode("overwrite").option("compression", codec).json(path)
     d.sparkSession.read.schema(d.schema).json(path).orderBy(col("doc_id"))
   }
+
+  /** q131: COMPRESSED intake — how a 100 TB corpus actually arrives. The
+    * q128/q129 cores rerun under a compression codec (decode resolved from
+    * the file extension, exactly the production shape of a delivered
+    * `.jsonl.gz` dump), registered under the same identity oracle so the
+    * compress+encode+decode+decompress path is hashed end to end.
+    *
+    * The codec CHOICE is a splittability decision, measured in
+    * InterchangeSpec and recorded in SCALE.md:
+    *   - gzip (q131, q131c): one stream, no sync points — Hadoop marks it
+    *     non-splittable, so ONE TASK reads each file however large. A
+    *     single 1 TB `.jsonl.gz` is a one-task wall; the same corpus as
+    *     ~10k shard files fans out fine (parallelism = file count). This
+    *     is the #1 intake trap at scale, surfaced here as a measured task
+    *     count, not a doc note.
+    *   - bzip2 (q131b): block-structured with resynchronizable markers —
+    *     Hadoop's SplittableCompressionCodec, so one big file still fans
+    *     out to block-sized tasks like uncompressed text. The splittable
+    *     compressed contrast, CPU-heavier per byte.
+    *   - zstd: the format a modern dump actually prefers is N/A in THIS
+    *     Spark build — Spark 4.1's text-source codec table
+    *     (`HadoopCompressionCodec`) carries none/bzip2/deflate/gzip/lz4/
+    *     snappy only, and Hadoop's `ZStandardCodec` needs native
+    *     libhadoop, absent here (zstd-jni on the classpath serves parquet/
+    *     ORC/shuffle, not the Hadoop text codec path). Recorded as an
+    *     environment fact rather than worked around with vendored code.
+    */
+  def q131(spark: SparkSession, dir: String): DataFrame =
+    jsonlRoundTrip(docs(spark, dir), scratch("graft-q131-jsonl-gz"), "gzip")
+
+  /** q131b: the splittable compressed contrast — `.jsonl.bz2`. */
+  def q131b(spark: SparkSession, dir: String): DataFrame =
+    jsonlRoundTrip(docs(spark, dir), scratch("graft-q131b-jsonl-bz2"), "bzip2")
+
+  /** q131c: `.csv.gz` through the q129 core — gzip costs nothing extra
+    * here because multiLine CSV already parses each file whole.
+    */
+  def q131c(spark: SparkSession, dir: String): DataFrame =
+    csvRoundTrip(docs(spark, dir), scratch("graft-q131c-csv-gz"), "gzip")
 
   /** q129's null sentinel. CSV fundamentally cannot distinguish "a value
     * that LOOKS like the sentinel" from null — whatever token is chosen,
@@ -74,8 +117,9 @@ object Interchange {
     * (read defaults are already false) — silent data loss the planted
     * padded-string row catches.
     */
-  def csvRoundTrip(d: DataFrame, path: String): DataFrame = {
-    d.write.mode("overwrite")
+  def csvRoundTrip(d: DataFrame, path: String,
+      codec: String = "none"): DataFrame = {
+    d.write.mode("overwrite").option("compression", codec)
       .option("header", value = true).option("escape", "\"")
       .option("nullValue", CsvNullSentinel)
       .option("ignoreLeadingWhiteSpace", value = false)
@@ -105,6 +149,96 @@ object Interchange {
     d.sparkSession.read.schema(d.schema).orc(path).orderBy(col("doc_id"))
   }
 
+  /** q132: Avro round trip — the remaining mainstream interchange format
+    * after JSONL/CSV/ORC: row-oriented, schema'd, binary, SPLITTABLE (the
+    * container format interleaves sync markers, so one big file fans out
+    * like uncompressed text — InterchangeSpec measures it), and the
+    * Kafka-adjacent arrival format. This Spark distribution ships the Avro
+    * LIBRARY (avro + avro-mapred jars) but not the `spark-avro` DataSource
+    * module, so the trip runs through Avro's public Hadoop MapReduce
+    * formats (`AvroKeyOutputFormat`/`AvroKeyInputFormat`) — the standard
+    * pre-DataSource integration path, and a per-partition source/sink
+    * bridge (the one place SURVEY §2 sanctions RDD code): records are
+    * converted to/from `Row` INSIDE the partition iterator, so nothing
+    * Avro-typed ever rides a shuffle, and the reader's object reuse can't
+    * alias rows.
+    */
+  def q132(spark: SparkSession, dir: String): DataFrame =
+    avroRoundTrip(docs(spark, dir), scratch("graft-q132-avro"))
+
+  /** The q132 core over any Long/Int/String/Double/Boolean-columned frame —
+    * planted specs run it on nasty strings. Every field maps to an Avro
+    * `union(null, T)` so null survives in any column; strings decode from
+    * Avro `Utf8` back to `String` before they leave the iterator.
+    */
+  def avroRoundTrip(d: DataFrame, path: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    val spark = d.sparkSession
+    val names = d.schema.fieldNames
+    // Schema is java-Serializable but the JSON form is the stable contract;
+    // each task re-parses it (cheap, once per partition).
+    val schemaJson = {
+      val fields = d.schema.fields.map { f =>
+        val t = f.dataType match {
+          case LongType => "long"
+          case IntegerType => "int"
+          case DoubleType => "double"
+          case BooleanType => "boolean"
+          case StringType => "string"
+          case other => throw new IllegalArgumentException(
+            s"avroRoundTrip: unsupported column type $other for ${f.name}")
+        }
+        s"""{"name":"${f.name}","type":["null","$t"],"default":null}"""
+      }
+      s"""{"type":"record","name":"row","namespace":"graft",
+         |"fields":[${fields.mkString(",")}]}""".stripMargin
+    }
+    // saveAsNewAPIHadoopFile has no overwrite mode — the scratch path is
+    // per-process, so the delete only ever removes this process's residue
+    val out = new org.apache.hadoop.fs.Path(path)
+    out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(out, true)
+    val wjob = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(wjob, new Schema.Parser().parse(schemaJson))
+    d.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      it.map { row =>
+        val rec = new GenericData.Record(schema)
+        names.indices.foreach { i =>
+          rec.put(names(i), if (row.isNullAt(i)) null else row.get(i))
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(path,
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      classOf[AvroKeyOutputFormat[GenericRecord]], wjob.getConfiguration)
+    val rjob = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(rjob, new Schema.Parser().parse(schemaJson))
+    val rows = spark.sparkContext.newAPIHadoopFile(path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        rjob.getConfiguration)
+      .mapPartitions(_.map { case (k, _) =>
+        // the record reader REUSES the AvroKey — extract immutable values
+        // here, before the iterator advances
+        val rec = k.datum()
+        Row.fromSeq(names.toIndexedSeq.map(rec.get(_) match {
+          case null => null
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case v => v
+        }))
+      })
+    spark.createDataFrame(rows, d.schema).orderBy(col("doc_id"))
+  }
+
   /** All round trips hash against the SAME truth: the parquet table
     * itself — the trip must be lossless, so the oracle is the identity
     * read.
@@ -116,5 +250,9 @@ object Interchange {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q128_jsonl_roundtrip", q128, Some(roundTripOracle)),
     QueryDef("q129_csv_roundtrip", q129, Some(roundTripOracle)),
-    QueryDef("q130_orc_roundtrip", q130, Some(roundTripOracle)))
+    QueryDef("q130_orc_roundtrip", q130, Some(roundTripOracle)),
+    QueryDef("q131_jsonl_gzip_roundtrip", q131, Some(roundTripOracle)),
+    QueryDef("q131b_jsonl_bzip2_roundtrip", q131b, Some(roundTripOracle)),
+    QueryDef("q131c_csv_gzip_roundtrip", q131c, Some(roundTripOracle)),
+    QueryDef("q132_avro_roundtrip", q132, Some(roundTripOracle)))
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 /** Per-process scratch directories for registered queries that must
   * materialize a data-sized artifact mid-query (q121's encoded index, the
-  * q128–q130 interchange round trips).
+  * q128–q131 interchange round trips).
   *
   * The two failure modes this balances, both hit in review:
   *   - a FRESH temp dir per invocation leaks one corpus-sized artifact per
@@ -14,14 +14,43 @@ package graft.sources
   * So: one root per (user, pid) — isolated across processes, overwritten
   * in place across invocations within one JVM (residue bounded at a
   * single copy per name), and removed by a shutdown hook when the JVM
-  * exits.
+  * exits. A SIGKILLed process never runs its hook, so root init also
+  * SWEEPS siblings whose pid is dead ([[sweepStale]]) — the leak is then
+  * bounded at one root per concurrently-live process instead of growing
+  * with every hard-killed bench.
   */
 object Scratch {
+  private def prefix(user: String): String = s"graft-scratch-$user-"
+
+  /** Delete sibling scratch roots left behind by DEAD processes of the
+    * same user (same naming scheme, pid no longer alive). Only same-user
+    * roots are candidates — a foreign user's root is both undeletable and
+    * not ours to reap. Best-effort: a root that vanishes mid-sweep or a
+    * non-numeric suffix is skipped, never fatal.
+    */
+  private[graft] def sweepStale(tmp: java.io.File, user: String): Unit =
+    try {
+      val pre = prefix(user)
+      val self = ProcessHandle.current().pid()
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(pre))
+        .foreach { f =>
+          f.getName.stripPrefix(pre).toLongOption.foreach { pid =>
+            val alive = ProcessHandle.of(pid)
+              .map[java.lang.Boolean](_.isAlive)
+              .orElse(java.lang.Boolean.FALSE)
+            if (pid != self && !alive) {
+              new scala.reflect.io.Directory(f).deleteRecursively(); ()
+            }
+          }
+        }
+    } catch { case _: Throwable => () }
+
   private lazy val root: java.io.File = {
-    val d = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft-scratch-${System.getProperty("user.name", "u")}-" +
-        s"${ProcessHandle.current().pid()}")
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val user = System.getProperty("user.name", "u")
+    sweepStale(tmp, user)
+    val d = new java.io.File(tmp, prefix(user) + ProcessHandle.current().pid())
     d.mkdirs()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       new scala.reflect.io.Directory(d).deleteRecursively(); ()

@@ -48,6 +48,53 @@ class InterchangeSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
   }
 
+  test("Avro round trip is lossless on nasty strings") {
+    val tmp = Files.createTempDirectory("interchange_avro").toString
+    val got = rows(Interchange.avroRoundTrip(nasty, s"$tmp/a"))
+    assert(got === rows(nasty.orderBy(org.apache.spark.sql.functions.col("doc_id"))))
+    val byId = got.map(t => t._1 -> t._4).toMap
+    assert(byId(8L) === Some(""), "empty string must survive as empty")
+    assert(byId(9L) === None, "null must survive as null (union(null, string))")
+    new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+  }
+
+  /** The q131 splittability consequence, MEASURED: the same one-file JSONL
+    * corpus compressed two ways reads back with opposite task fan-outs.
+    * gzip has no resync points, so Hadoop marks it non-splittable and the
+    * scan gives the whole file to ONE task however small
+    * `maxPartitionBytes` is — the 100 TB intake trap. bzip2 is a
+    * `SplittableCompressionCodec`, so the same corpus fans out to
+    * block-sized tasks like uncompressed text, and reassembles to the
+    * same row count.
+    */
+  test("compressed intake: gzip is one task per file, bzip2 splits") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("interchange_split").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .filter(col("doc_id").isNotNull)
+    val n = docs.count()
+    docs.coalesce(1).write.option("compression", "gzip").json(s"$tmp/gz")
+    docs.coalesce(1).write.option("compression", "bzip2").json(s"$tmp/bz")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts(s"$tmp/gz").map(_.getName).forall(_.endsWith(".json.gz")))
+    assert(parts(s"$tmp/bz").map(_.getName).forall(_.endsWith(".json.bz2")))
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+      val gz = spark.read.schema(docs.schema).json(s"$tmp/gz")
+      val bz = spark.read.schema(docs.schema).json(s"$tmp/bz")
+      assert(gz.rdd.getNumPartitions === 1,
+        "gzip is non-splittable: one task per file regardless of size")
+      assert(bz.rdd.getNumPartitions > 1,
+        "bzip2 must fan one big file out to block-sized tasks")
+      assert(gz.count() === n)
+      assert(bz.count() === n, "split bzip2 read must reassemble every record")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+    new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+  }
+
   test("CSV round trip is lossless, keeping null and empty string distinct") {
     val tmp = Files.createTempDirectory("interchange_csv").toString
     val got = rows(Interchange.csvRoundTrip(nasty, s"$tmp/c"))

@@ -401,7 +401,6 @@ class SimilaritySpec extends AnyFunSuite {
     * sweep is meant to expose.
     */
   test("ANN sweep: shortlist-monotone recall, saturating scanned mass, one deployed row") {
-    val dir = "/root/testdata/sf0.001"
     val got = Similarity.q103(spark, dir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
         r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
@@ -450,7 +449,6 @@ class SimilaritySpec extends AnyFunSuite {
     * instead of on a dashboard.
     */
   test("recall contract: deployed ANN knobs meet the target the sweep justifies") {
-    val dir = "/root/testdata/sf0.001"
     val grid = Similarity.q103(spark, dir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
         if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6)))
