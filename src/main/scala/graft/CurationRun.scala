@@ -64,7 +64,15 @@ final case class CurationParams(
     // round-14: opt OUT of the verdicts/scores monitoring artifact (a
     // full-snapshot scoring pass — the priciest non-funnel stage at sf10);
     // default on so any run can seed a later --prev-run chain
-    writeScores: Boolean = true)
+    writeScores: Boolean = true,
+    // round-15: serve q78's batch-vs-corpus verdict as a RUN MODE — a new
+    // snapshot's ARRIVALS (ids the prior run has no fate for) are
+    // verdicted against the prior run's persisted dedup-index artifacts
+    // (index/dedup/{exact,shingles,bands}) instead of re-deduping — or
+    // even rescanning — the corpus. Dispatches to [[CurationRun
+    // .incremental]]; mutually exclusive with the model/drift flags
+    // (those describe full runs).
+    incremental: Option[String] = None)
 
 /** The end-to-end curation RUN: every stage of the shipped curation family,
   * chained as ONE artifact-writing job (reference: the pipeline a
@@ -137,6 +145,21 @@ object CurationRun {
     r
   }
 
+  /** In-place outDir reuse is a supported workflow (every artifact writes
+    * mode=overwrite), which makes "prior run == this run's outDir" a real
+    * foot-gun, not a hypothetical: --prev-run <outDir> would read the
+    * verdicts THIS run just overwrote as the "prev" side and fabricate an
+    * all-stable drift report with zero PSI, and --reuse-index/--incremental
+    * <outDir> would overwrite the parquet paths their own lazily-planned
+    * inputs are still reading (AnalysisException at best, corruption at
+    * worst). Every prior-run flag is rejected up front when it equals the
+    * outDir, path-normalized so `out/` vs `out` doesn't slip through.
+    */
+  private def samePath(a: String, b: String): Boolean =
+    a == b || (try new java.io.File(a).getCanonicalPath ==
+      new java.io.File(b).getCanonicalPath
+    catch { case _: java.io.IOException => false })
+
   /** Execute the chain over `sfDir`'s documents table, write all sink
     * artifacts under `outDir`, and return the manifest (also written).
     */
@@ -162,24 +185,13 @@ object CurationRun {
       "--refresh-models takes a Lloyd step on the prior codebook; it " +
         "cannot combine with --reuse-models/--reuse-index (which pin the " +
         "codebook verbatim)")
-    // In-place outDir reuse is a supported workflow (every artifact writes
-    // mode=overwrite), which makes "prior run == this run's outDir" a real
-    // foot-gun, not a hypothetical: --prev-run <outDir> would read the
-    // verdicts THIS run just overwrote as the "prev" side and fabricate an
-    // all-stable drift report with zero PSI, and --reuse-index <outDir>
-    // makes saveIndex overwrite the parquet path its own lazily-planned
-    // input is still reading (AnalysisException at best, corruption at
-    // worst). Reject both up front, path-normalized so `out/` vs `out`
-    // doesn't slip through.
-    def same(a: String, b: String): Boolean =
-      a == b || (try new java.io.File(a).getCanonicalPath ==
-        new java.io.File(b).getCanonicalPath
-      catch { case _: java.io.IOException => false })
-    require(!params.prevRun.exists(same(_, outDir)),
+    require(params.incremental.isEmpty,
+      "--incremental dispatches to CurationRun.incremental, not run()")
+    require(!params.prevRun.exists(samePath(_, outDir)),
       "--prev-run must point at a DIFFERENT prior run's outDir: this run " +
         s"overwrites $outDir's verdicts before the drift diff reads them, " +
         "so diffing against itself fabricates an all-stable report")
-    require(!params.reuseIndex.exists(same(_, outDir)),
+    require(!params.reuseIndex.exists(samePath(_, outDir)),
       "--reuse-index must point at a DIFFERENT prior run's outDir: " +
         s"saveIndex would overwrite $outDir/model/index while the reused " +
         "index is still lazily reading it")
@@ -414,6 +426,29 @@ object CurationRun {
       runParams.coalesce(1).write.mode("overwrite").parquet(s"$outDir/run_params")
       manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
     }
+    // the persistable dedup-index state (q78's production contract): exact
+    // md5 keys, hashed shingle sets, and the LSH band index over the
+    // snapshot this run ingested (the same population doc_fates covers) —
+    // the artifacts a later `--incremental` run verdicts its arrivals
+    // against WITHOUT re-deduping, or even rescanning, this corpus. One
+    // extra shingle pass over the checkpointed scan; the shingle table is
+    // ~8 B/shingle, far under the text it summarizes.
+    timed("dedup_index") {
+      val keyed = docs.select(col("doc_id"), col("text"))
+      Dedup.exactKeyIndex(keyed)
+        .write.mode("overwrite").parquet(s"$outDir/index/dedup/exact")
+      val sh = Dedup.nearDupShingles(keyed).localCheckpoint()
+      sh.write.mode("overwrite").parquet(s"$outDir/index/dedup/shingles")
+      Dedup.nearDupBandIndex(sh)
+        .write.mode("overwrite").parquet(s"$outDir/index/dedup/bands")
+      // the seen-id set an --incremental successor anti-joins to find its
+      // arrivals. Deliberately the RAW scanned ids, not doc_fates: fates
+      // exclude the eval-side holdout (doc_id % EvalEvery == 0), which a
+      // later snapshot still contains — fates-based arrival detection
+      // would re-verdict the holdout every night
+      scanned.select(col("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"$outDir/index/seen")
+    }
     // opt-in q124 layout: the packed training-sequence plan over the SAME
     // survivors the shards stage laid out (next-fit in q100's salted
     // order, so shard here == shards/'s shard) — the dataloader reads
@@ -468,6 +503,103 @@ object CurationRun {
     manifest
   }
 
+  /** The `--incremental <priorRun>` mode: the q78 verdict as a RUN, served
+    * entirely from a prior run's persisted state. A production pipeline
+    * does not re-dedup 100 TB because tonight's crawl added 0.1% — it
+    * keeps exactly the index this engine persists (md5 keys, shingle
+    * sets, band index) and verdicts the ARRIVALS against it:
+    *
+    *   - arrivals = this snapshot's docs whose ids the prior run never
+    *     ingested (`index/seen`, written by full and incremental runs
+    *     alike, so incremental runs CHAIN: A full → B incr → C incr);
+    *   - verdict = [[graft.operators.Dedup.incrementalDedupIndexed]] — the
+    *     literal q78 core, corpus side READ from `index/dedup` (exact vs
+    *     corpus, near vs corpus, exact/near within the batch, kept), so
+    *     the served verdicts are the same CODE PATH the oracle-hashed q78
+    *     runs, just fed from parquet instead of a live scan;
+    *   - the index is then MERGED (prior state ∪ kept arrivals' keys/
+    *     shingles/bands, exact keys folded by min) and re-published under
+    *     THIS run's outDir, so incremental runs chain: A full → B
+    *     incremental → C incremental.
+    *
+    * Scale shape: nothing corpus-sized is scanned — the arrivals drive
+    * every join, the corpus contributes index rows only, and the merge is
+    * a union write of (index + arrivals)-sized frames. Cost is
+    * O(arrivals) + O(index I/O), vs run()'s O(snapshot) everything.
+    *
+    * Artifacts under `outDir`: `verdicts/incremental` (doc_id, reason,
+    * matched_id — q78's exact schema), the merged `index/dedup` tables, and
+    * `run_params`.
+    */
+  def incremental(spark: SparkSession, sfDir: String, outDir: String,
+      prior: String, params: CurationParams): DataFrame = {
+    require(!samePath(prior, outDir),
+      "--incremental must point at a DIFFERENT prior run's outDir: the " +
+        s"merged index would overwrite $outDir/index/dedup while still " +
+        "lazily reading it")
+    require(params.reuseModels.isEmpty && params.reuseIndex.isEmpty &&
+      params.refreshModels.isEmpty && params.prevRun.isEmpty,
+      "--incremental is the arrivals-verdict path; the model/drift flags " +
+        "describe full runs and cannot combine with it")
+    val scanned = timed("scan") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+    }
+    // the same opt-in pre-transforms as run(), so a chained incremental
+    // judges arrivals under the text form the prior full run indexed
+    val stripped =
+      if (!params.stripMarkup) scanned
+      else scanned.withColumn("text",
+        graft.functions.text.stripMarkup(col("text")))
+    val docs =
+      if (!params.gopherGate) stripped
+      else stripped.filter(
+        operators.TextAnalysis.gopherVerdict(col("text")))
+    val seen = spark.read.parquet(s"$prior/index/seen")
+    val arrivals = timed("arrivals") {
+      docs.join(seen, Seq("doc_id"), "left_anti").localCheckpoint()
+    }
+    val exact = spark.read.parquet(s"$prior/index/dedup/exact")
+    val shingles = spark.read.parquet(s"$prior/index/dedup/shingles")
+    val bands = spark.read.parquet(s"$prior/index/dedup/bands")
+    val verdict = timed("verdict") {
+      Dedup.incrementalDedupIndexed(exact, shingles, bands,
+        arrivals.select(col("doc_id"), col("text")),
+        params.nearDupJaccard).localCheckpoint()
+    }
+    verdict.write.mode("overwrite").parquet(s"$outDir/verdicts/incremental")
+    timed("index_merge") {
+      val kept = arrivals.join(
+        verdict.filter(col("reason") === "kept").select(col("doc_id")),
+        Seq("doc_id"))
+      // exact keys fold by min so a kept arrival never shadows an
+      // existing lower-id keeper of the same hash (it can't be one — it
+      // was verdicted kept — but the fold keeps the invariant structural)
+      exact.unionByName(Dedup.exactKeyIndex(kept))
+        .groupBy(col("h")).agg(min(col("ex_id")).as("ex_id"))
+        .write.mode("overwrite").parquet(s"$outDir/index/dedup/exact")
+      val keptSh = Dedup.nearDupShingles(
+        kept.select(col("doc_id"), col("text"))).localCheckpoint()
+      shingles.unionByName(keptSh)
+        .write.mode("overwrite").parquet(s"$outDir/index/dedup/shingles")
+      bands.unionByName(Dedup.nearDupBandIndex(keptSh))
+        .write.mode("overwrite").parquet(s"$outDir/index/dedup/bands")
+      // EVERY arrival becomes seen (dup or not) — a dropped dup must not
+      // be re-verdicted by the next night's run
+      seen.unionByName(arrivals.select(col("doc_id"))).distinct()
+        .write.mode("overwrite").parquet(s"$outDir/index/seen")
+    }
+    locally {
+      import spark.implicits._
+      Seq((prior, params.nearDupJaccard, params.stripMarkup,
+          params.gopherGate))
+        .toDF("incremental_from", "neardup_jaccard", "strip_markup",
+          "gopher_gate")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/run_params")
+    }
+    verdict
+  }
+
   /** Flag parsing for [[main]]: `--key value` pairs after the two
     * positional args, defaults = the deployed constants.
     */
@@ -494,6 +626,7 @@ object CurationRun {
         p.copy(packSequences = v.toBoolean)
       case (p, Seq("--write-scores", v)) =>
         p.copy(writeScores = v.toBoolean)
+      case (p, Seq("--incremental", v)) => p.copy(incremental = Some(v))
       case (_, other) =>
         throw new IllegalArgumentException(
           s"unknown flag ${other.headOption.getOrElse("")}")
@@ -507,15 +640,25 @@ object CurationRun {
         "[--reuse-models priorOutDir] [--reuse-index priorOutDir] " +
         "[--refresh-models priorOutDir] " +
         "[--prev-run priorOutDir] [--strip-markup B] [--gopher-gate B] " +
-        "[--quality-keeper B] [--pack-sequences B] [--write-scores B]")
+        "[--quality-keeper B] [--pack-sequences B] [--write-scores B] " +
+        "[--incremental priorOutDir]")
     val params = parseParams(args.drop(2).toSeq)
     val spark = Sessions.local("graft-curation-run")
     val t0 = System.nanoTime()
-    val manifest = run(spark, args(0), args(1), params)
-    val rows = manifest.collect()
+    params.incremental match {
+      case Some(prior) =>
+        val verdict = incremental(spark, args(0), args(1), prior,
+          params.copy(incremental = None))
+        verdict.groupBy(col("reason")).count()
+          .orderBy(col("reason")).collect()
+          .foreach(r => println(
+            f"[curation-run] incremental ${r.getString(0)}%-13s docs=${r.getLong(1)}%d"))
+      case None =>
+        val rows = run(spark, args(0), args(1), params).collect()
+        rows.foreach(r => println(
+          f"[curation-run] stage ${r.getInt(0)}%d ${r.getString(1)}%-15s docs=${r.getLong(2)}%d tokens=${r.getLong(3)}%d"))
+    }
     val secs = (System.nanoTime() - t0) / 1e9
-    rows.foreach(r => println(
-      f"[curation-run] stage ${r.getInt(0)}%d ${r.getString(1)}%-15s docs=${r.getLong(2)}%d tokens=${r.getLong(3)}%d"))
     println(s"[curation-run] params $params")
     println(f"[curation-run] wrote ${args(1)} in $secs%.1f s")
     spark.stop()

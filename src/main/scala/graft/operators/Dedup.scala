@@ -684,17 +684,54 @@ object Dedup {
       threshold = 0.8)
   }
 
-  /** The q78 core over (existing, batch) frames of (doc_id, text). */
+  /** The q78 core over (existing, batch) frames of (doc_id, text) —
+    * computes the corpus-side index state live, then runs the INDEXED form
+    * below (one code path; the live and served-from-artifact verdicts
+    * cannot drift).
+    */
   def incrementalDedup(existing: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
-    // corpus index: ids+hash only — at scale this is PRECOMPUTED state a
-    // pipeline keeps between batches; the eager checkpoint is that
-    // materialization (and stops every downstream branch from re-running
-    // the corpus scan through its own lineage)
-    val exKeys = existing
-      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
-      .groupBy(col("h")).agg(min(col("doc_id")).as("ex_id"))
+    // corpus index: ids+hash+shingles only — at scale this is PRECOMPUTED
+    // state a pipeline keeps between batches (CurationRun persists exactly
+    // these three frames under index/dedup/); the eager checkpoints are
+    // that materialization (and stop every downstream branch from
+    // re-running the corpus scan through its own lineage)
+    val sh = nearDupShingles(existing.select(col("doc_id"), col("text")))
       .localCheckpoint()
+    incrementalDedupIndexed(
+      exactKeyIndex(existing).localCheckpoint(),
+      sh, nearDupBandIndex(sh), batch, threshold)
+  }
+
+  /** (h, ex_id): md5-of-text → min doc_id — the exact-dup half of the
+    * persistable dedup index state (what q78's `exk` CTE computes).
+    */
+  def exactKeyIndex(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("ex_id"))
+
+  /** (doc_id, sh): hashed 3-shingle sets — the VERIFICATION half of the
+    * persistable near-dup index state (~8 B/shingle, far under the text it
+    * summarizes; candidates still verify by exact Jaccard without ever
+    * re-reading corpus text).
+    */
+  def nearDupShingles(docs: DataFrame): DataFrame = shingledDocs(docs)
+
+  /** (band_key, doc_id) over a [[nearDupShingles]] frame — the CANDIDATE
+    * half of the persistable near-dup index state.
+    */
+  def nearDupBandIndex(shingled: DataFrame): DataFrame = bandedKeys(shingled)
+
+  /** [[incrementalDedup]] with the corpus side SERVED from index state —
+    * the production shape, where the three frames come from a prior run's
+    * persisted artifacts (CurationRun `--incremental`) and the corpus is
+    * never rescanned, let alone re-deduped: the batch drives every join,
+    * the corpus contributes only (h, ex_id) keys, (band_key, id) rows, and
+    * the candidates' shingle sets.
+    */
+  def incrementalDedupIndexed(exKeys: DataFrame, corpusShingles: DataFrame,
+      corpusBands: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
     // the batch frame feeds FIVE consumers (m1, r1, and the final fan-out);
     // without materialization each re-executes scan+md5 through lineage
     val bk = batch.select(col("doc_id"), col("text"),
@@ -705,10 +742,16 @@ object Dedup {
       .select(col("doc_id"), col("ex_id").as("matched_id"),
         lit("exact_corpus").as("reason"))
     val r1 = bk.join(exKeys, Seq("h"), "left_anti").localCheckpoint()
-    // 2. near vs corpus (batch side drives; min matching corpus id)
-    val m2 = crossNearDupPairs(
-        r1.select(col("doc_id"), col("text")),
-        existing, threshold)
+    // 2. near vs corpus (batch side drives; min matching corpus id):
+    // batch shingles/bands computed live, corpus side read from the index
+    val aSh = shingledDocs(r1.select(col("doc_id"), col("text")))
+    val candidates = bandedKeys(aSh)
+      .select(col("band_key"), col("doc_id").as("a_id"))
+      .join(corpusBands.select(col("band_key"), col("doc_id").as("b_id")),
+        Seq("band_key"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val m2 = verifyJaccard(candidates, aSh, corpusShingles, threshold)
       .groupBy(col("a_id").as("doc_id"))
       .agg(min(col("b_id")).as("matched_id"))
       .select(col("doc_id"), col("matched_id"), lit("near_corpus").as("reason"))

@@ -997,6 +997,56 @@ object Similarity {
       base, quant, cbs)
   }
 
+  /** q121b's session-persistent index: one (codebooks, persisted-index
+    * path) per (JVM, corpus dir), built by whichever invocation arrives
+    * first. Model state is seed-derived and KB-scale; the index artifact
+    * lives in the per-process [[graft.sources.Scratch]] root. Keyed by dir
+    * so specs exercising other fixtures don't share an index.
+    */
+  private val servedIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, (FlatQuantizer, Array[Array[Array[Double]]], String)]()
+
+  /** q121b: the SERVED half of q121 priced on its own — the production
+    * steady state. q121 deliberately pays fit+encode+save+load inside the
+    * registered query (the oracle must hash the whole artifact seam), so
+    * its bench row prices index-BUILD time; but a deployment builds the
+    * index once per corpus snapshot and serves thousands of queries from
+    * it, and that amortized path deserved a registered row of its own
+    * (SCALE.md's hand-measured 0.74–0.84 s flat, now machine-measured
+    * every round). The index here is built ONCE per (JVM, corpus) — q104's
+    * model-reuse discipline applied to the data-sized artifact — so every
+    * invocation after the first runs the literal [[ivfPqServe]] scored
+    * pass off the RELOADED cell-clustered parquet: codes + two ids per
+    * corpus row, raw vectors only for the bounded probe scan and the
+    * shortlist refine. Output ≡ q101b's (same seeds, same serve code, and
+    * serving is deterministic given the index), so q101b's oracle applies
+    * verbatim; q121 stays registered as the one-shot seam test.
+    */
+  def q121b(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val entry = servedIndex.computeIfAbsent(dir, _ => {
+      val seeds = base.orderBy(col("vec_id"))
+        .limit(math.max(IvfCells, PqCodewords))
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      if (seeds.isEmpty) null
+      else {
+        val quant = FlatQuantizer(seeds.take(IvfCells))
+        val cbs = pqCodebooksFromSeeds(seeds.take(PqCodewords))
+        val path = graft.sources.Scratch.dir(
+          "q121b-index-" + Integer.toHexString(dir.hashCode)) + "/index"
+        graft.sources.ModelStore.saveIndex(
+          ivfPqEncode(base, quant, cbs), path)
+        (quant, cbs, path)
+      }
+    })
+    if (entry == null) emptyTopK(spark)
+    else ivfPqServe(graft.sources.ModelStore.loadIndex(spark, entry._3),
+      base, entry._1, entry._2)
+  }
+
   // ---- ANN operating-point calibration (q103) -----------------------------
 
   /** The served tier's recall contract: the deployed (fan-out, shortlist)
@@ -2708,6 +2758,11 @@ object Similarity {
     // the SAME oracle hash pins the index-artifact lifecycle (q104's
     // contract one level down, applied to the data-sized artifact)
     QueryDef("q121_ivf_pq_served", q121, Some(ivfPqSeededOracle)),
+    // q121b = the serve-only half off a SESSION-PERSISTENT index (built
+    // once per JVM+corpus): the bench row that prices the production
+    // steady state the SCALE.md amortization table measured by hand, under
+    // the same q101b oracle (serving is deterministic given the index)
+    QueryDef("q121b_ivf_pq_index_serve", q121b, Some(ivfPqSeededOracle)),
     QueryDef("q99_semantic_decon", q99,
       Some(s"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

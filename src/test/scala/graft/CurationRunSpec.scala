@@ -330,6 +330,88 @@ class CurationRunSpec extends AnyFunSuite {
       new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
   }
 
+  /** Round-15: `--incremental` serves q78's verdict from the prior run's
+    * PERSISTED index artifacts. The two-run assertion the round asked
+    * for: the artifact-served verdicts must equal a full recompute of the
+    * incremental dedup over (corpus, arrivals) — i.e. re-deduping the
+    * corpus buys nothing the persisted md5/shingle/band index didn't
+    * already know. Then a CHAINED incremental (C vs B) must verdict a
+    * copy of a B-kept arrival as exact_corpus off the MERGED index, and
+    * pointing --incremental at its own outDir must be rejected.
+    */
+  test("incremental mode serves arrival verdicts from the persisted index and chains") {
+    import spark.implicits._
+    def alpha(n: Int): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar)
+    def prose(i: Int): String = {
+      val t = (0 until 80).map(j => s"i${alpha(i)}x${alpha(j)}").toArray
+      t(5) = "the"; t(20) = "and"; t(35) = "is"; t(50) = "that"
+      t.mkString(" ")
+    }
+    // 2 tokens changed out of 80 -> 3-shingle jaccard ~0.857 >= 0.8, the
+    // proven-banded near-dup construction the flags test uses
+    def nearOf(s: String): String = {
+      val t = s.split(" "); t(10) = "qqaxz"; t(40) = "qqbxz"; t.mkString(" ")
+    }
+    val aDocs = Seq(10L -> prose(1), 11L -> prose(2), 12L -> prose(3))
+    val arrivals = Seq(
+      20L -> prose(1),                  // exact copy of corpus 10
+      21L -> nearOf(prose(2)),          // near-dup of corpus 11
+      22L -> prose(7), 23L -> prose(7), // exact pair within the batch
+      25L -> prose(8), 26L -> nearOf(prose(8)), // near pair within the batch
+      24L -> prose(9))                  // genuinely novel
+    def write(dir: String, docs: Seq[(Long, String)]): Unit = {
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      docs.zipWithIndex.map { case ((id, _), i) =>
+        (id, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.01f * i), 0)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val sfA = Files.createTempDirectory("incr_sfA").toString
+    val sfB = Files.createTempDirectory("incr_sfB").toString
+    write(sfA, aDocs); write(sfB, aDocs ++ arrivals)
+    val outA = Files.createTempDirectory("incr_outA").toString
+    val outB = Files.createTempDirectory("incr_outB").toString
+    CurationRun.run(spark, sfA, outA).collect()
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val got = verdicts(
+      CurationRun.incremental(spark, sfB, outB, outA, CurationParams()))
+    // the two-run equivalence: served-from-artifacts ≡ full recompute
+    val want = verdicts(operators.Dedup.incrementalDedup(
+      aDocs.toDF("doc_id", "text"), arrivals.toDF("doc_id", "text"),
+      Pipeline.FunnelNearDupJaccard))
+    assert(got === want,
+      "artifact-served verdicts drifted from the full-recompute fates")
+    // and the fates are the PLANTED ones, not merely self-consistent
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(20L) === ("exact_corpus", Some(10L)))
+    assert(byId(21L) === ("near_corpus", Some(11L)))
+    assert(byId(22L) === ("kept", None))
+    assert(byId(23L) === ("exact_batch", Some(22L)))
+    assert(byId(25L) === ("kept", None))
+    assert(byId(26L) === ("near_batch", Some(25L)))
+    assert(byId(24L) === ("kept", None))
+    assert(new java.io.File(s"$outB/verdicts/incremental").exists)
+    // chain: C adds an exact copy of B's KEPT arrival 24 — only the MERGED
+    // index (B's) can know it; no full run ever saw doc 24
+    val sfC = Files.createTempDirectory("incr_sfC").toString
+    write(sfC, aDocs ++ arrivals ++ Seq(30L -> prose(9)))
+    val outC = Files.createTempDirectory("incr_outC").toString
+    val gotC = verdicts(
+      CurationRun.incremental(spark, sfC, outC, outB, CurationParams()))
+    assert(gotC === Seq((30L, "exact_corpus", Some(24L))),
+      s"chained incremental must serve off the merged index, got $gotC")
+    intercept[IllegalArgumentException] {
+      CurationRun.incremental(spark, sfC, outC, outC, CurationParams())
+    }
+    Seq(sfA, sfB, sfC, outA, outB, outC).foreach(d =>
+      new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+  }
+
   /** Stage 10 (q100): the shards artifact must be a PERMUTATION of the
     * shipped corpus — every corpus doc exactly once, shard dirs
     * Hive-partitioned, positions contiguous from 1 within each shard, and

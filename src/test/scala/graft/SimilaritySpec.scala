@@ -599,6 +599,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  /** q121b (round-15): the serve-only twin must be bit-equal to the
+    * one-shot q121 (same seeds, same ivfPqServe code, deterministic given
+    * the index), and a SECOND invocation — now serving off the cached
+    * session index with no rebuild — must reproduce it again.
+    */
+  test("q121b serves off the session-persistent index, bit-equal to one-shot q121") {
+    val oneShot = Similarity.q121(spark, dir).collect().map(_.toSeq).toSeq
+    val first = Similarity.q121b(spark, dir).collect().map(_.toSeq).toSeq
+    val served = Similarity.q121b(spark, dir).collect().map(_.toSeq).toSeq
+    assert(first === oneShot, "index-building q121b invocation drifted from q121")
+    assert(served === oneShot, "cached-index serve drifted from q121")
+  }
+
   /** q92b empty-corpus short-circuit: KMeans cannot fit zero vectors (q39
     * precedent) — the twin must return an empty, schema-correct frame
     * rather than throw.

@@ -84,6 +84,36 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned parquet sink honors the per-file record cap") {
+    withTemp { tmp =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val n = docs.count()
+      graft.sources.PartitionedParquet.write(
+        docs, s"$tmp/out", "lang", "doc_id", maxRecordsPerFile = 100)
+      val files = new java.io.File(s"$tmp/out").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+      // cap enforced exactly: no file exceeds it...
+      files.foreach(f => assert(spark.read.parquet(f.getPath).count() <= 100,
+        s"${f.getName} over the record cap"))
+      // ...and the file-count envelope holds: at least ceil(n/cap) files
+      // (the cap actually split something), at most ceil(n/cap) + one
+      // under-full remainder per writing task (no tiny-file explosion)
+      val floor = math.ceil(n / 100.0).toInt
+      assert(files.length >= floor, s"cap produced only ${files.length} files")
+      assert(files.length <= floor + 32,
+        s"tiny-file explosion: ${files.length} files for $n rows")
+      // completeness and within-file order survive the roll to a new file
+      assert(spark.read.parquet(s"$tmp/out").count() === n)
+      files.foreach { f =>
+        val ids = spark.read.parquet(f.getPath)
+          .select(col("doc_id")).collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
+      }
+    }
+  }
+
   test("scratch sweep reaps dead-pid sibling roots, leaves live and foreign ones") {
     withTemp { tmp =>
       val user = System.getProperty("user.name", "u")
