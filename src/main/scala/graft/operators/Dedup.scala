@@ -697,7 +697,6 @@ object Dedup {
     // that materialization (and stop every downstream branch from
     // re-running the corpus scan through its own lineage)
     val sh = nearDupShingles(existing.select(col("doc_id"), col("text")))
-      .localCheckpoint()
     incrementalDedupIndexed(
       exactKeyIndex(existing).localCheckpoint(),
       sh, nearDupBandIndex(sh), batch, threshold)
@@ -743,8 +742,11 @@ object Dedup {
         lit("exact_corpus").as("reason"))
     val r1 = bk.join(exKeys, Seq("h"), "left_anti").localCheckpoint()
     // 2. near vs corpus (batch side drives; min matching corpus id):
-    // batch shingles/bands computed live, corpus side read from the index
+    // batch shingles/bands computed live, corpus side read from the index.
+    // aSh feeds the band join AND the Jaccard verify — batch-sized, so the
+    // checkpoint is cheap insurance against re-shingling
     val aSh = shingledDocs(r1.select(col("doc_id"), col("text")))
+      .localCheckpoint()
     val candidates = bandedKeys(aSh)
       .select(col("band_key"), col("doc_id").as("a_id"))
       .join(corpusBands.select(col("band_key"), col("doc_id").as("b_id")),
@@ -763,8 +765,11 @@ object Dedup {
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("keeper").as("matched_id"),
         lit("exact_batch").as("reason"))
+    // r3 feeds the CC vertex set AND the in-batch near-dup pair pipeline
+    // (which shingles it twice more) — batch-sized, checkpoint
     val r3 = r2.join(bKeep, r2("doc_id") === bKeep("keeper"))
       .select(r2("doc_id"), r2("text"))
+      .localCheckpoint()
     // 4. near-dup clusters within the batch keepers (q56's CC, min-id rep)
     val comp = connectedComponents(
       r3.select(col("doc_id").as("v")),
@@ -781,7 +786,186 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- LSH operating-point sweep (q133) ------------------------------------
+
+  /** Calibration sample: the lowest-id docs, capped — the sweep's exact
+    * ground truth is all-pairs Jaccard, so its cost is sample², pinned
+    * independent of corpus size (q120's fixed-anchor lesson; a %-stride
+    * sample would grow quadratically with the corpus).
+    */
+  val LshSweepSample = 400
+
+  /** The sweep's hash modulus: 2^31-1 (prime). The mirrorable family uses
+    * 28-bit md5-derived multipliers and shingle keys, so a·x+b < 2^56
+    * stays exact in BIGINT on both engines while the mod WRAPS (a modulus
+    * above the product range would make min(a·x+b) = a·min(x)+b — every
+    * row of the signature would elect the same shingle and the sweep
+    * would measure nothing).
+    */
+  val LshSweepM = 2147483647L
+
+  /** The grid: every divisor split of the deployed [[MinhashK]]=32
+    * signature into (bands × rows-per-band). Powers of two make the grid
+    * NESTED — a 2r-row band matching implies both r-row halves match — so
+    * candidate sets grow monotonically with the band count, an assertable
+    * law (DedupSpec).
+    */
+  val LshSweepRows: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)
+
+  /** q133: LSH operating-point sweep — the calibration table behind the
+    * deployed ([[Bands]]=8 × [[RowsPerBand]]=4) banding, completing the
+    * measure-don't-guess trilogy (q102 classifier gate, q103 ANN knobs,
+    * now the near-dup LSH tier): for every (bands, rows) split of the
+    * 32-row signature, the candidate-pair mass and the recall against
+    * exact all-pairs Jaccard ≥ 0.8 on a bounded sample, with the deployed
+    * point flagged. The S-curve P(candidate) = 1-(1-J^r)^b depends only
+    * on the geometry (b, r), not the hash family, so the sweep justifies
+    * the production xxhash64 banding while running a DuckDB-mirrorable
+    * twin family: string 3-shingles → 28-bit md5 keys, h_i = (a_i·x+b_i)
+    * mod 2^31-1 with md5-derived multipliers — every value exact integer
+    * arithmetic in both engines (q94's md5-model discipline applied to
+    * the hash family itself).
+    *
+    * Shape for 100 TB: one bounded sample drives everything — signatures
+    * are sample×K rows, band values sample×K per grid point, the truth
+    * join sample² — none of it corpus-proportional; the corpus-sized
+    * near-dup runs stay on the codegen'd xxhash64 path (q21), this query
+    * only prices its knobs.
+    */
+  def q133(spark: SparkSession, dir: String): DataFrame =
+    lshSweep(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      threshold = 0.8)
+
+  /** The q133 core over any (doc_id, text) frame. */
+  def lshSweep(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sample = docs.filter(col("doc_id").isNotNull)
+      .orderBy(col("doc_id")).limit(LshSweepSample)
+      .localCheckpoint()
+    // distinct STRING 3-shingles — the md5-able twin of the production
+    // xxhash64 shingles (q23's oracle-proven construction)
+    val sh = sample.select(col("doc_id"),
+        array_distinct(graft.functions.expressions.textnative
+          .wordNgrams(col("text"), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .localCheckpoint()
+    // 28-bit shingle keys + md5-derived (a_i, b_i) family — plan literals
+    // on the engine side, a md5 CTE on the oracle side, identical values
+    def h7(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(7),
+      16)
+    val ks = (0 until MinhashK)
+      .map(i => (i, h7("a" + i) | 1L, h7("b" + i)))
+      .toDF("i", "a", "b")
+    val sig = sh.select(col("doc_id"), explode(col("shs")).as("g"))
+      .withColumn("x",
+        conv(substring(md5(col("g").cast("binary")), 1, 7), 16, 10)
+          .cast("long"))
+      .crossJoin(broadcast(ks))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(pmod(col("a") * col("x") + col("b"), lit(LshSweepM))).as("h"))
+    val grid = LshSweepRows.map(r => (MinhashK / r, r)).toDF("bands", "rpb")
+    // band value = the band's h's in i order; elements carry a zero-padded
+    // i prefix so a lexicographic array_sort equals the oracle's ORDER BY i
+    val bandVals = sig.crossJoin(broadcast(grid))
+      .select(col("doc_id"), col("bands"),
+        expr("i DIV rpb").cast("int").as("band"),
+        concat_ws(":", lpad(col("i").cast("string"), 2, "0"),
+          col("h").cast("string")).as("ih"))
+      .groupBy(col("doc_id"), col("bands"), col("band"))
+      .agg(array_join(array_sort(collect_list(col("ih"))), ",").as("bv"))
+    val cand = bandVals
+      .select(col("bands"), col("band"), col("bv"), col("doc_id").as("a_id"))
+      .join(bandVals.select(col("bands"), col("band"), col("bv"),
+        col("doc_id").as("b_id")), Seq("bands", "band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("bands"), col("a_id"), col("b_id"))
+      .distinct()
+      .localCheckpoint() // feeds the count AND the hit join
+    // exact ground truth: all-pairs Jaccard over the bounded sample (the
+    // nested-loop join is sample-capped by construction)
+    val truth = sh.select(col("doc_id").as("a_id"), col("shs").as("a_sh"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shs").as("b_sh")),
+        col("a_id") < col("b_id"))
+      .filter(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))) >= threshold)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val hits = cand.join(truth, Seq("a_id", "b_id"))
+      .groupBy(col("bands")).agg(count(lit(1)).as("n_hit"))
+    val cands = cand.groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_candidates"))
+    grid.join(cands, Seq("bands"), "left")
+      .join(hits, Seq("bands"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("bands"), col("rpb").as("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_true") > 0,
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_true"), 6)).as("recall"),
+        (col("bands") === lit(Bands)).as("is_deployed"))
+      .orderBy(col("bands").desc)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // q133's twin hash family is md5-derived end to end (28-bit keys and
+    // multipliers, mod 2^31-1), so signatures, band values, candidates,
+    // and recalls are exact integers/ratios in both engines
+    QueryDef("q133_lsh_sweep", (s, d) => q133(s, d),
+      Some(s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+        |  ORDER BY doc_id LIMIT $LshSweepSample),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS shs
+        |  FROM d WHERE len(toks) >= 3),
+        |g AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+        |x AS (SELECT doc_id, g,
+        |        CAST('0x' || substr(md5(g), 1, 7) AS BIGINT) AS x FROM g),
+        |ks AS (SELECT i,
+        |         CAST('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 7) AS BIGINT) | 1 AS a,
+        |         CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR)), 1, 7) AS BIGINT) AS b
+        |       FROM (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS i)),
+        |sig AS (SELECT doc_id, i, MIN((a * x + b) % $LshSweepM) AS h
+        |        FROM x CROSS JOIN ks GROUP BY doc_id, i),
+        |grid AS (SELECT $MinhashK // r AS bands, r AS rpb
+        |         FROM (SELECT unnest([${LshSweepRows.mkString(", ")}]) AS r)),
+        |bv AS (SELECT doc_id, bands, i // rpb AS band,
+        |         string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || CAST(h AS VARCHAR),
+        |                    ',' ORDER BY i) AS bv
+        |       FROM sig CROSS JOIN grid GROUP BY 1, 2, 3),
+        |cand AS (SELECT DISTINCT a.bands, a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bv a JOIN bv b USING (bands, band, bv)
+        |         WHERE a.doc_id < b.doc_id),
+        |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+        |                len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8),
+        |nt AS (SELECT COUNT(*) AS n_true FROM truth),
+        |hits AS (SELECT bands, COUNT(*) AS n_hit
+        |         FROM cand JOIN truth USING (a_id, b_id) GROUP BY bands),
+        |cnt AS (SELECT bands, COUNT(*) AS n_candidates FROM cand GROUP BY bands)
+        |SELECT CAST(g.bands AS INTEGER) AS bands,
+        |  CAST(g.rpb AS INTEGER) AS rows_per_band,
+        |  CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  CAST(nt.n_true AS BIGINT) AS n_true,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CASE WHEN nt.n_true > 0 THEN
+        |    round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / nt.n_true, 6) END AS recall,
+        |  (g.bands = $Bands) AS is_deployed
+        |FROM grid g CROSS JOIN nt
+        |LEFT JOIN cnt c USING (bands) LEFT JOIN hits h USING (bands)
+        |ORDER BY g.bands DESC""".stripMargin)),
     QueryDef("q84_span_cut", q84,
       Some(s"""WITH d AS (
         |  SELECT doc_id,

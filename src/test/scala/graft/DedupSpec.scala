@@ -445,4 +445,67 @@ class DedupSpec extends AnyFunSuite {
     assert(got(205L) === (("near_batch", 204L)))
     assert(got(206L) === (("kept", -1L)))
   }
+
+  /** q133 (round 15): the LSH calibration sweep. Structural laws from the
+    * NESTED powers-of-two grid (a 2r-row band matching implies both r-row
+    * halves match, so candidate sets only grow with the band count), the
+    * deployed-point contract (q103's discipline applied to the near-dup
+    * tier), and a planted exact pair that must be a candidate at every
+    * grid point (identical docs share every minhash).
+    */
+  test("LSH sweep: nested-grid monotone laws, deployed contract, planted exact pair") {
+    import spark.implicits._
+    val rows = Dedup.q133(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getBoolean(6)))
+    assert(rows.map(_._1).toSeq ===
+      Dedup.LshSweepRows.map(Dedup.MinhashK / _).sorted.reverse,
+      "one row per grid point, bands descending")
+    assert(rows.count(_._7) === 1, "exactly one deployed row")
+    assert(rows.find(_._7).map(r => (r._1, r._2)) ===
+      Some((Dedup.Bands, Dedup.RowsPerBand)))
+    // nested grid: candidates and hits monotone non-decreasing in bands
+    val asc = rows.sortBy(_._1).toSeq
+    asc.map(_._3).sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a, "candidate mass shrank as bands grew")
+      case _ => ()
+    }
+    asc.map(_._5).sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a, "hits shrank as bands grew")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r._5 <= r._4, "hits exceed the truth set")
+      assert(r._5 <= r._3, "hits exceed the candidates")
+      assert(r._4 === rows.head._4, "truth set must not vary across the grid")
+    }
+    // the deployed-point contract: meets the recall target, at a candidate
+    // cost within 2x the cheapest sufficient grid point
+    val target = 0.9
+    val sufficient = rows.filter(_._6.exists(_ >= target))
+    assert(sufficient.nonEmpty, s"no grid point reaches recall $target")
+    val dep = rows.find(_._7).get
+    assert(dep._6.exists(_ >= target),
+      s"deployed banding under the $target recall target: ${dep._6}")
+    assert(dep._3 <= 2 * sufficient.map(_._3).min,
+      s"deployed banding scans ${dep._3} candidates, >2x the cheapest " +
+        s"sufficient point (${sufficient.map(_._3).min})")
+    // planted exact pair: J=1 shares every minhash, so it is a candidate
+    // (and the only truth pair) at EVERY grid point
+    val planted = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight")
+      .toDF("doc_id", "text")
+    val p = Dedup.lshSweep(planted, 0.8).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(p.length === Dedup.LshSweepRows.size)
+    p.foreach { r =>
+      assert(r._2 === 1L, s"planted truth must be exactly the exact pair at bands=${r._1}")
+      assert(r._3 === 1L, s"exact pair missed at bands=${r._1}")
+      assert(r._4 === Some(1.0))
+    }
+  }
 }
