@@ -884,13 +884,24 @@ object Dedup {
       .select(col("bands"), col("a_id"), col("b_id"))
       .distinct()
       .localCheckpoint() // feeds the count AND the hit join
-    // exact ground truth: all-pairs Jaccard over the bounded sample (the
-    // nested-loop join is sample-capped by construction)
-    val truth = sh.select(col("doc_id").as("a_id"), col("shs").as("a_sh"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shs").as("b_sh")),
-        col("a_id") < col("b_id"))
-      .filter(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-        size(array_union(col("a_sh"), col("b_sh"))) >= threshold)
+    // exact ground truth WITHOUT a sample² nested loop: a pair can clear a
+    // positive threshold only if it shares a gram, so intersections come
+    // from a shared-gram equi-join (per-doc grams already distinct) and
+    // |A ∪ B| = |A| + |B| - |A ∩ B| from the per-doc set sizes — exact
+    // Jaccard, O(shared-gram pairs) instead of O(sample²) array compares
+    // (measured 5.3 s → the band join's own cost class at sf0.1)
+    val gramRows = sh.select(col("doc_id"), explode(col("shs")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("shs")).as("n"))
+    val truth = gramRows.select(col("g"), col("doc_id").as("a_id"))
+      .join(gramRows.select(col("g"), col("doc_id").as("b_id")), Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")),
+        Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")),
+        Seq("b_id"))
+      .filter(col("c").cast("double") /
+        (col("na") + col("nb") - col("c")) >= threshold)
       .select(col("a_id"), col("b_id"))
       .localCheckpoint()
     val hits = cand.join(truth, Seq("a_id", "b_id"))
