@@ -172,35 +172,45 @@ object Interchange {
     * Avro `Utf8` back to `String` before they leave the iterator.
     */
   def avroRoundTrip(d: DataFrame, path: String): DataFrame = {
+    avroWrite(d, path)
+    avroRead(d.sparkSession, path, d.schema).orderBy(col("doc_id"))
+  }
+
+  /** Avro schema JSON for a Long/Int/String/Double/Boolean-columned frame —
+    * every field a `union(null, T)`. Schema is java-Serializable but the
+    * JSON form is the stable contract; each task re-parses it (cheap, once
+    * per partition).
+    */
+  private def avroSchemaJson(
+      schema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    val fields = schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType => "long"
+        case IntegerType => "int"
+        case DoubleType => "double"
+        case BooleanType => "boolean"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"avro bridge: unsupported column type $other for ${f.name}")
+      }
+      s"""{"name":"${f.name}","type":["null","$t"],"default":null}"""
+    }
+    s"""{"type":"record","name":"row","namespace":"graft",
+       |"fields":[${fields.mkString(",")}]}""".stripMargin
+  }
+
+  /** The write half of the Avro bridge. */
+  def avroWrite(d: DataFrame, path: String): Unit = {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericRecord}
     import org.apache.avro.mapred.AvroKey
-    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
     import org.apache.hadoop.io.NullWritable
     import org.apache.hadoop.mapreduce.Job
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-
     val spark = d.sparkSession
     val names = d.schema.fieldNames
-    // Schema is java-Serializable but the JSON form is the stable contract;
-    // each task re-parses it (cheap, once per partition).
-    val schemaJson = {
-      val fields = d.schema.fields.map { f =>
-        val t = f.dataType match {
-          case LongType => "long"
-          case IntegerType => "int"
-          case DoubleType => "double"
-          case BooleanType => "boolean"
-          case StringType => "string"
-          case other => throw new IllegalArgumentException(
-            s"avroRoundTrip: unsupported column type $other for ${f.name}")
-        }
-        s"""{"name":"${f.name}","type":["null","$t"],"default":null}"""
-      }
-      s"""{"type":"record","name":"row","namespace":"graft",
-         |"fields":[${fields.mkString(",")}]}""".stripMargin
-    }
+    val schemaJson = avroSchemaJson(d.schema)
     // saveAsNewAPIHadoopFile has no overwrite mode — the scratch path is
     // per-process, so the delete only ever removes this process's residue
     val out = new org.apache.hadoop.fs.Path(path)
@@ -220,6 +230,26 @@ object Interchange {
     }.saveAsNewAPIHadoopFile(path,
       classOf[AvroKey[GenericRecord]], classOf[NullWritable],
       classOf[AvroKeyOutputFormat[GenericRecord]], wjob.getConfiguration)
+  }
+
+  /** The read half of the Avro bridge. The returned frame's partitioning
+    * IS the Hadoop input-split fan-out, which is what makes Avro's
+    * splittability measurable (InterchangeSpec): container files
+    * interleave sync markers, so `AvroKeyInputFormat` resumes at the next
+    * marker inside any byte-range split — one big file fans out like
+    * uncompressed text, unlike gzip's one-task wall.
+    */
+  def avroRead(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+    import org.apache.spark.sql.Row
+    val names = schema.fieldNames
+    val schemaJson = avroSchemaJson(schema)
     val rjob = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     AvroJob.setInputKeySchema(rjob, new Schema.Parser().parse(schemaJson))
     val rows = spark.sparkContext.newAPIHadoopFile(path,
@@ -236,7 +266,7 @@ object Interchange {
           case v => v
         }))
       })
-    spark.createDataFrame(rows, d.schema).orderBy(col("doc_id"))
+    spark.createDataFrame(rows, schema)
   }
 
   /** All round trips hash against the SAME truth: the parquet table

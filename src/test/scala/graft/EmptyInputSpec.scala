@@ -64,7 +64,11 @@ class EmptyInputSpec extends AnyFunSuite {
       (graft.operators.TextAnalysis.GateSweepThresholds.size + 1).toLong,
     // token drift's axis is data-derived so an empty corpus has no vocab
     // rows — but the <other> bucket row survives by the fold's contract
-    "q118_token_drift" -> 1L)
+    "q118_token_drift" -> 1L,
+    // the LSH calibration grid survives an empty corpus by the same
+    // contract as q102/q103: all 6 (bands, rows) points with zero counts
+    // and null recall
+    "q133_lsh_sweep" -> graft.operators.Dedup.LshSweepRows.size.toLong)
 
   test("every registered query runs on empty tables and returns 0 rows") {
     // q00 reads the fixed reference corpus, not the sf dir

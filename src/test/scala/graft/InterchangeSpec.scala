@@ -95,6 +95,39 @@ class InterchangeSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
   }
 
+  /** Avro's scale property, measured like the gzip/bzip2 pair: container
+    * sync markers make one big file SPLIT — the read RDD's partitioning is
+    * the Hadoop input-split fan-out, so forcing a small split size on a
+    * single-file corpus must yield >1 partition AND reassemble every
+    * record (the reader resumes at the next sync marker per split).
+    */
+  test("Avro intake: one big file splits at sync markers and reassembles") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("interchange_avro_split").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .filter(col("doc_id").isNotNull)
+    val n = docs.count()
+    Interchange.avroWrite(docs.coalesce(1), s"$tmp/a") // ONE container file
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val before = Option(hconf.get(key))
+    try {
+      hconf.setLong(key, 16384)
+      val back = Interchange.avroRead(spark, s"$tmp/a", docs.schema)
+      assert(back.rdd.getNumPartitions > 1,
+        "a single Avro container must fan out to byte-range splits")
+      assert(back.count() === n,
+        "split Avro read must reassemble every record")
+    } finally {
+      before match {
+        case Some(v) => hconf.set(key, v)
+        case None => hconf.unset(key)
+      }
+    }
+    new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+  }
+
   test("CSV round trip is lossless, keeping null and empty string distinct") {
     val tmp = Files.createTempDirectory("interchange_csv").toString
     val got = rows(Interchange.csvRoundTrip(nasty, s"$tmp/c"))
