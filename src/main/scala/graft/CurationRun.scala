@@ -522,10 +522,14 @@ object CurationRun {
     *     THIS run's outDir, so incremental runs chain: A full → B
     *     incremental → C incremental.
     *
-    * Scale shape: nothing corpus-sized is scanned — the arrivals drive
+    * Scale shape: the snapshot is scanned exactly ONCE (the seen
+    * anti-join that finds the arrivals — unavoidable and cheap: a
+    * column-pruned scan, nothing snapshot-sized transformed, checkpointed,
+    * or shuffled beyond the id anti-join); after that the arrivals drive
     * every join, the corpus contributes index rows only, and the merge is
     * a union write of (index + arrivals)-sized frames. Cost is
-    * O(arrivals) + O(index I/O), vs run()'s O(snapshot) everything.
+    * O(arrivals) + O(index I/O) + one snapshot scan, vs run()'s
+    * O(snapshot) everything.
     *
     * Artifacts under `outDir`: `verdicts/incremental` (doc_id, reason,
     * matched_id — q78's exact schema), the merged `index/dedup` tables, and
@@ -541,23 +545,50 @@ object CurationRun {
       params.refreshModels.isEmpty && params.prevRun.isEmpty,
       "--incremental is the arrivals-verdict path; the model/drift flags " +
         "describe full runs and cannot combine with it")
-    val scanned = timed("scan") {
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text")).localCheckpoint()
+    // flag parity with the prior run: the persisted index is md5/shingles
+    // OF THE TEXT FORM (and population) the prior run ingested — an
+    // incremental run under different strip/gate flags would hash a
+    // different text form, silently miss exact/near matches, and admit
+    // duplicates. The prior run's run_params records its flags (both the
+    // full-run and incremental-run shapes carry these two columns), so a
+    // mismatch fails loudly here instead of corrupting verdicts.
+    locally {
+      val rp = spark.read.parquet(s"$prior/run_params").collect().head
+      require(rp.getAs[Boolean]("strip_markup") == params.stripMarkup &&
+        rp.getAs[Boolean]("gopher_gate") == params.gopherGate,
+        s"--incremental flag mismatch: prior run $prior was built with " +
+          s"strip_markup=${rp.getAs[Boolean]("strip_markup")} " +
+          s"gopher_gate=${rp.getAs[Boolean]("gopher_gate")}; this run " +
+          s"passed strip_markup=${params.stripMarkup} " +
+          s"gopher_gate=${params.gopherGate} — the persisted index only " +
+          "matches text ingested under the same flags")
     }
-    // the same opt-in pre-transforms as run(), so a chained incremental
-    // judges arrivals under the text form the prior full run indexed
-    val stripped =
-      if (!params.stripMarkup) scanned
-      else scanned.withColumn("text",
-        graft.functions.text.stripMarkup(col("text")))
-    val docs =
-      if (!params.gopherGate) stripped
-      else stripped.filter(
-        operators.TextAnalysis.gopherVerdict(col("text")))
+    // arrivals FIRST, transforms after: the seen anti-join needs only ids,
+    // and strip/gate are per-row, so they commute with it — running them
+    // before the join (and checkpointing the snapshot) would materialize
+    // and regex-scan the whole corpus for a nightly 0.1% batch, breaking
+    // the O(arrivals) cost shape this mode exists for. Nothing
+    // snapshot-sized is ever checkpointed here.
     val seen = spark.read.parquet(s"$prior/index/seen")
-    val arrivals = timed("arrivals") {
-      docs.join(seen, Seq("doc_id"), "left_anti").localCheckpoint()
+    // pre-transform arrivals: the population that becomes "seen" (a
+    // gate-dropped arrival must not be re-verdicted nightly — run()'s
+    // seen set is likewise the pre-gate scan)
+    val arrived = timed("arrivals") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .join(seen, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    val arrivals = {
+      val stripped =
+        if (!params.stripMarkup) arrived
+        else arrived.withColumn("text",
+          graft.functions.text.stripMarkup(col("text")))
+      val gated =
+        if (!params.gopherGate) stripped
+        else stripped.filter(
+          operators.TextAnalysis.gopherVerdict(col("text")))
+      if (gated eq arrived) arrived else gated.localCheckpoint()
     }
     val exact = spark.read.parquet(s"$prior/index/dedup/exact")
     val shingles = spark.read.parquet(s"$prior/index/dedup/shingles")
@@ -569,24 +600,27 @@ object CurationRun {
     }
     verdict.write.mode("overwrite").parquet(s"$outDir/verdicts/incremental")
     timed("index_merge") {
-      val kept = arrivals.join(
-        verdict.filter(col("reason") === "kept").select(col("doc_id")),
-        Seq("doc_id"))
-      // exact keys fold by min so a kept arrival never shadows an
-      // existing lower-id keeper of the same hash (it can't be one — it
-      // was verdicted kept — but the fold keeps the invariant structural)
-      exact.unionByName(Dedup.exactKeyIndex(kept))
+      // EVERY arrival merges into the republished index, dropped dups
+      // included — run() indexes its whole ingested snapshot (the funnel
+      // INPUT, not the survivors), so a chained incremental must publish
+      // the same population or its verdicts drift from a full re-run's:
+      // a dropped near-dup Y of corpus doc X can sit closer to a future
+      // arrival Z than X does (J(Z,Y) >= 0.8 > J(Z,X)); an index that
+      // forgot Y would verdict Z "kept" where the full pipeline's CC
+      // chain X–Y–Z drops it. Exact keys fold by min, so a dup arrival's
+      // key lands under its keeper when the hash already exists.
+      val arrivalsKeyed = arrivals.select(col("doc_id"), col("text"))
+      exact.unionByName(Dedup.exactKeyIndex(arrivalsKeyed))
         .groupBy(col("h")).agg(min(col("ex_id")).as("ex_id"))
         .write.mode("overwrite").parquet(s"$outDir/index/dedup/exact")
-      val keptSh = Dedup.nearDupShingles(
-        kept.select(col("doc_id"), col("text"))).localCheckpoint()
-      shingles.unionByName(keptSh)
+      val arrSh = Dedup.nearDupShingles(arrivalsKeyed).localCheckpoint()
+      shingles.unionByName(arrSh)
         .write.mode("overwrite").parquet(s"$outDir/index/dedup/shingles")
-      bands.unionByName(Dedup.nearDupBandIndex(keptSh))
+      bands.unionByName(Dedup.nearDupBandIndex(arrSh))
         .write.mode("overwrite").parquet(s"$outDir/index/dedup/bands")
-      // EVERY arrival becomes seen (dup or not) — a dropped dup must not
-      // be re-verdicted by the next night's run
-      seen.unionByName(arrivals.select(col("doc_id"))).distinct()
+      // every PRE-GATE arrival becomes seen (dup, gated, or kept) — a
+      // dropped or gated doc must not be re-verdicted by the next night
+      seen.unionByName(arrived.select(col("doc_id"))).distinct()
         .write.mode("overwrite").parquet(s"$outDir/index/seen")
     }
     locally {

@@ -1035,8 +1035,14 @@ object Similarity {
       else {
         val quant = FlatQuantizer(seeds.take(IvfCells))
         val cbs = pqCodebooksFromSeeds(seeds.take(PqCodewords))
-        val path = graft.sources.Scratch.dir(
-          "q121b-index-" + Integer.toHexString(dir.hashCode)) + "/index"
+        // md5 of the dir, not String.hashCode: two corpus dirs colliding
+        // on the 32-bit hash in one long-lived JVM would share the scratch
+        // path and the second build would overwrite the first's index
+        // while its cache entry still points there
+        val path = graft.sources.Scratch.dir("q121b-index-" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(16)) + "/index"
         graft.sources.ModelStore.saveIndex(
           ivfPqEncode(base, quant, cbs), path)
         (quant, cbs, path)

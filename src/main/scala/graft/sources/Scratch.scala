@@ -20,7 +20,18 @@ package graft.sources
   * with every hard-killed bench.
   */
 object Scratch {
-  private def prefix(user: String): String = s"graft-scratch-$user-"
+  /** Host tag in the root name: pid liveness is only decidable for THIS
+    * host's pids, so the sweep must never consider another machine's
+    * roots — on a tmpdir shared across hosts (NFS scratch) a local-pid
+    * test would reap a remote machine's LIVE root mid-run.
+    */
+  private[graft] val hostTag: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+      .replaceAll("[^A-Za-z0-9._]", "-").take(32)
+    catch { case _: Throwable => "h" }
+
+  private def prefix(user: String): String =
+    s"graft-scratch-$user-$hostTag-"
 
   /** Delete sibling scratch roots left behind by DEAD processes of the
     * same user (same naming scheme, pid no longer alive). Only same-user

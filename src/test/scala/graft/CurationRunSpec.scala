@@ -396,15 +396,27 @@ class CurationRunSpec extends AnyFunSuite {
     assert(byId(26L) === ("near_batch", Some(25L)))
     assert(byId(24L) === ("kept", None))
     assert(new java.io.File(s"$outB/verdicts/incremental").exists)
-    // chain: C adds an exact copy of B's KEPT arrival 24 — only the MERGED
-    // index (B's) can know it; no full run ever saw doc 24
+    // chain: C adds an exact copy of B's KEPT arrival 24 (only the merged
+    // index can know it; no full run ever saw doc 24) AND an exact copy
+    // of B's DROPPED near-dup arrival 21 — the merge must cover every
+    // INGESTED arrival, not just keepers, or a chained verdict drifts
+    // from what a full re-run over the union would decide
     val sfC = Files.createTempDirectory("incr_sfC").toString
-    write(sfC, aDocs ++ arrivals ++ Seq(30L -> prose(9)))
+    write(sfC, aDocs ++ arrivals ++
+      Seq(30L -> prose(9), 31L -> nearOf(prose(2))))
     val outC = Files.createTempDirectory("incr_outC").toString
     val gotC = verdicts(
       CurationRun.incremental(spark, sfC, outC, outB, CurationParams()))
-    assert(gotC === Seq((30L, "exact_corpus", Some(24L))),
-      s"chained incremental must serve off the merged index, got $gotC")
+    assert(gotC === Seq(
+      (30L, "exact_corpus", Some(24L)),
+      (31L, "exact_corpus", Some(21L))),
+      s"chained incremental must serve off the merged all-arrivals index, got $gotC")
+    // flag parity: an incremental under different strip/gate flags than
+    // the prior run indexed under must be rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      CurationRun.incremental(spark, sfC, outC, outB,
+        CurationParams(stripMarkup = true))
+    }
     intercept[IllegalArgumentException] {
       CurationRun.incremental(spark, sfC, outC, outC, CurationParams())
     }

@@ -117,22 +117,30 @@ class SourcesSpec extends AnyFunSuite {
   test("scratch sweep reaps dead-pid sibling roots, leaves live and foreign ones") {
     withTemp { tmp =>
       val user = System.getProperty("user.name", "u")
+      val host = graft.sources.Scratch.hostTag
       // 999999999 exceeds any Linux pid_max (<= 4194304), so this pid is
       // guaranteed dead — the root a SIGKILLed bench would have left
-      val dead = new java.io.File(tmp, s"graft-scratch-$user-999999999")
+      val dead = new java.io.File(tmp, s"graft-scratch-$user-$host-999999999")
       dead.mkdirs()
       new java.io.File(dead, "residue.parquet").createNewFile()
       val live = new java.io.File(tmp,
-        s"graft-scratch-$user-${ProcessHandle.current().pid()}")
+        s"graft-scratch-$user-$host-${ProcessHandle.current().pid()}")
       live.mkdirs()
-      val foreign = new java.io.File(tmp, "graft-scratch-someoneelse-999999998")
+      val foreign = new java.io.File(tmp,
+        s"graft-scratch-someoneelse-$host-999999998")
       foreign.mkdirs()
-      val nonPid = new java.io.File(tmp, s"graft-scratch-$user-notapid")
+      // another HOST's root: its pid space is not ours to judge — a
+      // shared NFS tmpdir must never see cross-host reaps
+      val otherHost = new java.io.File(tmp,
+        s"graft-scratch-$user-otherbox-999999997")
+      otherHost.mkdirs()
+      val nonPid = new java.io.File(tmp, s"graft-scratch-$user-$host-notapid")
       nonPid.mkdirs()
       graft.sources.Scratch.sweepStale(new java.io.File(tmp), user)
       assert(!dead.exists, "dead-pid root must be reaped")
       assert(live.exists, "this process's root must survive")
       assert(foreign.exists, "another user's root is not ours to reap")
+      assert(otherHost.exists, "another host's root is not ours to reap")
       assert(nonPid.exists, "a non-numeric suffix is not our naming scheme")
     }
   }
