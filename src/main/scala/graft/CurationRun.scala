@@ -562,6 +562,15 @@ object CurationRun {
           s"passed strip_markup=${params.stripMarkup} " +
           s"gopher_gate=${params.gopherGate} — the persisted index only " +
           "matches text ingested under the same flags")
+      // the threshold too: the prior corpus's fates were decided at its
+      // nearDupJaccard, and the republished index chains this run's
+      // verdicts forward — a different bar would silently diverge from a
+      // full re-run at EITHER threshold
+      require(rp.getAs[Double]("neardup_jaccard") == params.nearDupJaccard,
+        s"--incremental threshold mismatch: prior run $prior deduped at " +
+          s"neardup_jaccard=${rp.getAs[Double]("neardup_jaccard")}; this " +
+          s"run passed ${params.nearDupJaccard} — chained verdicts must " +
+          "share one bar")
     }
     // arrivals FIRST, transforms after: the seen anti-join needs only ids,
     // and strip/gate are per-row, so they commute with it — running them

@@ -1000,11 +1000,19 @@ object Similarity {
   /** q121b's session-persistent index: one (codebooks, persisted-index
     * path) per (JVM, corpus dir), built by whichever invocation arrives
     * first. Model state is seed-derived and KB-scale; the index artifact
-    * lives in the per-process [[graft.sources.Scratch]] root. Keyed by dir
-    * so specs exercising other fixtures don't share an index.
+    * lives in the per-process [[graft.sources.Scratch]] root. Keyed by the
+    * CANONICAL dir (so `out` and `out/` share one artifact, and specs on
+    * other fixtures don't). The cache assumes a corpus dir is immutable
+    * for the JVM's lifetime — the standing contract of every persisted
+    * artifact consumer here (a corpus regenerated in place mid-session
+    * needs a new dir or a new session, same as a prod index rebuild).
     */
   private val servedIndex = new java.util.concurrent.ConcurrentHashMap[
     String, (FlatQuantizer, Array[Array[Array[Double]]], String)]()
+
+  private def canonicalDir(dir: String): String =
+    try new java.io.File(dir).getCanonicalPath
+    catch { case _: java.io.IOException => dir }
 
   /** q121b: the SERVED half of q121 priced on its own — the production
     * steady state. q121 deliberately pays fit+encode+save+load inside the
@@ -1027,7 +1035,7 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
       .filter(col("v").isNotNull)
-    val entry = servedIndex.computeIfAbsent(dir, _ => {
+    val entry = servedIndex.computeIfAbsent(canonicalDir(dir), _ => {
       val seeds = base.orderBy(col("vec_id"))
         .limit(math.max(IvfCells, PqCodewords))
         .select(col("v")).collect().map(_.getSeq[Double](0).toArray)

@@ -256,16 +256,28 @@ object Interchange {
         classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable],
         rjob.getConfiguration)
-      .mapPartitions(_.map { case (k, _) =>
-        // the record reader REUSES the AvroKey — extract immutable values
-        // here, before the iterator advances
-        val rec = k.datum()
-        Row.fromSeq(names.toIndexedSeq.map(rec.get(_) match {
-          case null => null
-          case u: org.apache.avro.util.Utf8 => u.toString
-          case v => v
-        }))
-      })
+      .mapPartitions { it =>
+        // per-partition setup, nothing per record beyond the Row itself:
+        // fields resolve POSITIONALLY (setInputKeySchema pins the reader
+        // schema to ours, so position i is field i — no name lookups)
+        val nFields = names.length
+        it.map { case (k, _) =>
+          // the record reader REUSES the AvroKey — extract immutable
+          // values here, before the iterator advances
+          val rec = k.datum()
+          val vals = new Array[Any](nFields)
+          var i = 0
+          while (i < nFields) {
+            vals(i) = rec.get(i) match {
+              case null => null
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case v => v
+            }
+            i += 1
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
     spark.createDataFrame(rows, schema)
   }
 

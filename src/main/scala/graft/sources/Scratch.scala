@@ -62,6 +62,11 @@ object Scratch {
     val user = System.getProperty("user.name", "u")
     sweepStale(tmp, user)
     val d = new java.io.File(tmp, prefix(user) + ProcessHandle.current().pid())
+    // a root already on disk under OUR pid is a dead predecessor's (pids
+    // recycle; sweepStale skips pid == self) — adopting its contents would
+    // serve stale artifacts (e.g. a canary binary built from old sources
+    // that the !canExecute rebuild check would then trust). Start clean.
+    if (d.exists()) { new scala.reflect.io.Directory(d).deleteRecursively(); () }
     d.mkdirs()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       new scala.reflect.io.Directory(d).deleteRecursively(); ()
