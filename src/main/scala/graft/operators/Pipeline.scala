@@ -1514,6 +1514,161 @@ object Pipeline {
        |      AND alpha_ratio >= 0.5 AND sw_ratio <= 0.5) s
        |  USING (doc_id)""".stripMargin
 
+  // ---- token-budget data selection (q135) -----------------------------------
+
+  /** Share of the corpus token mass q135 selects, in percent. */
+  val BudgetPct = 30L
+
+  /** Score-bucket width for q135's two-phase cumulative sum — buckets are
+    * floor(score_milli / width), so the bucket id is monotone in the score
+    * and equal scores can never straddle a bucket boundary.
+    */
+  val BudgetBucketWidth = 1024.0
+
+  /** q135: token-budget data selection — "spend a budget of B tokens on
+    * the best-scoring documents": rank the corpus by the q94 quality
+    * classifier (score DESC, doc_id), walk down accumulating token mass,
+    * keep every document whose inclusive cumulative count fits inside
+    * B = [[BudgetPct]]% of the corpus total. This is the DataComp/DsDm
+    * selection step — a compute budget fixes how many tokens will be
+    * trained on, and the curation job must pick WHICH tokens — distinct
+    * from q50 (packs everything in doc_id order) and q75/q51 (sample at
+    * rates, no global ordering).
+    *
+    * The global ordered cumsum is TWO-PHASE so it never funnels one
+    * partition (q50's argument, by score instead of doc_id):
+    *   1. bucket = floor(score_milli / [[BudgetBucketWidth]]) — monotone in
+    *      score, so bucket order == score order and within-bucket windows
+    *      partition by bucket;
+    *   2. each bucket's offset = token mass of strictly-better buckets,
+    *      computed on the tiny per-bucket aggregate via a broadcast
+    *      triangular join — no single-partition exchange anywhere.
+    * offset + within-bucket cumsum == the global cumsum long for long, so
+    * the oracle states the plain global window.
+    *
+    * Determinism: scores and token counts are q94's exact integers; the
+    * budget is one floor of an exactly-representable double quotient; the
+    * window order (score DESC, doc_id) is total. Every output column is an
+    * exact BIGINT.
+    */
+  def q135(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelect(
+      Tables.documents(spark, dir).filter(col("doc_id").isNotNull),
+      BudgetPct)
+
+  /** The q135 core over any documents-shaped frame — planted specs drive
+    * it with known scores/token counts and compare against the one-window
+    * form.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budgetPct: Long): DataFrame = {
+    val per = TextAnalysis.classifierScoresUnsorted(docs)
+      .select(col("doc_id"), col("n_tokens"), col("score_milli"))
+    // budget = floor(total × pct / 100): one row, broadcast — never a
+    // driver-side collect
+    val budget = per.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("total"))
+      .select(floor((col("total") * lit(budgetPct)).cast("double") / lit(100))
+        .cast("long").as("budget"))
+    val bucketed = per.withColumn("bucket",
+      floor(col("score_milli").cast("double") / lit(BudgetBucketWidth))
+        .cast("long"))
+    val bucketTotals = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+    // strictly-better mass per bucket: triangular join on the tiny
+    // aggregate (distinct buckets), the q50 offset idiom
+    val offsets = bucketTotals.select(col("bucket"))
+      .join(broadcast(bucketTotals.select(col("bucket").as("b2"),
+        col("bt"))), col("b2") > col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("bt")), lit(0L)).as("off"))
+    bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("score_milli").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("score_milli"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- weighted priority sampling (q137) -------------------------------------
+
+  /** Per-source sample size for q137. */
+  val PrioritySampleK = 16
+
+  /** Scale of the deterministic uniform draw behind q137's priorities:
+    * u ∈ [1, 2^28], so priority = (w << 28) / u stays in BIGINT range for
+    * token weights up to ~2^34.
+    */
+  val PriorityScale = 1L << 28
+
+  /** q137: weighted priority sampling (Duffield–Lund–Thorup) — per source,
+    * draw [[PrioritySampleK]] documents with probability increasing in
+    * token weight, plus the estimator weights that make the sample usable
+    * for UNBIASED subset-sum estimates (Σŵ over any sampled subset
+    * estimates that subset's true token mass). priority = w/u with u
+    * uniform; the k highest priorities are the sample; τ = the (k+1)-th
+    * priority; ŵ = max(w, τ). This is the statistically-correct way to
+    * "inspect 16 docs per source, weighted by size" — what q89 (unweighted
+    * cap) and q51 (fixed-rate strata) cannot give: per-stratum estimates
+    * with provable variance optimality (Szegedy '05: priority sampling is
+    * within a factor 1+o(1) of the optimal k+1 variance).
+    *
+    * Determinism: u = (md5(doc_id)[1..7] as int) + 1 ∈ [1, 2^28] — the q94
+    * hash-derived-randomness idiom — and priority = (w × 2^28) DIV u is
+    * exact BIGINT division in both engines (non-negative operands, so
+    * truncation == floor). Ties break by doc_id; every output column is an
+    * exact integer.
+    *
+    * Shape for 100 TB: the per-source top-(k+1) is TWO-PHASE like q89 — a
+    * salted local rank bounds every task at (k+1)×[[CapSaltBuckets]] rows
+    * per source before the global rank, so a source holding half the
+    * corpus never funnels one task. τ rides the same ranked frame (the
+    * rnk = k+1 row), and the sample itself is k rows per source.
+    */
+  def q137(spark: SparkSession, dir: String): DataFrame =
+    prioritySample(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id").isNotNull && col("source").isNotNull),
+      PrioritySampleK)
+
+  /** The q137 core over any documents-shaped frame — planted specs drive
+    * it with crafted weights and check the τ/ŵ mechanics directly.
+    */
+  def prioritySample(docs: DataFrame, k: Int): DataFrame = {
+    val pr = docs
+      .select(col("doc_id"), col("source"),
+        greatest(coalesce(text.tokenCount(col("text")), lit(0L)), lit(1L))
+          .as("w"))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 7), 16, 10).cast("long") + lit(1L))
+      .withColumn("priority",
+        expr(s"w * $PriorityScale DIV u"))
+    // phase 1: salted local top-(k+1) bounds every task; phase 2: global
+    // rank over the survivors (≤ (k+1)×CapSaltBuckets rows per source)
+    val local = pr
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(CapSaltBuckets)))
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("source"), col("salt"))
+          .orderBy(col("priority").desc, col("doc_id"))))
+      .filter(col("lrn") <= k + 1)
+    val ranked = local
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("priority").desc, col("doc_id"))))
+      .filter(col("rnk") <= k + 1)
+    val tau = ranked.filter(col("rnk") === k + 1)
+      .select(col("source"), col("priority").as("tau"))
+    ranked.filter(col("rnk") <= k)
+      .join(broadcast(tau), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("w"), col("priority"),
+        col("rnk"),
+        greatest(col("w"), coalesce(col("tau"), lit(0L))).as("w_hat"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q105_snapshot_drift", q105,
       Some(s"""WITH dd AS (
@@ -2044,5 +2199,67 @@ object Pipeline {
         |    PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS rn
         |  FROM documents)
         |WHERE rn <= $SamplePerLang
-        |ORDER BY lang, rn""".stripMargin)))
+        |ORDER BY lang, rn""".stripMargin)),
+    QueryDef("q135_token_budget", q135,
+      // per = q94's CTEs verbatim; the oracle states the plain global
+      // window the engine's two-phase bucket cumsum equals long for long
+      Some(s"""WITH t0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       t -> t <> '')) AS tok
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM t0),
+        |per0 AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM w
+        |         GROUP BY doc_id),
+        |per AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(per0.n, 0) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(per0.s, 0) AS BIGINT) AS score_milli
+        |  FROM documents d LEFT JOIN per0 USING (doc_id)
+        |  WHERE d.doc_id IS NOT NULL),
+        |tot AS (SELECT CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) AS total
+        |        FROM per),
+        |r AS (
+        |  SELECT doc_id, score_milli, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY score_milli DESC, doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM per)
+        |SELECT doc_id, score_milli, n_tokens, cum_tokens
+        |FROM r CROSS JOIN tot
+        |WHERE cum_tokens <= (total * $BudgetPct) // 100
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q137_priority_sample", q137,
+      // integer priorities (w·2^28 // u, u md5-derived) and integer τ/ŵ —
+      // the oracle states the plain per-source window the engine's salted
+      // two-phase rank equals row for row
+      Some(s"""WITH per AS (
+        |  SELECT doc_id, source,
+        |    greatest(coalesce(len(list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '')), 0), 1) AS w
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |pr AS (
+        |  SELECT doc_id, source, w,
+        |    (w * $PriorityScale) //
+        |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+        |        AS BIGINT) + 1) AS priority
+        |  FROM per),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY priority DESC, doc_id) AS INTEGER)
+        |      AS rnk
+        |  FROM pr),
+        |t AS (SELECT source,
+        |        max(CASE WHEN rnk = ${PrioritySampleK + 1} THEN priority END)
+        |          AS tau
+        |      FROM r GROUP BY source)
+        |SELECT r.doc_id, r.source, CAST(r.w AS BIGINT) AS w,
+        |  CAST(r.priority AS BIGINT) AS priority, r.rnk,
+        |  CAST(greatest(r.w, coalesce(t.tau, 0)) AS BIGINT) AS w_hat
+        |FROM r JOIN t USING (source)
+        |WHERE rnk <= $PrioritySampleK
+        |ORDER BY doc_id""".stripMargin)))
 }

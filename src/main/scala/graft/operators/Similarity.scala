@@ -2317,6 +2317,136 @@ object Similarity {
     |FROM r WHERE rnk <= $TopK ORDER BY probe_id, rnk""".stripMargin
   }
 
+  // ---- embedding storage-tier calibration (q134/q136) ----------------------
+
+  /** q134: symmetric int8 scalar-quantization profile — the calibration
+    * table behind the OTHER embedding-compression knob PQ doesn't cover:
+    * per-dimension max-abs int8 (the faiss `SQ8` / "scalar quantizer"
+    * storage format, 1 byte/dim = 4× smaller than float32, decoded by one
+    * multiply at serve time). Per dimension: the max-abs scale the encoder
+    * would ship, the exact L1/L∞ reconstruction error mass, and how many
+    * codes land non-zero (a dimension whose codes are ~all zero is dead
+    * weight the q96 std profile may miss when its mass sits in outliers).
+    * An embedding platform reads this table to decide int8-vs-PQ-vs-float
+    * per deployment, exactly as q103 reads the ANN sweep.
+    *
+    * Determinism (q96's fixed-point discipline): elements quantize to
+    * q = floor(v·1e4) (exact BIGINT in both engines); the per-dim scale is
+    * an integer max; code = floor((q·127)/scale) and recon =
+    * floor((code·scale)/127) each take ONE IEEE double division with both
+    * operands exactly representable, so both engines floor the same
+    * correctly-rounded quotient — every output column is an exact BIGINT.
+    *
+    * Shape for 100 TB: two passes over the corpus (max-abs scales, then
+    * encode+error — inherent to max-abs calibration), both riding
+    * posexplode with the aggregate keyed by the d-sized dim space, so each
+    * exchange moves #partitions×d tiny rows (q96's argument). The scales
+    * frame is d rows — broadcast back onto the element stream, never a
+    * shuffle of the corpus side.
+    */
+  def q134(spark: SparkSession, dir: String): DataFrame =
+    int8QuantProfile(Tables.embeddings(spark, dir))
+
+  /** The q134 core over any (embedding ARRAY<FLOAT>) frame — planted specs
+    * run it directly.
+    */
+  def int8QuantProfile(emb: DataFrame): DataFrame = {
+    val x = emb
+      .filter(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("int").as("dim"),
+        floor(col("col").cast("double") * lit(10000)).cast("long").as("q"))
+    val scales = x.groupBy(col("dim"))
+      .agg(greatest(max(abs(col("q"))), lit(1L)).as("scale"))
+    x.join(broadcast(scales), Seq("dim"))
+      .withColumn("code",
+        floor((col("q") * lit(127L)).cast("double") / col("scale"))
+          .cast("long"))
+      .withColumn("recon",
+        floor((col("code") * col("scale")).cast("double") / lit(127L))
+          .cast("long"))
+      .withColumn("err", abs(col("q") - col("recon")))
+      .groupBy(col("dim"), col("scale"))
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("sum_err"),
+        max(col("err")).as("max_err"),
+        sum(when(col("code") =!= 0L, 1L).otherwise(0L)).as("n_nonzero"))
+      .orderBy(col("dim"))
+  }
+
+  /** Prefix lengths for the q136 matryoshka fidelity sweep — powers of two
+    * up to the fixture's full 64 dims (the MRL truncation grid an
+    * embedding platform actually serves).
+    */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** q136: matryoshka prefix-dimension retrieval fidelity — for each
+    * truncation length d in [[MatryoshkaDims]], how many of the full-dim
+    * exact top-[[TopK]] neighbors the d-prefix cosine ranking keeps, per
+    * probe. This is the calibration table behind MRL-style embedding
+    * truncation (use 8/16/32 of 64 dims at serve time for 8×/4×/2× less
+    * storage and bandwidth): the measured overlap@K tells the platform
+    * which prefix is safe to deploy, exactly as q103's sweep prices the
+    * IVF/PQ knobs and q134 prices int8. The d = full row is the built-in
+    * sanity anchor (overlap ≡ K whenever the corpus has ≥ K neighbors).
+    *
+    * Determinism: rankings only — no float ever reaches the output. Both
+    * engines compute the same prefix-cosine doubles (same elements, same
+    * fold order — the q20 contract that already hash-matches full-dim
+    * cosine), rank by (c DESC, neighbor_id), and the overlap count is an
+    * exact integer.
+    *
+    * Shape for 100 TB: the probe set is fixed and broadcast (q20's exact
+    * tier — the corpus never shuffles or self-joins); the ×|dims| fan-out
+    * applies to the probe-pair stream only, and the per-(probe, d) window
+    * ranks |probes|×|dims| corpus-sized partitions, each reduced to top-K
+    * before the overlap join of two K-sized frames.
+    */
+  def q136(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaFidelity(Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id")))
+
+  /** The q136 core over any (vec_id, embedding) frame — planted specs run
+    * it directly.
+    */
+  def matryoshkaFidelity(emb: DataFrame): DataFrame = {
+    // the K-sized per-(probe, d) shortlists feed TWO branches (full-dim
+    // anchor + overlap join); materialize so the quadratic scoring
+    // lineage runs once
+    val topk = matryoshkaShortlists(emb).localCheckpoint()
+    val full = topk.filter(col("prefix_dim") === MatryoshkaDims.max)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    topk.join(full, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"), col("prefix_dim"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+      .orderBy(col("probe_id"), col("prefix_dim"))
+  }
+
+  /** q136's scoring half before materialization — the per-(probe, d)
+    * top-K shortlists. Split out so PlanSpec can pin the pre-checkpoint
+    * physical plan (broadcast probes, windowed rank — no corpus
+    * self-shuffle).
+    */
+  private[graft] def matryoshkaShortlists(emb: DataFrame): DataFrame = {
+    val base = emb
+      .filter(col("embedding").isNotNull && col("vec_id").isNotNull)
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("prefix_dim", explode(typedLit(MatryoshkaDims)))
+      .select(col("probe_id"), col("prefix_dim"),
+        col("vec_id").as("neighbor_id"),
+        vecexprs.cosineSim(
+          slice(col("pv"), lit(1), col("prefix_dim")),
+          slice(col("v"), lit(1), col("prefix_dim"))).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"), col("prefix_dim"))
+          .orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("prefix_dim"), col("neighbor_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q96_embedding_stats", q96,
       // quantize-then-aggregate makes the sums exact integers; mean/std
@@ -2837,5 +2967,60 @@ object Similarity {
         |FROM e a, e b
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.v, b.v), 6) >= $NearDupCosine
-        |ORDER BY a_id, b_id""".stripMargin)))
+        |ORDER BY a_id, b_id""".stripMargin)),
+    QueryDef("q134_int8_quant", q134,
+      // quantize → integer max-abs scale → one exactly-representable
+      // double division per code/recon (see q134 docs): every column an
+      // exact BIGINT in both engines
+      Some("""WITH x AS (
+        |  SELECT CAST(i AS INT) AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |  WHERE embedding IS NOT NULL),
+        |s AS (SELECT dim, greatest(max(abs(q)), 1) AS scale
+        |      FROM x GROUP BY dim),
+        |c AS (SELECT x.dim, s.scale, x.q,
+        |    CAST(FLOOR(CAST(x.q * 127 AS DOUBLE) / s.scale) AS BIGINT)
+        |      AS code
+        |  FROM x JOIN s USING (dim)),
+        |e AS (SELECT dim, scale, q, code,
+        |    CAST(FLOOR(CAST(code * scale AS DOUBLE) / 127) AS BIGINT)
+        |      AS recon
+        |  FROM c)
+        |SELECT dim, CAST(scale AS BIGINT) AS scale,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(abs(q - recon)) AS BIGINT) AS sum_err,
+        |  CAST(MAX(abs(q - recon)) AS BIGINT) AS max_err,
+        |  CAST(SUM(CASE WHEN code <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonzero
+        |FROM e GROUP BY dim, scale ORDER BY dim""".stripMargin)),
+    QueryDef("q136_matryoshka_fidelity", q136,
+      // rankings only — the prefix cosines are the q20 contract's doubles
+      // (same elements, same fold order), and only integer overlap counts
+      // reach the output
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |d AS (SELECT CAST(unnest([${MatryoshkaDims.mkString(", ")}]) AS INT)
+        |        AS prefix_dim),
+        |pairs AS (
+        |  SELECT probe_id, prefix_dim, vec_id AS neighbor_id,
+        |    list_cosine_similarity(pv[1:prefix_dim], v[1:prefix_dim]) AS c
+        |  FROM e, p, d WHERE vec_id <> probe_id),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY probe_id, prefix_dim
+        |    ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM pairs),
+        |topk AS (SELECT probe_id, prefix_dim, neighbor_id
+        |         FROM r WHERE rnk <= $TopK),
+        |fd AS (SELECT probe_id, neighbor_id FROM topk
+        |       WHERE prefix_dim = ${MatryoshkaDims.max})
+        |SELECT t.probe_id, t.prefix_dim,
+        |  CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overlap
+        |FROM topk t LEFT JOIN fd f
+        |  ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id
+        |GROUP BY t.probe_id, t.prefix_dim
+        |ORDER BY t.probe_id, t.prefix_dim""".stripMargin)))
 }

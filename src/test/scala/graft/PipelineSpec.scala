@@ -831,4 +831,135 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2.length === 2 && got2.forall(_.isNullAt(2)),
       "positive-only examples must survive with null negatives")
   }
+
+  /** q135 exactness of the two-phase bucket cumsum: on the real fixture it
+    * must equal the naive one-window form (global ORDER BY score DESC,
+    * doc_id) row for row, including the cumulative values — and the budget
+    * must actually cut the corpus.
+    */
+  test("token-budget selection equals the plain global window") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id").isNotNull)
+    val per = graft.operators.TextAnalysis.classifierScoresUnsorted(docs)
+      .select(col("doc_id"), col("n_tokens"), col("score_milli"))
+    val budget = per.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("total"))
+      .select(floor((col("total") * lit(Pipeline.BudgetPct)).cast("double")
+        / lit(100)).cast("long").as("budget"))
+    val naive = per
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.orderBy(col("score_milli").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("score_milli"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+    val got = Pipeline.tokenBudgetSelect(docs, Pipeline.BudgetPct)
+      .collect().toSeq
+    val want = naive.collect().toSeq
+    assert(want.nonEmpty && want.size < docs.count(), "budget did not cut")
+    assert(got === want)
+  }
+
+  /** q135 model check: the selection is the longest prefix of the
+    * (score DESC, doc_id) order whose token mass fits the budget —
+    * recomputed with a plain Scala fold over the scored corpus, including
+    * a zero-token doc (selected for free wherever the order puts it).
+    */
+  test("token-budget selection takes the longest affordable prefix") {
+    import spark.implicits._
+    val docs = ((1 to 40).map { i =>
+      (i.toLong, ((i * 7) to (i * 7 + i)).map(j => s"w${j % 97}")
+        .mkString(" "))
+    } :+ (99L, "")).toDF("doc_id", "text")
+    val scored = graft.operators.TextAnalysis.classifierScoresUnsorted(docs)
+      .select("doc_id", "n_tokens", "score_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = scored.map(_._2).sum
+    val budgetTok = total * Pipeline.BudgetPct / 100
+    var cum = 0L
+    val want = scored.sortBy { case (id, _, s) => (-s, id) }.flatMap {
+      case (id, n, s) =>
+        cum += n
+        if (cum <= budgetTok) Some((id, s, n, cum)) else None
+    }.sortBy(_._1).toSeq
+    val got = Pipeline.tokenBudgetSelect(docs, Pipeline.BudgetPct).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(want.nonEmpty && want.size < scored.length, "budget did not cut")
+    assert(got === want)
+  }
+
+  /** q137 exactness of the salted two-phase rank: on the real fixture the
+    * sample must equal the naive single-window form row for row, columns
+    * AND estimator weights.
+    */
+  test("priority sample equals the plain per-source window") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id").isNotNull && col("source").isNotNull)
+    val k = Pipeline.PrioritySampleK
+    val pr = docs.select(col("doc_id"), col("source"),
+        greatest(coalesce(graft.functions.text.tokenCount(col("text")),
+          lit(0L)), lit(1L)).as("w"))
+      .withColumn("u", conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10)
+        .cast("long") + lit(1L))
+      .withColumn("priority", expr(s"w * ${Pipeline.PriorityScale} DIV u"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("priority").desc, col("doc_id"))))
+    val tau = pr.filter(col("rnk") === k + 1)
+      .select(col("source"), col("priority").as("tau"))
+    val naive = pr.filter(col("rnk") <= k)
+      .join(broadcast(tau), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("w"), col("priority"),
+        col("rnk"), greatest(col("w"), coalesce(col("tau"), lit(0L)))
+          .as("w_hat"))
+      .orderBy(col("doc_id"))
+    val got = Pipeline.prioritySample(docs, k).collect().toSeq
+    val want = naive.collect().toSeq
+    assert(want.nonEmpty && want.size < docs.count(), "sample did not cut")
+    assert(got === want)
+  }
+
+  /** q137 planted model check: u/priority/τ/ŵ recomputed independently with
+    * java.security MessageDigest. srcA has k+2 docs (τ exists, ŵ = max(w,
+    * τ)); srcB has 2 docs < k (no τ, ŵ == w, all sampled).
+    */
+  test("priority sampling: τ and ŵ mechanics from planted weights") {
+    import spark.implicits._
+    val k = 4
+    val docs = ((1 to 6).map(i =>
+      (i.toLong, (1 to i * 3).map(j => s"t$j").mkString(" "), "srcA")) ++
+      Seq((21L, "one two", "srcB"), (22L, "one two three", "srcB")))
+      .toDF("doc_id", "text", "source")
+    def md5u(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(7), 16) + 1L
+    }
+    val model = Seq(
+      (1 to 6).map(i => (i.toLong, "srcA", (i * 3).toLong)),
+      Seq((21L, "srcB", 2L), (22L, "srcB", 3L))).flatten
+      .map { case (id, s, w) =>
+        (id, s, w, w * Pipeline.PriorityScale / md5u(id))
+      }
+    val want = model.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ranked = rows.sortBy { case (id, _, _, p) => (-p, id) }
+      val tau = if (ranked.length > k) Some(ranked(k)._4) else None
+      ranked.take(k).zipWithIndex.map { case ((id, s, w, p), i) =>
+        (id, s, w, p, i + 1, math.max(w, tau.getOrElse(0L)))
+      }
+    }.sortBy(_._1)
+    val got = Pipeline.prioritySample(docs, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5))).toSeq
+    assert(got === want)
+    // srcB is exhaustively sampled with ŵ == w (no τ below k members)
+    got.filter(_._2 == "srcB").foreach { case (_, _, w, _, _, wHat) =>
+      assert(wHat === w)
+    }
+    assert(got.count(_._2 == "srcB") === 2)
+  }
 }

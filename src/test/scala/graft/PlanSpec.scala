@@ -607,4 +607,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "per-row scorer must not explode tokens")
     assert(ops(p, "HashAggregate") >= 4, "an aggregation level lost its partial phase")
   }
+
+  test("q134: int8 scales broadcast back onto the element stream; no corpus-side SMJ") {
+    val p = plan(Similarity.q134(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "scales not broadcast")
+    assert(!p.contains("SortMergeJoin"), "scales join fell back to SMJ")
+    assert(!p.contains("SinglePartition"), "a global funnel crept in")
+  }
+
+  test("q135: the budget cumsum windows by bucket, never a corpus-wide single window") {
+    // exactly ONE Window (the per-bucket cumsum) and it must exchange on
+    // hashpartitioning(bucket...); the offsets/budget frames are tiny
+    // broadcast joins, not windows (the q50 two-phase lesson, keyed by
+    // score bucket instead of doc_id shard)
+    val p = plan(graft.operators.Pipeline.q135(spark, dir))
+    assert(ops(p, "Window ") === 1, p.take(1500))
+    assert(p.contains("hashpartitioning(bucket"),
+      "cumsum window lost its bucket partitioning")
+  }
+
+  test("q136: probes broadcast against the corpus; shortlists rank per (probe, d)") {
+    val p = plan(Similarity.matryoshkaShortlists(
+      graft.Tables.embeddings(spark, dir)))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "probe side not broadcast")
+    assert(p.contains("hashpartitioning(probe_id"),
+      "rank window lost its (probe, prefix_dim) partitioning")
+    assert(!p.contains("ScalaUDF"), "prefix cosine fell out of codegen")
+  }
+
+  test("q137: priority sample ranks in two bounded phases, never a single-partition funnel") {
+    val p = plan(graft.operators.Pipeline.q137(spark, dir))
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("hashpartitioning(source"),
+      "phase-1 salt cell exchange missing")
+    assert(!p.contains("SinglePartition"), "global funnel crept into the sample")
+  }
 }

@@ -905,4 +905,92 @@ class SimilaritySpec extends AnyFunSuite {
       loaded.zip(refreshed).forall { case (a, b) => a.sameElements(b) })
     new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
   }
+
+  /** q134: planted int8 quantization profile, hand-computed in the
+    * quantized integer domain. dim1 exercises the negative-code floor
+    * (q = -5000 at scale 10000 → code floor(-63.5) = -64, recon
+    * floor(-5039.37) = -5040, err 40); dim2 has a zero element (code 0 →
+    * n_nonzero 1) and an exactly-representable 0.0625f; a null embedding
+    * row changes nothing.
+    */
+  test("int8 quant profile: hand-computed codes, floors, and error mass") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0625f)),
+      (2L, Seq(-0.5f, 0.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.int8QuantProfile(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // dim1: q = 10000, -5000; scale 10000; errs 0 and 40; both codes != 0
+    assert(got(1) === ((10000L, 2L, 40L, 40L, 2L)))
+    // dim2: q = 625, 0; scale 625; code 127 recon 625 err 0; code 0 err 0
+    assert(got(2) === ((625L, 2L, 0L, 0L, 1L)))
+  }
+
+  /** q134 reconstruction-error contract on the fixture: max-abs int8 can
+    * be off by at most one code step plus one floor, i.e.
+    * err ≤ scale/127 + 1 per element, every dimension.
+    */
+  test("int8 quant profile: fixture max_err within the one-code-step bound") {
+    val rows = Similarity.q134(spark, dir).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (scale, maxErr) = (r.getLong(1), r.getLong(4))
+      assert(maxErr * 127 <= scale + 127,
+        s"dim ${r.getInt(0)}: max_err $maxErr breaks the bound at scale $scale")
+      assert(r.getLong(2) > 0 && r.getLong(5) <= r.getLong(2))
+    }
+  }
+
+  /** q136: the full-dim row is the built-in anchor — truncating to all 64
+    * dims keeps the exact top-K by construction, every probe.
+    */
+  test("matryoshka fidelity: full-dim rows keep all K neighbors on the fixture") {
+    val rows = Similarity.q136(spark, dir).collect()
+    assert(rows.length === 5 * Similarity.MatryoshkaDims.size)
+    rows.filter(_.getInt(1) === Similarity.MatryoshkaDims.max)
+      .foreach(r => assert(r.getLong(2) === Similarity.TopK.toLong,
+        s"probe ${r.getLong(0)}: full-dim overlap ${r.getLong(2)}"))
+    // prefix overlaps are bounded by K; low values are genuine signal on
+    // the near-random fixture (the table's whole point), so no floor here
+    rows.foreach(r => assert(r.getLong(2) >= 0L &&
+      r.getLong(2) <= Similarity.TopK.toLong))
+  }
+
+  /** q136 model check: planted 64-dim vectors (seeded, deterministic), the
+    * overlap table recomputed independently in plain Scala with the same
+    * (cosine DESC, neighbor_id) tie-break.
+    */
+  test("matryoshka fidelity: planted corpus matches the plain-Scala model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 30L).map { id =>
+      id -> Seq.fill(64)(rnd.nextFloat() * 2f - 1f)
+    }
+    val got = Similarity.matryoshkaFidelity(
+      vecs.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def cos(a: Seq[Float], b: Seq[Float], d: Int): Double = {
+      val (x, y) = (a.take(d).map(_.toDouble), b.take(d).map(_.toDouble))
+      val dot = x.zip(y).map { case (u, v) => u * v }.sum
+      dot / (math.sqrt(x.map(u => u * u).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val want = for {
+      (pid, pv) <- vecs.filter(_._1 < 5)
+      d <- Similarity.MatryoshkaDims
+    } yield {
+      def topk(dd: Int): Seq[Long] = vecs.filter(_._1 != pid)
+        .map { case (nid, nv) => (nid, cos(pv, nv, dd)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(Similarity.TopK).map(_._1)
+      val full = topk(64).toSet
+      (pid, d) -> topk(d).count(full).toLong
+    }
+    want.foreach { case (key, n) =>
+      assert(got(key) === n, s"overlap mismatch at $key")
+    }
+    assert(got.size === want.size)
+  }
 }
