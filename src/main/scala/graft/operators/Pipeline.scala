@@ -1559,6 +1559,19 @@ object Pipeline {
   /** The q135 core over any documents-shaped frame — planted specs drive
     * it with known scores/token counts and compare against the one-window
     * form.
+    *
+    * Parallelism note (why THREE levels, not q50's two): the score RANGE
+    * does not grow with the corpus — bucket count stays ~O(range/width)
+    * while the corpus scales, so a bucket-partitioned row window would cap
+    * parallelism at ~#buckets tasks of n/#buckets rows (and a single hot
+    * score — every empty doc scores 0 — would funnel one task). Cells are
+    * therefore keyed by (EXACT score, doc-id shard): within a cell all
+    * rows share the score, so doc_id order is the total order and the
+    * shard bound caps every row-level window partition at [[ShardSize]]
+    * rows no matter the corpus or the score distribution. Cell offsets are
+    * windowed over the CELL AGGREGATE (tiny rows), bucket offsets over the
+    * bucket aggregate via the broadcast triangle — the q50 ladder, one
+    * level deeper.
     */
   def tokenBudgetSelect(docs: DataFrame, budgetPct: Long): DataFrame = {
     val per = TextAnalysis.classifierScoresUnsorted(docs)
@@ -1568,22 +1581,40 @@ object Pipeline {
     val budget = per.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("total"))
       .select(floor((col("total") * lit(budgetPct)).cast("double") / lit(100))
         .cast("long").as("budget"))
-    val bucketed = per.withColumn("bucket",
-      floor(col("score_milli").cast("double") / lit(BudgetBucketWidth))
-        .cast("long"))
-    val bucketTotals = bucketed.groupBy(col("bucket"))
-      .agg(sum(col("n_tokens")).as("bt"))
-    // strictly-better mass per bucket: triangular join on the tiny
-    // aggregate (distinct buckets), the q50 offset idiom
-    val offsets = bucketTotals.select(col("bucket"))
+    val cells = per
+      .withColumn("bucket",
+        floor(col("score_milli").cast("double") / lit(BudgetBucketWidth))
+          .cast("long"))
+      .withColumn("shard", (col("doc_id") / lit(ShardSize)).cast("long"))
+    // level 1 aggregate: one row per (score, shard) cell
+    val cellTotals = cells
+      .groupBy(col("bucket"), col("score_milli"), col("shard"))
+      .agg(sum(col("n_tokens")).as("ct"))
+    val bucketTotals = cellTotals.groupBy(col("bucket"))
+      .agg(sum(col("ct")).as("bt"))
+    // level 3: strictly-better-bucket mass via the broadcast triangle on
+    // the tiny bucket aggregate (the q50 offset idiom)
+    val bucketOffsets = bucketTotals.select(col("bucket"))
       .join(broadcast(bucketTotals.select(col("bucket").as("b2"),
         col("bt"))), col("b2") > col("bucket"), "left")
       .groupBy(col("bucket"))
-      .agg(coalesce(sum(col("bt")), lit(0L)).as("off"))
-    bucketed.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(
+      .agg(coalesce(sum(col("bt")), lit(0L)).as("boff"))
+    // level 2: strictly-before-cell mass WITHIN the bucket, windowed over
+    // cell-aggregate rows (corpus/ShardSize rows total, not corpus rows)
+    val cellOffsets = cellTotals
+      .withColumn("coff", coalesce(sum(col("ct")).over(
         Window.partitionBy(col("bucket"))
-          .orderBy(col("score_milli").desc, col("doc_id"))
+          .orderBy(col("score_milli").desc, col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .select(col("score_milli"), col("shard"),
+        (col("boff") + col("coff")).as("off"))
+    // level 1: within-cell running sum — every partition ≤ ShardSize rows
+    // of one score, where doc_id order IS the global order
+    cells.join(cellOffsets, Seq("score_milli", "shard"))
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(
+        Window.partitionBy(col("score_milli"), col("shard"))
+          .orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(budget))
       .filter(col("cum_tokens") <= col("budget"))

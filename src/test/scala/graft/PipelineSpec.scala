@@ -890,6 +890,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  /** q135 degenerate-score skew: when EVERY doc carries the same score
+    * (one score cell — the hot-key case the (score, shard) cells exist
+    * for), selection must still equal the naive global window, and the
+    * order inside the run is pure doc_id.
+    */
+  test("token-budget selection survives an all-equal-score corpus") {
+    import spark.implicits._
+    val text = (1 to 9).map(i => s"same tokens here w$i").mkString(" ")
+    val docs = (1L to 60L).map(i => (i, text)).toDF("doc_id", "text")
+    val got = Pipeline.tokenBudgetSelect(docs, Pipeline.BudgetPct).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // equal scores -> selection is the doc_id prefix; 30% of 60 equal-mass
+    // docs = the first 18, cum strictly increasing by the shared size
+    assert(got.map(_._1).toSeq === (1L to 18L))
+    val sz = got.head._2
+    assert(got.map(_._2).toSeq === (1L to 18L).map(_ * sz))
+  }
+
   /** q137 exactness of the salted two-phase rank: on the real fixture the
     * sample must equal the naive single-window form row for row, columns
     * AND estimator weights.

@@ -615,15 +615,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), "a global funnel crept in")
   }
 
-  test("q135: the budget cumsum windows by bucket, never a corpus-wide single window") {
-    // exactly ONE Window (the per-bucket cumsum) and it must exchange on
-    // hashpartitioning(bucket...); the offsets/budget frames are tiny
-    // broadcast joins, not windows (the q50 two-phase lesson, keyed by
-    // score bucket instead of doc_id shard)
+  test("q135: the budget cumsum windows by bounded cells, never a corpus-wide single window") {
+    // exactly TWO Windows — the row-level cumsum partitioned by
+    // (score_milli, shard) cells (≤ ShardSize rows each, any score
+    // distribution) and the cell-offset window over the tiny cell
+    // AGGREGATE partitioned by bucket; bucket offsets are a broadcast
+    // triangle, the budget a one-row broadcast (the q50 two-phase lesson,
+    // one level deeper because score range doesn't grow with the corpus)
     val p = plan(graft.operators.Pipeline.q135(spark, dir))
-    assert(ops(p, "Window ") === 1, p.take(1500))
+    assert(ops(p, "Window ") === 2, p.take(1500))
+    assert(p.contains("hashpartitioning(score_milli"),
+      "row cumsum window lost its bounded (score, shard) cell partitioning")
     assert(p.contains("hashpartitioning(bucket"),
-      "cumsum window lost its bucket partitioning")
+      "cell-offset window lost its bucket partitioning")
   }
 
   test("q136: probes broadcast against the corpus; shortlists rank per (probe, d)") {
