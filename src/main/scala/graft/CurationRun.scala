@@ -65,6 +65,13 @@ final case class CurationParams(
     // full-snapshot scoring pass — the priciest non-funnel stage at sf10);
     // default on so any run can seed a later --prev-run chain
     writeScores: Boolean = true,
+    // round-15: q135's token-budget selection as an opt-in GATE after the
+    // mixture sampler — "the compute budget buys N% of the surviving
+    // token mass; keep the best-scoring prefix" (the DataComp/DsDm
+    // selection step). A gate, not a layout: dropped docs leave
+    // corpus/shards and fate at the prior stage; the per-doc selection
+    // table persists under verdicts/token_budget
+    tokenBudgetPct: Option[Long] = None,
     // round-15: serve q78's batch-vs-corpus verdict as a RUN MODE — a new
     // snapshot's ARRIVALS (ids the prior run has no fate for) are
     // verdicted against the prior run's persisted dedup-index artifacts
@@ -187,6 +194,9 @@ object CurationRun {
         "codebook verbatim)")
     require(params.incremental.isEmpty,
       "--incremental dispatches to CurationRun.incremental, not run()")
+    require(params.tokenBudgetPct.forall(p => p >= 1 && p <= 100),
+      s"--token-budget-pct must be in [1, 100], got " +
+        s"${params.tokenBudgetPct.getOrElse(-1L)}")
     require(!params.prevRun.exists(samePath(_, outDir)),
       "--prev-run must point at a DIFFERENT prior run's outDir: this run " +
         s"overwrites $outDir's verdicts before the drift diff reads them, " +
@@ -355,12 +365,30 @@ object CurationRun {
         .localCheckpoint())
     }
 
+    // stage 10.5 (opt-in): q135's token-budget selection over the sampled
+    // survivors — keep the best-classifier-scored prefix whose token mass
+    // fits tokenBudgetPct% of the surviving total. The verdict frame (per
+    // selected doc: score, tokens, cumulative) is the artifact; the
+    // survivor frame is an id-only semi join, the source-cap idiom.
+    val (budgetVerdict, selected) = params.tokenBudgetPct match {
+      case None => (None, sampled)
+      case Some(pct) => timed("token_budget") {
+        val v = Pipeline.tokenBudgetSelect(
+          sampled.select(col("doc_id"), col("text")), pct).localCheckpoint()
+        (Some(v),
+          sampled.join(v.select(col("doc_id")), Seq("doc_id"))
+            .localCheckpoint())
+      }
+    }
+
     // the funnel's last frame is re-read by the manifest stat AND the fates
     // fold — swap in the checkpointed copy so neither re-executes the
     // gram-explode decontamination lineage
     val stages = (funnel.init :+ (funnel.last._1 -> dec)) ++
       Seq("sem_dedup" -> semdeduped, "line_dedup" -> lined, "span_cut" -> cut,
-        "source_cap" -> capped, "sampled" -> sampled)
+        "source_cap" -> capped, "sampled" -> sampled) ++
+      (if (params.tokenBudgetPct.isDefined)
+        Seq("token_budget" -> selected) else Seq.empty)
     val manifest = stages.zipWithIndex
       .map { case ((name, df), i) => Pipeline.funnelStat(df, i, name) }
       .reduce(_.union(_))
@@ -383,7 +411,7 @@ object CurationRun {
       .select(col("doc_id"), col("last_stage_idx"),
         element_at(stageName, col("last_stage_idx")).as("last_stage"))
 
-    val corpus = sampled
+    val corpus = selected
       .join(docs.select(col("doc_id"), col("lang"), col("source")),
         Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
@@ -396,7 +424,7 @@ object CurationRun {
     // via Pipeline.ShuffleSalt
     val sharded = timed("shards") {
       corpus.join(
-          Pipeline.trainShards(sampled.select(col("doc_id"), col("text")))
+          Pipeline.trainShards(selected.select(col("doc_id"), col("text")))
             .select(col("doc_id"), col("shard"), col("pos")),
           Seq("doc_id"))
         .select(col("shard"), col("pos"), col("doc_id"), col("lang"),
@@ -411,17 +439,32 @@ object CurationRun {
         params.reuseModels.orNull, params.reuseIndex.orNull,
         params.refreshModels.orNull, params.prevRun.orNull,
         params.stripMarkup, params.gopherGate, params.qualityKeeper,
-        params.packSequences, params.writeScores))
+        params.packSequences, params.writeScores,
+        params.tokenBudgetPct.map(_.toString).orNull))
         .toDF("sem_dedup_cosine", "classifier_floor_e6", "neardup_jaccard",
           "source_cap", "reused_models_from", "reused_index_from",
           "refreshed_models_from", "prev_run", "strip_markup",
-          "gopher_gate", "quality_keeper", "pack_sequences", "write_scores")
+          "gopher_gate", "quality_keeper", "pack_sequences", "write_scores",
+          "token_budget_pct")
     }
     timed("artifacts") {
       PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
       PartitionedParquet.write(sharded, s"$outDir/shards", "shard", "pos")
       capVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/source_cap")
       sampleVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/sample")
+      budgetVerdict match {
+        case Some(v) =>
+          v.write.mode("overwrite").parquet(s"$outDir/verdicts/token_budget")
+        case None =>
+          // outDir reuse: a flag-less rerun must DELETE any prior run's
+          // budget verdict (the write-scores stale-table lesson) —
+          // through the Hadoop FileSystem so non-local outDirs clean too
+          val tb = new org.apache.hadoop.fs.Path(
+            s"$outDir/verdicts/token_budget")
+          tb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(tb, true)
+          ()
+      }
       fates.write.mode("overwrite").parquet(s"$outDir/verdicts/doc_fates")
       runParams.coalesce(1).write.mode("overwrite").parquet(s"$outDir/run_params")
       manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
@@ -454,7 +497,7 @@ object CurationRun {
     // order, so shard here == shards/'s shard) — the dataloader reads
     // sequences instead of padding per row
     if (params.packSequences) timed("pack") {
-      Pipeline.packSequences(sampled.select(col("doc_id"), col("text")))
+      Pipeline.packSequences(selected.select(col("doc_id"), col("text")))
         .write.mode("overwrite").parquet(s"$outDir/layout/sequences")
     }
     // per-doc classifier scores of the RAW snapshot (pre-gate, so two
@@ -542,9 +585,10 @@ object CurationRun {
         s"merged index would overwrite $outDir/index/dedup while still " +
         "lazily reading it")
     require(params.reuseModels.isEmpty && params.reuseIndex.isEmpty &&
-      params.refreshModels.isEmpty && params.prevRun.isEmpty,
-      "--incremental is the arrivals-verdict path; the model/drift flags " +
-        "describe full runs and cannot combine with it")
+      params.refreshModels.isEmpty && params.prevRun.isEmpty &&
+      params.tokenBudgetPct.isEmpty,
+      "--incremental is the arrivals-verdict path; the model/drift/" +
+        "selection flags describe full runs and cannot combine with it")
     // flag parity with the prior run: the persisted index is md5/shingles
     // OF THE TEXT FORM (and population) the prior run ingested — an
     // incremental run under different strip/gate flags would hash a
@@ -669,6 +713,8 @@ object CurationRun {
         p.copy(packSequences = v.toBoolean)
       case (p, Seq("--write-scores", v)) =>
         p.copy(writeScores = v.toBoolean)
+      case (p, Seq("--token-budget-pct", v)) =>
+        p.copy(tokenBudgetPct = Some(v.toLong))
       case (p, Seq("--incremental", v)) => p.copy(incremental = Some(v))
       case (_, other) =>
         throw new IllegalArgumentException(
@@ -684,7 +730,7 @@ object CurationRun {
         "[--refresh-models priorOutDir] " +
         "[--prev-run priorOutDir] [--strip-markup B] [--gopher-gate B] " +
         "[--quality-keeper B] [--pack-sequences B] [--write-scores B] " +
-        "[--incremental priorOutDir]")
+        "[--token-budget-pct N] [--incremental priorOutDir]")
     val params = parseParams(args.drop(2).toSeq)
     val spark = Sessions.local("graft-curation-run")
     val t0 = System.nanoTime()

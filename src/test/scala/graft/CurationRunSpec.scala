@@ -552,4 +552,48 @@ class CurationRunSpec extends AnyFunSuite {
     Seq(sf, outA, outB).foreach(d =>
       new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
   }
+
+  /** --token-budget-pct: the gate keeps EXACTLY q135's prefix over the
+    * sampled survivors (computable from the flag-less baseline corpus,
+    * which is that same population), the verdict artifact carries the
+    * selection table, dropped docs fate at 'sampled', kept at
+    * 'token_budget', shards restrict to the kept set — and a flag-less
+    * rerun into the same outDir deletes the stale verdict (the
+    * write-scores lesson).
+    */
+  test("token-budget gate applies q135 and fates the dropped at 'sampled'") {
+    val base = spark.read.parquet(s"$outDir/corpus")
+    val want = Pipeline.tokenBudgetSelect(
+        base.select(col("doc_id"), col("text")), 50L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Files.createTempDirectory("budget_out").toString
+    CurationRun.run(spark, sfDir, out,
+      CurationParams(tokenBudgetPct = Some(50L))).collect()
+    val gotCorpus = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && want.size < base.count(), "budget did not cut")
+    assert(gotCorpus === want)
+    val verdict = spark.read.parquet(s"$out/verdicts/token_budget")
+    assert(verdict.columns.sorted ===
+      Array("cum_tokens", "doc_id", "n_tokens", "score_milli"))
+    assert(verdict.select("doc_id").collect().map(_.getLong(0)).toSet
+      === want)
+    val fates = spark.read.parquet(s"$out/verdicts/doc_fates")
+      .select("doc_id", "last_stage").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    want.foreach(id => assert(fates(id) === "token_budget"))
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    (baseIds -- want).foreach(id => assert(fates(id) === "sampled"))
+    val shardIds = spark.read.parquet(s"$out/shards")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shardIds === want, "shards must lay out only the selected set")
+    // flag-less rerun into the SAME outDir: stale budget verdict removed,
+    // corpus back to the full sampled population
+    CurationRun.run(spark, sfDir, out).collect()
+    assert(!new java.io.File(s"$out/verdicts/token_budget").exists(),
+      "stale token_budget verdict survived a flag-less rerun")
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === baseIds)
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+  }
 }
