@@ -1585,6 +1585,9 @@ object Pipeline {
       .withColumn("bucket",
         floor(col("score_milli").cast("double") / lit(BudgetBucketWidth))
           .cast("long"))
+      // truncation == floor for the non-negative ids every fixture and
+      // ingest contract carries; shard must stay monotone in doc_id so
+      // within-score cell order equals doc_id order
       .withColumn("shard", (col("doc_id") / lit(ShardSize)).cast("long"))
     // level 1 aggregate: one row per (score, shard) cell
     val cellTotals = cells
@@ -1698,6 +1701,56 @@ object Pipeline {
         col("rnk"),
         greatest(col("w"), coalesce(col("tau"), lit(0L))).as("w_hat"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q138: priority-sample subset-sum estimation — q137's estimator put to
+    * work: estimate each LANGUAGE's token mass from the per-SOURCE
+    * priority samples (Σŵ over sampled docs of that language — the
+    * Duffield–Lund–Thorup subset-sum estimator, unbiased for ANY subset
+    * that doesn't depend on the draw), next to the exact mass and the
+    * integer error. This is the report a platform reads to sanity-check
+    * its inspection sample before trusting sample-derived stats: language
+    * crosses source arbitrarily, so nothing about the per-source sampling
+    * aligns with the estimated subsets.
+    *
+    * Determinism: ŵ and w are q137's exact integers; the per-language sums
+    * and the e4 error rate (BIGINT division, truth ≥ 1 because w ≥ 1) are
+    * exact in both engines.
+    *
+    * Shape for 100 TB: the estimate side is k×|sources| rows (the sample);
+    * only the truth side scans the corpus — one tokenize pass into a
+    * lang-keyed partial aggregate. Estimating from the PERSISTED sample
+    * instead of rescanning is the operational point.
+    */
+  def q138(spark: SparkSession, dir: String): DataFrame =
+    sampleEstimate(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id").isNotNull && col("source").isNotNull),
+      PrioritySampleK)
+
+  /** The q138 core over any documents-shaped frame — planted specs drive
+    * it with k ≥ every source size, where est ≡ truth exactly.
+    */
+  def sampleEstimate(docs: DataFrame, k: Int): DataFrame = {
+    val langs = docs.select(col("doc_id"), col("lang"))
+    val truth = docs
+      .select(col("lang"),
+        greatest(coalesce(text.tokenCount(col("text")), lit(0L)), lit(1L))
+          .as("w"))
+      .groupBy(col("lang")).agg(sum(col("w")).as("true_tokens"))
+    val est = prioritySample(docs, k)
+      .join(langs, Seq("doc_id"))
+      .groupBy(col("lang")).agg(sum(col("w_hat")).as("est"))
+    truth.join(est, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("est"), lit(0L)).as("est_tokens"),
+        col("true_tokens"))
+      .withColumn("abs_err", abs(col("est_tokens") - col("true_tokens")))
+      // integer division, not a double floor: at 100 TB abs_err·10⁴ can
+      // pass 2^53 where doubles lose integers; BIGINT division stays
+      // exact, and trunc == floor on the non-negative operands
+      .withColumn("err_pct_e4", expr("abs_err * 10000 DIV true_tokens"))
+      .orderBy(col("lang"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -2292,5 +2345,46 @@ object Pipeline {
         |  CAST(greatest(r.w, coalesce(t.tau, 0)) AS BIGINT) AS w_hat
         |FROM r JOIN t USING (source)
         |WHERE rnk <= $PrioritySampleK
-        |ORDER BY doc_id""".stripMargin)))
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q138_sample_estimate", q138,
+      // q137's CTEs verbatim feed the estimate side; the truth side is one
+      // lang-keyed exact sum; everything an integer (incl. the e4 error
+      // rate — BIGINT division, truth ≥ 1 because w ≥ 1)
+      Some(s"""WITH per AS (
+        |  SELECT doc_id, source, lang,
+        |    greatest(coalesce(len(list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '')), 0), 1) AS w
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |pr AS (
+        |  SELECT doc_id, source, lang, w,
+        |    (w * $PriorityScale) //
+        |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+        |        AS BIGINT) + 1) AS priority
+        |  FROM per),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY source ORDER BY priority DESC, doc_id) AS rnk
+        |  FROM pr),
+        |t AS (SELECT source,
+        |        max(CASE WHEN rnk = ${PrioritySampleK + 1} THEN priority END)
+        |          AS tau
+        |      FROM r GROUP BY source),
+        |s AS (SELECT r.lang,
+        |        greatest(r.w, coalesce(t.tau, 0)) AS w_hat
+        |      FROM r JOIN t USING (source)
+        |      WHERE rnk <= $PrioritySampleK),
+        |est AS (SELECT lang, CAST(SUM(w_hat) AS BIGINT) AS est
+        |        FROM s GROUP BY lang),
+        |tr AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS true_tokens
+        |       FROM per GROUP BY lang)
+        |SELECT tr.lang,
+        |  CAST(coalesce(est.est, 0) AS BIGINT) AS est_tokens,
+        |  tr.true_tokens,
+        |  CAST(abs(coalesce(est.est, 0) - tr.true_tokens) AS BIGINT)
+        |    AS abs_err,
+        |  CAST(abs(coalesce(est.est, 0) - tr.true_tokens) * 10000
+        |    // tr.true_tokens AS BIGINT) AS err_pct_e4
+        |FROM tr LEFT JOIN est USING (lang)
+        |ORDER BY lang""".stripMargin)))
 }

@@ -980,4 +980,72 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(got.count(_._2 == "srcB") === 2)
   }
+
+  /** q138 exactness anchor: with k ≥ every source size the sample is
+    * exhaustive, no τ exists, ŵ ≡ w — so every language's estimate equals
+    * its true token mass with zero error, even though language crosses
+    * source arbitrarily.
+    */
+  test("sample estimate is exact when the sample is exhaustive") {
+    import spark.implicits._
+    val docs = (1 to 12).map { i =>
+      (i.toLong, (1 to i + 1).map(j => s"t$j").mkString(" "),
+        s"src${i % 3}", if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "source", "lang")
+    val got = Pipeline.sampleEstimate(docs, k = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length === 2)
+    got.foreach { case (_, est, truth, absErr, errPct) =>
+      assert(est === truth && absErr === 0L && errPct === 0L)
+    }
+    // and the truth side is the plain per-lang token mass
+    val want = (1 to 12).groupBy(i => if (i % 2 == 0) "en" else "de")
+      .view.mapValues(_.map(i => (i + 1).toLong).sum).toMap
+    got.foreach { case (lang, _, truth, _, _) =>
+      assert(truth === want(lang))
+    }
+  }
+
+  /** q138 under-sampled: one hot source (20 docs, k = 4) — estimates stay
+    * positive integers, and a subset fully inside the sampled set is still
+    * estimated EXACTLY when its members all exceed τ... here we assert the
+    * structural invariants (est ≥ 0, err = |est − truth|) against an
+    * independent Scala model of the full estimator.
+    */
+  test("sample estimate matches the plain-Scala estimator model under-sampled") {
+    import spark.implicits._
+    val k = 4
+    val docs = (1 to 20).map { i =>
+      (i.toLong, (1 to 3 * i).map(j => s"t$j").mkString(" "),
+        "hot", if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "source", "lang")
+    def md5u(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(7), 16) + 1L
+    }
+    val model = (1 to 20).map { i =>
+      val w = 3L * i
+      (i.toLong, if (i % 2 == 0) "en" else "de", w,
+        w * Pipeline.PriorityScale / md5u(i.toLong))
+    }
+    val ranked = model.sortBy { case (id, _, _, p) => (-p, id) }
+    val tau = ranked(k)._4
+    val est = ranked.take(k).groupBy(_._2).view
+      .mapValues(_.map { case (_, _, w, _) => math.max(w, tau) }.sum).toMap
+    val truth = model.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toMap
+    val got = Pipeline.sampleEstimate(docs, k).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    Seq("en", "de").foreach { lang =>
+      val (e, t, a, pct) = got(lang)
+      assert(e === est.getOrElse(lang, 0L), s"$lang estimate")
+      assert(t === truth(lang))
+      assert(a === math.abs(e - t))
+      assert(pct === a * 10000 / t)
+    }
+  }
 }
