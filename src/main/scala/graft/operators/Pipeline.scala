@@ -1547,9 +1547,9 @@ object Pipeline {
     * the oracle states the plain global window.
     *
     * Determinism: scores and token counts are q94's exact integers; the
-    * budget is one floor of an exactly-representable double quotient; the
-    * window order (score DESC, doc_id) is total. Every output column is an
-    * exact BIGINT.
+    * budget is exact BIGINT division ((total × pct) DIV 100, matching the
+    * oracle's `//` at any magnitude); the window order (score DESC,
+    * doc_id) is total. Every output column is an exact BIGINT.
     */
   def q135(spark: SparkSession, dir: String): DataFrame =
     tokenBudgetSelect(
@@ -1576,11 +1576,13 @@ object Pipeline {
   def tokenBudgetSelect(docs: DataFrame, budgetPct: Long): DataFrame = {
     val per = TextAnalysis.classifierScoresUnsorted(docs)
       .select(col("doc_id"), col("n_tokens"), col("score_milli"))
-    // budget = floor(total × pct / 100): one row, broadcast — never a
-    // driver-side collect
+    // budget = (total × pct) DIV 100: exact BIGINT division (non-negative
+    // operands, so truncation == floor) — matches the oracle's `//` at ANY
+    // corpus magnitude, where a double quotient could cross an integer
+    // boundary once total×pct exceeds ~9e13 (ULP > 0.02). One row,
+    // broadcast — never a driver-side collect.
     val budget = per.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("total"))
-      .select(floor((col("total") * lit(budgetPct)).cast("double") / lit(100))
-        .cast("long").as("budget"))
+      .select(expr(s"total * $budgetPct DIV 100").cast("long").as("budget"))
     val cells = per
       .withColumn("bucket",
         floor(col("score_milli").cast("double") / lit(BudgetBucketWidth))

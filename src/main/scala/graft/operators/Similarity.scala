@@ -2393,7 +2393,10 @@ object Similarity {
     * engines compute the same prefix-cosine doubles (same elements, same
     * fold order — the q20 contract that already hash-matches full-dim
     * cosine), rank by (c DESC, neighbor_id), and the overlap count is an
-    * exact integer.
+    * exact integer. Zero-norm prefixes (a vector whose first d dims are
+    * all zero) make cosine 0/0 = NaN, and engines disagree on NaN/NULL
+    * sort position — both sides coalesce NaN/NULL to a -2.0 sentinel so
+    * undefined similarities deterministically rank last.
     *
     * Shape for 100 TB: the probe set is fixed and broadcast (q20's exact
     * tier — the corpus never shuffles or self-joins); the ×|dims| fan-out
@@ -2437,9 +2440,16 @@ object Similarity {
       .withColumn("prefix_dim", explode(typedLit(MatryoshkaDims)))
       .select(col("probe_id"), col("prefix_dim"),
         col("vec_id").as("neighbor_id"),
-        vecexprs.cosineSim(
-          slice(col("pv"), lit(1), col("prefix_dim")),
-          slice(col("v"), lit(1), col("prefix_dim"))).as("c"))
+        // zero-norm prefixes (all-zero first d dims) make cosine 0/0 = NaN,
+        // and NaN/NULL ordering conventions differ across engines — pin
+        // both to a -2.0 sentinel (below any real cosine) so undefined
+        // similarities rank LAST deterministically in engine and oracle
+        {
+          val c0 = vecexprs.cosineSim(
+            slice(col("pv"), lit(1), col("prefix_dim")),
+            slice(col("v"), lit(1), col("prefix_dim")))
+          coalesce(nanvl(c0, lit(-2.0d)), lit(-2.0d)).as("c")
+        })
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("probe_id"), col("prefix_dim"))
           .orderBy(col("c").desc, col("neighbor_id"))))
@@ -3004,10 +3014,14 @@ object Similarity {
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
         |d AS (SELECT CAST(unnest([${MatryoshkaDims.mkString(", ")}]) AS INT)
         |        AS prefix_dim),
-        |pairs AS (
+        |pairs0 AS (
         |  SELECT probe_id, prefix_dim, vec_id AS neighbor_id,
-        |    list_cosine_similarity(pv[1:prefix_dim], v[1:prefix_dim]) AS c
+        |    list_cosine_similarity(pv[1:prefix_dim], v[1:prefix_dim]) AS c0
         |  FROM e, p, d WHERE vec_id <> probe_id),
+        |pairs AS (
+        |  SELECT probe_id, prefix_dim, neighbor_id,
+        |    CASE WHEN c0 IS NULL OR isnan(c0) THEN -2.0 ELSE c0 END AS c
+        |  FROM pairs0),
         |r AS (SELECT *, row_number() OVER (
         |    PARTITION BY probe_id, prefix_dim
         |    ORDER BY c DESC, neighbor_id) AS rnk

@@ -842,9 +842,10 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("doc_id").isNotNull)
     val per = graft.operators.TextAnalysis.classifierScoresUnsorted(docs)
       .select(col("doc_id"), col("n_tokens"), col("score_milli"))
+    // exact integer division, matching both the engine and the oracle's //
     val budget = per.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("total"))
-      .select(floor((col("total") * lit(Pipeline.BudgetPct)).cast("double")
-        / lit(100)).cast("long").as("budget"))
+      .select(expr(s"total * ${Pipeline.BudgetPct} DIV 100")
+        .cast("long").as("budget"))
     val naive = per
       .withColumn("cum_tokens", sum(col("n_tokens")).over(
         Window.orderBy(col("score_milli").desc, col("doc_id"))

@@ -993,4 +993,60 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(got.size === want.size)
   }
+
+  /** q136 zero-norm contract: a vector whose first 8 dims are all zero has
+    * an undefined (0/0) 8-prefix cosine; the sentinel pins it to rank LAST
+    * deterministically. Planted: 20 well-formed vectors plus 8 zero-prefix
+    * ones — the Scala model with the same -2.0 sentinel must match, and no
+    * zero-prefix vector may crack the 8-dim top-K while well-formed
+    * candidates remain.
+    */
+  test("matryoshka fidelity: zero-norm prefixes rank last via the sentinel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val good: Seq[(Long, Seq[Float])] = (0L until 20L).map { id =>
+      id -> Seq.fill(64)(rnd.nextFloat() * 2f - 1f)
+    }
+    // ids 20-27: first 8 dims zero (undefined 8-prefix cosine), rest real
+    val zeroPrefix: Seq[(Long, Seq[Float])] = (20L until 28L).map { id =>
+      id -> (Seq.fill(8)(0f) ++ Seq.fill(56)(rnd.nextFloat() * 2f - 1f))
+    }
+    val vecs = good ++ zeroPrefix
+    val shortlists = Similarity.matryoshkaShortlists(
+        vecs.toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // 19 well-formed non-self candidates exist per probe (probes 0-4 are
+    // well-formed), K=10 < 19, so no zero-prefix id may enter the d=8 top-K
+    val d8 = shortlists.filter(_._2 == 8)
+    assert(d8.nonEmpty)
+    d8.foreach { case (pid, _, nid) =>
+      assert(nid < 20L, s"zero-prefix vector $nid cracked probe $pid's d=8 top-K")
+    }
+    // full overlap table vs the Scala model carrying the same sentinel
+    val got = Similarity.matryoshkaFidelity(
+      vecs.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def cos(a: Seq[Float], b: Seq[Float], d: Int): Double = {
+      val (x, y) = (a.take(d).map(_.toDouble), b.take(d).map(_.toDouble))
+      val dot = x.zip(y).map { case (u, v) => u * v }.sum
+      val den = math.sqrt(x.map(u => u * u).sum) * math.sqrt(y.map(v => v * v).sum)
+      val c = dot / den
+      if (c.isNaN) -2.0 else c
+    }
+    val want = for {
+      (pid, pv) <- vecs.filter(_._1 < 5)
+      d <- Similarity.MatryoshkaDims
+    } yield {
+      def topk(dd: Int): Seq[Long] = vecs.filter(_._1 != pid)
+        .map { case (nid, nv) => (nid, cos(pv, nv, dd)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(Similarity.TopK).map(_._1)
+      val full = topk(64).toSet
+      (pid, d) -> topk(d).count(full).toLong
+    }
+    want.foreach { case (key, n) =>
+      assert(got(key) === n, s"overlap mismatch at $key")
+    }
+  }
 }
