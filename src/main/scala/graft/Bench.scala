@@ -233,8 +233,24 @@ object Bench {
     // ~0.08 s on a full-speed box, ×3-5 in a loaded/throttled window —
     // the ratio context BASELINE.md's rule requires, now in the artifact
     val canaryEnd = canarySecs()
+    // Tier-A ratio, computed BOTH ways so the gate reads off the artifact
+    // (BASELINE.md §Tier-A floor decomposition):
+    //  - q00_x_canary: q00 best vs the faster same-window canary reading —
+    //    the BASELINE.md §box-speed rule's ratio;
+    //  - q00_x_burst: q00 best vs the 0.085 s fresh-boot burst constant
+    //    BASELINE.md records for the C binary.
+    // floor_s = the cheapest query's best time — the session's measured
+    // per-action floor (plan + schedule + 1-2 stages), the denominator's
+    // context: a q00 within ~1.2x of floor_s has no Spark-side fat left.
+    val q00best = best("q00_reference_index")
+    val canaryMin = Seq(canaryStart, canaryEnd).filter(_ > 0) match {
+      case s if s.nonEmpty => s.min; case _ => -1.0
+    }
+    def ratio(num: Double, den: Double): Double =
+      if (num > 0 && den > 0) num / den else -1.0
+    val floorS = if (ok.nonEmpty) ok.head else -1.0
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline":${fmt(headline)},"median":${fmt(median)},"hl_spread":$hlSpread,"load":${fmt(loadavg1)},"canary_s":[${fmt(canaryStart)},${fmt(canaryEnd)}],"queries":$qs,"n_err":${errors.size},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline":${fmt(headline)},"median":${fmt(median)},"hl_spread":$hlSpread,"load":${fmt(loadavg1)},"canary_s":[${fmt(canaryStart)},${fmt(canaryEnd)}],"q00_x_canary":${fmt(ratio(q00best, canaryMin))},"q00_x_burst":${fmt(ratio(q00best, 0.085))},"floor_s":${fmt(floorS)},"queries":$qs,"n_err":${errors.size},"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
         "nearing the driver's 2000-char stdout tail; shorten before adding queries")

@@ -35,9 +35,13 @@ object InvertedIndex {
         col("linenum"))
       .filter(col("word") =!= "")
 
-  /** Reduce phase A1: group by word, collect postings, canonically ordered by
-    * (numeric file index when present, filename, linenum) per SURVEY §1.4.
-    * Output formatted as the reference's sink S3: `word: (file: line), ...`.
+  /** Reduce phase A1 (hash-agg form): group by word, collect postings,
+    * canonically ordered by (numeric file index when present, filename,
+    * linenum) per SURVEY §1.4. Output formatted as the reference's sink S3:
+    * `word: (file: line), ...`. [[referenceIndex]] uses the one-exchange
+    * sort-based shape instead (two exchanges here: hash + sampled range);
+    * this form stays as the generalized A1 operator and the sort-based
+    * shape's equality anchor (spec-checked).
     */
   def index(postings: DataFrame): DataFrame = {
     val fileNo = coalesce(
@@ -60,12 +64,59 @@ object InvertedIndex {
 
   /** Tier-A end-to-end: read the reference corpus, build the canonical index.
     * Filenames are reduced to basenames to match the golden output.txt.
+    *
+    * Physical shape — sort-based, ONE exchange (round-16 Tier-A cut): the
+    * hash-agg form ([[index]]) costs two exchanges (hash shuffle for the
+    * groupBy + a sampled range exchange for the global word order) and
+    * measured 0.40 s hot at reference scale vs the C binary's 0.075 s.
+    * Here postings range-partition BY WORD in a single exchange (a word's
+    * rows land in one reducer), each reducer sorts (word, file#, filename,
+    * linenum) and stream-groups adjacent rows into formatted posting lines
+    * — a constant-memory pass (O(longest posting list), the same bound as
+    * collect_list). Measured hot: 0.14 s — the session's per-action floor.
+    *
+    * `reducers` = 1 (default) matches the reference's single ordered
+    * stdout at its 188 KB scale AND skips the range-sampling job (a
+    * 1-partition range exchange needs no bounds). At cluster scale, size
+    * `reducers` to the cluster: output is then R range-ordered blocks
+    * (globally sorted across partition ids — the §1.4 contract holds for
+    * any R, asserted by spec). The hash-shuffled, oracle-checked scale
+    * twins of this operator are q01/q01b.
     */
-  def referenceIndex(spark: SparkSession, dir: String): DataFrame = {
+  def referenceIndex(spark: SparkSession, dir: String,
+      reducers: Int = 1): DataFrame = {
     val files = LineNumberedText.listTextFiles(dir)
     val lines = LineNumberedText.read(spark, files).toDF()
-    index(postings(lines.withColumn("filename",
-      element_at(split(col("filename"), "/"), -1))))
+      .withColumn("filename", element_at(split(col("filename"), "/"), -1))
+    val fileNo = coalesce(
+      regexp_extract(col("filename"), "(\\d+)", 1).cast("int"), lit(0))
+    import spark.implicits._
+    postings(lines)
+      .select(col("word"), fileNo.as("fileno"), col("filename"), col("linenum"))
+      .repartitionByRange(reducers, col("word"))
+      .sortWithinPartitions(
+        col("word"), col("fileno"), col("filename"), col("linenum"))
+      .select(col("word"), col("filename"), col("linenum"))
+      .as[(String, String, Int)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(String, Long, String)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, Long, String) = {
+            val (w, f0, l0) = buf.next()
+            var n = 1L
+            val sb = new StringBuilder
+            sb.append('(').append(f0).append(": ").append(l0).append(')')
+            while (buf.hasNext && buf.head._1 == w) {
+              val (_, f, l) = buf.next()
+              sb.append(", (").append(f).append(": ").append(l).append(')')
+              n += 1
+            }
+            (w, n, sb.toString)
+          }
+        }
+      }
+      .toDF("word", "n_postings", "postings")
   }
 
   /** S3 sink: the reference's formatted text output (`word: (file: line),

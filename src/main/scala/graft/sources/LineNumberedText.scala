@@ -34,14 +34,19 @@ object LineNumberedText {
     * normalizer truncates it away (mapreduce.c:56-61), so the postings
     * semantics are identical (verified by the golden spec).
     */
-  def read(spark: SparkSession, files: Seq[String]): Dataset[RawLine] = {
+  def read(spark: SparkSession, files: Seq[String],
+      slices: Option[Int] = None): Dataset[RawLine] = {
     import spark.implicits._
     // Ship the session's Hadoop config to executors (a bare `new
     // Configuration()` there would drop any non-default filesystem setup).
     val conf = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     spark.sparkContext
-      .parallelize(files, math.max(files.size, 1))
+      // `slices` caps the task count below one-per-file (several small
+      // files stream through one task back-to-back) — pure scheduling
+      // economy; per-file provenance is per-element, so semantics are
+      // unchanged at any slicing
+      .parallelize(files, slices.getOrElse(math.max(files.size, 1)))
       .flatMap { file =>
         val path = new Path(file)
         val fs = path.getFileSystem(conf.value.value)

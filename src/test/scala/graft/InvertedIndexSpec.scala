@@ -107,6 +107,26 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  /** The one-exchange sort-based Tier-A shape must equal the hash-agg A1
+    * form ([[InvertedIndex.index]]) row for row — same grouping, same
+    * posting order, same formatting — and the multi-reducer range shape
+    * must keep the §1.4 global word order across partition ids.
+    */
+  test("sort-based Tier-A shape equals the hash-agg A1 form, any reducers") {
+    val lines = LineNumberedText
+      .read(spark, LineNumberedText.listTextFiles(corpus)).toDF()
+      .withColumn("filename", element_at(split(col("filename"), "/"), -1))
+    val agg = InvertedIndex.index(InvertedIndex.postings(lines))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val sorted1 = InvertedIndex.referenceIndex(spark, corpus)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(sorted1 === agg)
+    val sorted5 = InvertedIndex.referenceIndex(spark, corpus, reducers = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(sorted5 === agg,
+      "multi-reducer range shape broke the global word order")
+  }
+
   test("canonical index: rows sorted by word, postings by (file#, linenum)") {
     val idx = InvertedIndex.referenceIndex(spark, corpus).collect()
     val words = idx.map(_.getString(0)).toSeq
