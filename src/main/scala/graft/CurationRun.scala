@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, FlatQuantizer, ImiQuantizer, Pipeline, Quantizers, Similarity}
-import graft.sources.{ModelStore, PartitionedParquet}
+import graft.sources.{Artifacts, ModelStore, PartitionedParquet}
 
 /** The tunable operating points of a curation run — every knife threshold
   * that was a compile-time constant through round 12, now a run parameter
@@ -125,6 +125,16 @@ final case class CurationParams(
   *   - `manifest/` — the q88 funnel extended with the run-only stages:
   *     (stage_idx, stage, docs, tokens), one row per stage.
   *
+  * ON DISK the artifact paths above live under a COMMITTED VERSION of
+  * `outDir`, not at its top level: a run stages everything under
+  * `outDir/_versions/vNNNNN` and publishes it with one atomic
+  * pointer-file swap at the very end ([[graft.sources.Artifacts]]), so a
+  * writer killed mid-run leaves the previous complete run readable
+  * instead of a torn artifact set. Readers — the chained-run flags here,
+  * and any external consumer — go through [[Artifacts.resolve]], which
+  * maps `outDir` to its last committed version (and is a no-op passthrough
+  * on plain unversioned directories).
+  *
   * Shape for 100 TB: per-stage costs are the member operators' own (each
   * documented at its definition); the chain adds only (a) localCheckpoints
   * at frames consumed by 2+ downstream branches (stat + next stage — q78's
@@ -205,6 +215,10 @@ object CurationRun {
       "--reuse-index must point at a DIFFERENT prior run's outDir: " +
         s"saveIndex would overwrite $outDir/model/index while the reused " +
         "index is still lazily reading it")
+    // every artifact writes into this staging version; ONE atomic pointer
+    // swap at the end of the run publishes them as a consistent set
+    // (crash-safety contract: [[graft.sources.Artifacts]])
+    val art = Artifacts.stage(spark, outDir)
     // one parquet scan feeds the funnel AND both dimension fan-backs
     val scanned = timed("scan") {
       Tables.documents(spark, sfDir)
@@ -267,14 +281,16 @@ object CurationRun {
         val quant = (params.reuseIndex.orElse(params.reuseModels),
             params.refreshModels) match {
           case (Some(prior), _) => timed("quant_load") {
-            ModelStore.loadQuantizer(spark, s"$prior/model/coarse")
+            ModelStore.loadQuantizer(
+            spark, s"${Artifacts.resolve(spark, prior)}/model/coarse")
           }
           // the production middle path: prior codebook + ONE Lloyd step
           // on THIS run's subject (q111/imiRefresh composed into the
           // pipeline) — adapts to drift for one aggregate pass instead
           // of a full KMeans refit
           case (None, Some(prior)) => timed("quant_refresh") {
-            ModelStore.loadQuantizer(spark, s"$prior/model/coarse") match {
+            ModelStore.loadQuantizer(
+            spark, s"${Artifacts.resolve(spark, prior)}/model/coarse") match {
               case FlatQuantizer(cs) => FlatQuantizer(
                 Similarity.refreshedCodebook(Similarity.codebookRefresh(
                   subject.select(col("v")), cs)))
@@ -286,7 +302,7 @@ object CurationRun {
             Quantizers.quantizerFor(subject, Similarity.ivfCellsFor(n))
           }
         }
-        ModelStore.saveQuantizer(spark, quant, s"$outDir/model/coarse")
+        ModelStore.saveQuantizer(spark, quant, s"$art/model/coarse")
         // the (vec_id, cell) soft-assignment index. With --reuse-index the
         // prior run's persisted rows serve every doc it already assigned
         // (valid because the quantizer IS that run's — assignment is a
@@ -301,7 +317,8 @@ object CurationRun {
             .as("cell"))
         val cells = params.reuseIndex match {
           case Some(prior) => timed("index_load") {
-            val priorIdx = ModelStore.loadIndex(spark, s"$prior/model/index")
+            val priorIdx = ModelStore.loadIndex(
+              spark, s"${Artifacts.resolve(spark, prior)}/model/index")
               .select(col("vec_id"), col("cell"))
             priorIdx.join(subject.select(col("vec_id")), Seq("vec_id"))
               .unionByName(fresh(subject.join(
@@ -310,10 +327,10 @@ object CurationRun {
           }
           case None => fresh(subject)
         }
-        ModelStore.saveIndex(cells, s"$outDir/model/index")
+        ModelStore.saveIndex(cells, s"$art/model/index")
         val verdict = Similarity.semanticDedupCells(
           subject.select(col("vec_id")), subject,
-          ModelStore.loadIndex(spark, s"$outDir/model/index")
+          ModelStore.loadIndex(spark, s"$art/model/index")
             .select(col("vec_id"), col("cell")),
           params.semDedupCosine)
         dec.join(
@@ -448,26 +465,18 @@ object CurationRun {
           "token_budget_pct")
     }
     timed("artifacts") {
-      PartitionedParquet.write(corpus, s"$outDir/corpus", "lang", "doc_id")
-      PartitionedParquet.write(sharded, s"$outDir/shards", "shard", "pos")
-      capVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/source_cap")
-      sampleVerdict.write.mode("overwrite").parquet(s"$outDir/verdicts/sample")
-      budgetVerdict match {
-        case Some(v) =>
-          v.write.mode("overwrite").parquet(s"$outDir/verdicts/token_budget")
-        case None =>
-          // outDir reuse: a flag-less rerun must DELETE any prior run's
-          // budget verdict (the write-scores stale-table lesson) —
-          // through the Hadoop FileSystem so non-local outDirs clean too
-          val tb = new org.apache.hadoop.fs.Path(
-            s"$outDir/verdicts/token_budget")
-          tb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(tb, true)
-          ()
-      }
-      fates.write.mode("overwrite").parquet(s"$outDir/verdicts/doc_fates")
-      runParams.coalesce(1).write.mode("overwrite").parquet(s"$outDir/run_params")
-      manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+      PartitionedParquet.write(corpus, s"$art/corpus", "lang", "doc_id")
+      PartitionedParquet.write(sharded, s"$art/shards", "shard", "pos")
+      capVerdict.write.mode("overwrite").parquet(s"$art/verdicts/source_cap")
+      sampleVerdict.write.mode("overwrite").parquet(s"$art/verdicts/sample")
+      // no stale-table delete needed for a flag-less rerun (the old
+      // write-scores lesson): every run stages into a FRESH version dir,
+      // so a prior run's budget verdict can't leak into this one's set
+      budgetVerdict.foreach(
+        _.write.mode("overwrite").parquet(s"$art/verdicts/token_budget"))
+      fates.write.mode("overwrite").parquet(s"$art/verdicts/doc_fates")
+      runParams.coalesce(1).write.mode("overwrite").parquet(s"$art/run_params")
+      manifest.coalesce(1).write.mode("overwrite").parquet(s"$art/manifest")
     }
     // the persistable dedup-index state (q78's production contract): exact
     // md5 keys, hashed shingle sets, and the LSH band index over the
@@ -479,18 +488,18 @@ object CurationRun {
     timed("dedup_index") {
       val keyed = docs.select(col("doc_id"), col("text"))
       Dedup.exactKeyIndex(keyed)
-        .write.mode("overwrite").parquet(s"$outDir/index/dedup/exact")
+        .write.mode("overwrite").parquet(s"$art/index/dedup/exact")
       val sh = Dedup.nearDupShingles(keyed).localCheckpoint()
-      sh.write.mode("overwrite").parquet(s"$outDir/index/dedup/shingles")
+      sh.write.mode("overwrite").parquet(s"$art/index/dedup/shingles")
       Dedup.nearDupBandIndex(sh)
-        .write.mode("overwrite").parquet(s"$outDir/index/dedup/bands")
+        .write.mode("overwrite").parquet(s"$art/index/dedup/bands")
       // the seen-id set an --incremental successor anti-joins to find its
       // arrivals. Deliberately the RAW scanned ids, not doc_fates: fates
       // exclude the eval-side holdout (doc_id % EvalEvery == 0), which a
       // later snapshot still contains — fates-based arrival detection
       // would re-verdict the holdout every night
       scanned.select(col("doc_id")).distinct()
-        .write.mode("overwrite").parquet(s"$outDir/index/seen")
+        .write.mode("overwrite").parquet(s"$art/index/seen")
     }
     // opt-in q124 layout: the packed training-sequence plan over the SAME
     // survivors the shards stage laid out (next-fit in q100's salted
@@ -498,7 +507,7 @@ object CurationRun {
     // sequences instead of padding per row
     if (params.packSequences) timed("pack") {
       Pipeline.packSequences(selected.select(col("doc_id"), col("text")))
-        .write.mode("overwrite").parquet(s"$outDir/layout/sequences")
+        .write.mode("overwrite").parquet(s"$art/layout/sequences")
     }
     // per-doc classifier scores of the RAW snapshot (pre-gate, so two
     // runs' tables describe the same population even when their gate
@@ -510,21 +519,12 @@ object CurationRun {
     if (params.writeScores) timed("scores") {
       operators.TextAnalysis.classifierScoresUnsorted(
           scanned.select(col("doc_id"), col("text")))
-        .write.mode("overwrite").parquet(s"$outDir/verdicts/scores")
-    } else {
-      // outDir reuse is a supported workflow (every artifact writes
-      // mode=overwrite), so an opted-out run must DELETE any prior run's
-      // scores — a later --prev-run reading a stale table against fresh
-      // doc_fates would fabricate a drift signal instead of failing loudly.
-      // Deleted through the Hadoop FileSystem resolved from the session so
-      // the cleanup honors the same URI schemes the writers do (a
-      // java.io.File delete silently no-ops on hdfs://"/s3a:// outDirs,
-      // re-enabling exactly the stale-table hazard this exists to close).
-      val scores = new org.apache.hadoop.fs.Path(s"$outDir/verdicts/scores")
-      scores.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(scores, true)
-      ()
+        .write.mode("overwrite").parquet(s"$art/verdicts/scores")
     }
+    // (an opted-out run needs no stale-scores delete anymore: the fresh
+    // staging version starts empty, so a later --prev-run reading THIS
+    // run finds no scores table and fails loudly — the hazard the old
+    // Hadoop-FileSystem delete existed to close is gone structurally)
     // between-runs monitoring against a REAL prior run: BOTH sides of
     // both reports are READ from persisted artifacts (one pass + one join
     // — the collapse q105/q116 promise): the prev side from the prior
@@ -532,17 +532,22 @@ object CurationRun {
     // clustered parquet beats re-executing the 11-frame fates lineage /
     // the scoring pass (the q78 between-stages lesson)
     params.prevRun.foreach { prior => timed("prev_drift") {
+      val priorRoot = Artifacts.resolve(spark, prior)
       Pipeline.fateDrift(
-          spark.read.parquet(s"$prior/verdicts/doc_fates")
+          spark.read.parquet(s"$priorRoot/verdicts/doc_fates")
             .select(col("doc_id"), col("last_stage").as("fate")),
-          spark.read.parquet(s"$outDir/verdicts/doc_fates")
+          spark.read.parquet(s"$art/verdicts/doc_fates")
             .select(col("doc_id"), col("last_stage").as("fate")))
-        .write.mode("overwrite").parquet(s"$outDir/verdicts/drift")
+        .write.mode("overwrite").parquet(s"$art/verdicts/drift")
       operators.TextAnalysis.scoreDriftPsiBetween(
-          spark.read.parquet(s"$prior/verdicts/scores"),
-          spark.read.parquet(s"$outDir/verdicts/scores"))
-        .write.mode("overwrite").parquet(s"$outDir/verdicts/psi")
+          spark.read.parquet(s"$priorRoot/verdicts/scores"),
+          spark.read.parquet(s"$art/verdicts/scores"))
+        .write.mode("overwrite").parquet(s"$art/verdicts/psi")
     } }
+    // the publish: everything above is invisible to readers until this
+    // single pointer swap lands; a crash anywhere earlier leaves the
+    // prior committed run intact
+    Artifacts.commit(spark, outDir, art)
     manifest
   }
 
@@ -596,8 +601,14 @@ object CurationRun {
     // duplicates. The prior run's run_params records its flags (both the
     // full-run and incremental-run shapes carry these two columns), so a
     // mismatch fails loudly here instead of corrupting verdicts.
+    // reads resolve the prior run's COMMITTED version; writes stage into a
+    // fresh version of THIS outDir, published by one pointer swap at the
+    // end ([[graft.sources.Artifacts]]) — a crash mid-merge leaves the
+    // previous committed state (not a torn index) for the next night
+    val priorRoot = Artifacts.resolve(spark, prior)
+    val art = Artifacts.stage(spark, outDir)
     locally {
-      val rp = spark.read.parquet(s"$prior/run_params").collect().head
+      val rp = spark.read.parquet(s"$priorRoot/run_params").collect().head
       require(rp.getAs[Boolean]("strip_markup") == params.stripMarkup &&
         rp.getAs[Boolean]("gopher_gate") == params.gopherGate,
         s"--incremental flag mismatch: prior run $prior was built with " +
@@ -622,7 +633,7 @@ object CurationRun {
     // and regex-scan the whole corpus for a nightly 0.1% batch, breaking
     // the O(arrivals) cost shape this mode exists for. Nothing
     // snapshot-sized is ever checkpointed here.
-    val seen = spark.read.parquet(s"$prior/index/seen")
+    val seen = spark.read.parquet(s"$priorRoot/index/seen")
     // pre-transform arrivals: the population that becomes "seen" (a
     // gate-dropped arrival must not be re-verdicted nightly — run()'s
     // seen set is likewise the pre-gate scan)
@@ -643,15 +654,15 @@ object CurationRun {
           operators.TextAnalysis.gopherVerdict(col("text")))
       if (gated eq arrived) arrived else gated.localCheckpoint()
     }
-    val exact = spark.read.parquet(s"$prior/index/dedup/exact")
-    val shingles = spark.read.parquet(s"$prior/index/dedup/shingles")
-    val bands = spark.read.parquet(s"$prior/index/dedup/bands")
+    val exact = spark.read.parquet(s"$priorRoot/index/dedup/exact")
+    val shingles = spark.read.parquet(s"$priorRoot/index/dedup/shingles")
+    val bands = spark.read.parquet(s"$priorRoot/index/dedup/bands")
     val verdict = timed("verdict") {
       Dedup.incrementalDedupIndexed(exact, shingles, bands,
         arrivals.select(col("doc_id"), col("text")),
         params.nearDupJaccard).localCheckpoint()
     }
-    verdict.write.mode("overwrite").parquet(s"$outDir/verdicts/incremental")
+    verdict.write.mode("overwrite").parquet(s"$art/verdicts/incremental")
     timed("index_merge") {
       // EVERY arrival merges into the republished index, dropped dups
       // included — run() indexes its whole ingested snapshot (the funnel
@@ -665,16 +676,16 @@ object CurationRun {
       val arrivalsKeyed = arrivals.select(col("doc_id"), col("text"))
       exact.unionByName(Dedup.exactKeyIndex(arrivalsKeyed))
         .groupBy(col("h")).agg(min(col("ex_id")).as("ex_id"))
-        .write.mode("overwrite").parquet(s"$outDir/index/dedup/exact")
+        .write.mode("overwrite").parquet(s"$art/index/dedup/exact")
       val arrSh = Dedup.nearDupShingles(arrivalsKeyed).localCheckpoint()
       shingles.unionByName(arrSh)
-        .write.mode("overwrite").parquet(s"$outDir/index/dedup/shingles")
+        .write.mode("overwrite").parquet(s"$art/index/dedup/shingles")
       bands.unionByName(Dedup.nearDupBandIndex(arrSh))
-        .write.mode("overwrite").parquet(s"$outDir/index/dedup/bands")
+        .write.mode("overwrite").parquet(s"$art/index/dedup/bands")
       // every PRE-GATE arrival becomes seen (dup, gated, or kept) — a
       // dropped or gated doc must not be re-verdicted by the next night
       seen.unionByName(arrived.select(col("doc_id"))).distinct()
-        .write.mode("overwrite").parquet(s"$outDir/index/seen")
+        .write.mode("overwrite").parquet(s"$art/index/seen")
     }
     locally {
       import spark.implicits._
@@ -682,8 +693,9 @@ object CurationRun {
           params.gopherGate))
         .toDF("incremental_from", "neardup_jaccard", "strip_markup",
           "gopher_gate")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/run_params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$art/run_params")
     }
+    Artifacts.commit(spark, outDir, art)
     verdict
   }
 

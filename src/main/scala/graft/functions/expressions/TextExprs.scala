@@ -25,6 +25,13 @@ object textnative {
     */
   def wordNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(text), n))
+
+  /** One BPE merge step (adjacent lhs,rhs → lhs+rhs, greedy left-to-right)
+    * over a symbol-array column — see [[BpeMergeStepExpr]].
+    */
+  def bpeMergeStep(syms: Column, lhs: String, rhs: String): Column =
+    ColumnBridge.column(
+      BpeMergeStepExpr(ColumnBridge.expression(syms), lhs, rhs))
 }
 
 case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
@@ -104,5 +111,79 @@ object WordNgramsExpr {
       g += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** One BPE merge step over a symbol sequence: every adjacent (lhs, rhs)
+  * occurrence is replaced by their concatenation in ONE left-to-right
+  * greedy pass — the published byte-pair-encoding application rule
+  * (Sennrich et al. 2016; also how the reference-grade tokenizer
+  * libraries apply a learned merge). Greedy-left is equivalent to
+  * "repeatedly merge the leftmost occurrence until none remain": a merge
+  * output `lhs+rhs` can never itself equal `lhs` or `rhs` (both
+  * non-empty), so merging never creates a new occurrence to the left of
+  * the scan point.
+  *
+  * Codegen'd via a static one-pass compute over the array — the merge
+  * learning loop chains one of these per learned step over the
+  * vocabulary table (words × symbols, never the corpus), so it must not
+  * knock the projection out of whole-stage codegen the way an
+  * ArrayTransform lambda would.
+  */
+case class BpeMergeStepExpr(child: Expression, lhs: String, rhs: String)
+    extends UnaryExpression {
+  require(lhs.nonEmpty && rhs.nonEmpty, "BPE merge symbols must be non-empty")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge_step needs array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMergeStepExpr.compute(input.asInstanceOf[ArrayData],
+      org.apache.spark.unsafe.types.UTF8String.fromString(lhs),
+      org.apache.spark.unsafe.types.UTF8String.fromString(rhs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLhs",
+      org.apache.spark.unsafe.types.UTF8String.fromString(lhs))
+    val rRef = ctx.addReferenceObj("bpeRhs",
+      org.apache.spark.unsafe.types.UTF8String.fromString(rhs))
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.BpeMergeStepExpr" +
+        s".compute($c, $lRef, $rRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeStepExpr =
+    copy(child = newChild)
+}
+
+object BpeMergeStepExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(arr: ArrayData, lhs: UTF8String, rhs: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val merged = lhs.concat(rhs)
+    val out = new Array[AnyRef](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (i + 1 < n && lhs.equals(cur) && rhs.equals(arr.getUTF8String(i + 1))) {
+        out(k) = merged
+        i += 2
+      } else {
+        out(k) = cur
+        i += 1
+      }
+      k += 1
+    }
+    if (k == n) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
 }

@@ -15,6 +15,13 @@ class CurationRunSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Every read of a run's artifacts goes through the committed-version
+    * resolver — the same seam the chained-run flags use (the artifacts no
+    * longer live at the outDir top level; see [[graft.sources.Artifacts]]).
+    */
+  private def art(d: String): String =
+    graft.sources.Artifacts.resolve(spark, d)
+
   private lazy val outDir = {
     val d = Files.createTempDirectory("curation_run").toString
     CurationRun.run(spark, sfDir, d).collect() // materialize once
@@ -22,7 +29,7 @@ class CurationRunSpec extends AnyFunSuite {
   }
 
   test("manifest's first six rows equal q88's funnel (the oracle surface)") {
-    val manifest = spark.read.parquet(s"$outDir/manifest")
+    val manifest = spark.read.parquet(s"${art(outDir)}/manifest")
       .orderBy(col("stage_idx")).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val q88 = Pipeline.q88(spark, sfDir).collect()
@@ -52,34 +59,34 @@ class CurationRunSpec extends AnyFunSuite {
   }
 
   test("corpus artifact is lang-partitioned and matches the final stage row") {
-    val corpus = spark.read.parquet(s"$outDir/corpus")
-    val last = spark.read.parquet(s"$outDir/manifest")
+    val corpus = spark.read.parquet(s"${art(outDir)}/corpus")
+    val last = spark.read.parquet(s"${art(outDir)}/manifest")
       .orderBy(col("stage_idx").desc).head()
     assert(last.getString(1) === "sampled")
     assert(corpus.count() === last.getLong(2), "corpus rows != manifest docs")
     assert(corpus.agg(sum(col("n_tokens"))).head().getLong(0) ===
       last.getLong(3), "corpus tokens != manifest tokens")
-    val langDirs = new java.io.File(s"$outDir/corpus").listFiles()
+    val langDirs = new java.io.File(s"${art(outDir)}/corpus").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(langDirs.nonEmpty && langDirs.forall(_.startsWith("lang=")),
       "corpus must be Hive-partitioned by lang")
   }
 
   test("verdict tables agree with the corpus") {
-    val corpusIds = spark.read.parquet(s"$outDir/corpus")
+    val corpusIds = spark.read.parquet(s"${art(outDir)}/corpus")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     // every shipped doc was kept by the sampler…
-    val keptIds = spark.read.parquet(s"$outDir/verdicts/sample")
+    val keptIds = spark.read.parquet(s"${art(outDir)}/verdicts/sample")
       .filter(col("kept")).select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
     assert(corpusIds.subsetOf(keptIds), "shipped doc the sampler rejected")
     // …and survived the source cap
-    val cappedIds = spark.read.parquet(s"$outDir/verdicts/source_cap")
+    val cappedIds = spark.read.parquet(s"${art(outDir)}/verdicts/source_cap")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(corpusIds.subsetOf(cappedIds), "shipped doc over the source cap")
     // doc fates cover every raw doc and agree on the shipped set
-    val fates = spark.read.parquet(s"$outDir/verdicts/doc_fates")
-    val rawDocs = spark.read.parquet(s"$outDir/manifest")
+    val fates = spark.read.parquet(s"${art(outDir)}/verdicts/doc_fates")
+    val rawDocs = spark.read.parquet(s"${art(outDir)}/manifest")
       .filter(col("stage") === "raw").head().getLong(2)
     assert(fates.count() === rawDocs, "doc_fates must cover every raw doc")
     val shipped = fates.filter(col("last_stage") === "sampled")
@@ -95,12 +102,12 @@ class CurationRunSpec extends AnyFunSuite {
   test("a reuse-models rerun loads the prior codebook and reproduces the manifest exactly") {
     // the first run (outDir) must have written its model artifact
     val stored = graft.sources.ModelStore.loadQuantizer(
-      spark, s"$outDir/model/coarse")
+      spark, s"${art(outDir)}/model/coarse")
     assert(stored.nCells > 0, "first run wrote an empty codebook")
     val reuseDir = Files.createTempDirectory("curation_run_reuse").toString
     CurationRun.run(spark, sfDir, reuseDir,
       CurationParams(reuseModels = Some(outDir))).collect()
-    def rows(d: String) = spark.read.parquet(s"$d/manifest")
+    def rows(d: String) = spark.read.parquet(s"${art(d)}/manifest")
       .orderBy(col("stage_idx")).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSeq
@@ -109,7 +116,7 @@ class CurationRunSpec extends AnyFunSuite {
     // the reused run re-publishes the codebook it served from, so ANY run
     // can seed the next; it must be the same model bit-for-bit
     val republished = graft.sources.ModelStore.loadQuantizer(
-      spark, s"$reuseDir/model/coarse")
+      spark, s"${art(reuseDir)}/model/coarse")
     (stored, republished) match {
       case (graft.operators.FlatQuantizer(a), graft.operators.FlatQuantizer(b)) =>
         assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
@@ -117,7 +124,7 @@ class CurationRunSpec extends AnyFunSuite {
       case _ => fail("fixture-scale quantizer should be flat on both runs")
     }
     // provenance: the reuse source is recorded in run_params
-    val rp = spark.read.parquet(s"$reuseDir/run_params").head()
+    val rp = spark.read.parquet(s"${art(reuseDir)}/run_params").head()
     assert(rp.getAs[String]("reused_models_from") === outDir)
   }
 
@@ -132,13 +139,13 @@ class CurationRunSpec extends AnyFunSuite {
     */
   test("a reuse-index rerun serves assignments from the prior artifact and reproduces the manifest") {
     val priorIdx = graft.sources.ModelStore.loadIndex(
-      spark, s"$outDir/model/index")
+      spark, s"${art(outDir)}/model/index")
     assert(priorIdx.count() > 0, "first run wrote an empty assignment index")
     assert(priorIdx.columns.toSet === Set("vec_id", "cell"))
     val reuseDir = Files.createTempDirectory("curation_run_ridx").toString
     CurationRun.run(spark, sfDir, reuseDir,
       CurationParams(reuseIndex = Some(outDir))).collect()
-    def rows(d: String) = spark.read.parquet(s"$d/manifest")
+    def rows(d: String) = spark.read.parquet(s"${art(d)}/manifest")
       .orderBy(col("stage_idx")).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSeq
@@ -147,10 +154,10 @@ class CurationRunSpec extends AnyFunSuite {
     // the reused run re-publishes the index it served from (any run can
     // seed the next) — same (vec_id, cell) multiset bit-for-bit
     def idx(d: String) = graft.sources.ModelStore
-      .loadIndex(spark, s"$d/model/index")
+      .loadIndex(spark, s"${art(d)}/model/index")
       .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(idx(reuseDir) === idx(outDir), "republished index drifted")
-    val rp = spark.read.parquet(s"$reuseDir/run_params").head()
+    val rp = spark.read.parquet(s"${art(reuseDir)}/run_params").head()
     assert(rp.getAs[String]("reused_index_from") === outDir)
   }
 
@@ -200,7 +207,7 @@ class CurationRunSpec extends AnyFunSuite {
     CurationRun.run(spark, sfA, outA).collect()
     CurationRun.run(spark, sfB, outB,
       CurationParams(prevRun = Some(outA))).collect()
-    val drift = spark.read.parquet(s"$outB/verdicts/drift").collect()
+    val drift = spark.read.parquet(s"${art(outB)}/verdicts/drift").collect()
       .map(r => r.getLong(0) ->
         ((Option(r.getString(1)), Option(r.getString(2)), r.getString(3))))
       .toMap
@@ -221,7 +228,7 @@ class CurationRunSpec extends AnyFunSuite {
     Seq(12L, 13L).foreach(id => assert(drift(id)._3 === "stable",
       s"untouched doc $id must be stable, got ${drift(id)}"))
     // the between-runs PSI: full grid, each side totalling its run's raw docs
-    val psi = spark.read.parquet(s"$outB/verdicts/psi").collect()
+    val psi = spark.read.parquet(s"${art(outB)}/verdicts/psi").collect()
     assert(psi.length ===
       operators.TextAnalysis.GateSweepThresholds.size + 1)
     assert(psi.map(_.getAs[Long]("n_prev")).sum === aDocs.size.toLong)
@@ -251,11 +258,11 @@ class CurationRunSpec extends AnyFunSuite {
     emb.write.mode("overwrite").parquet(s"$sf/embeddings.parquet")
     val out = Files.createTempDirectory("ws_out").toString
     CurationRun.run(spark, sf, out).collect()
-    assert(new java.io.File(s"$out/verdicts/scores").exists,
+    assert(new java.io.File(s"${art(out)}/verdicts/scores").exists,
       "default run must write the monitoring scores")
     CurationRun.run(spark, sf, out,
       CurationParams(writeScores = false)).collect()
-    assert(!new java.io.File(s"$out/verdicts/scores").exists,
+    assert(!new java.io.File(s"${art(out)}/verdicts/scores").exists,
       "stale scores must not survive an opted-out rerun")
     intercept[IllegalArgumentException] {
       CurationRun.run(spark, sf, out,
@@ -305,7 +312,7 @@ class CurationRunSpec extends AnyFunSuite {
     CurationRun.run(spark, sfB, outB,
       CurationParams(refreshModels = Some(outA))).collect()
     def load(dir: String): Array[Array[Double]] =
-      ModelStore.loadQuantizer(spark, s"$dir/model/coarse") match {
+      ModelStore.loadQuantizer(spark, s"${art(dir)}/model/coarse") match {
         case FlatQuantizer(c) => c
         case other => fail(s"expected a flat codebook, got $other")
       }
@@ -320,7 +327,7 @@ class CurationRunSpec extends AnyFunSuite {
       "persisted codebook must be exactly one Lloyd step from A's on B's subject")
     assert(got.map(_.toSeq).toSeq !== csA.map(_.toSeq).toSeq,
       "the refresh step must move the codebook")
-    val rp = spark.read.parquet(s"$outB/run_params").collect().head
+    val rp = spark.read.parquet(s"${art(outB)}/run_params").collect().head
     assert(rp.getAs[String]("refreshed_models_from") === outA)
     intercept[IllegalArgumentException] {
       CurationRun.run(spark, sfB, outB, CurationParams(
@@ -395,7 +402,7 @@ class CurationRunSpec extends AnyFunSuite {
     assert(byId(25L) === ("kept", None))
     assert(byId(26L) === ("near_batch", Some(25L)))
     assert(byId(24L) === ("kept", None))
-    assert(new java.io.File(s"$outB/verdicts/incremental").exists)
+    assert(new java.io.File(s"${art(outB)}/verdicts/incremental").exists)
     // chain: C adds an exact copy of B's KEPT arrival 24 (only the merged
     // index can know it; no full run ever saw doc 24) AND an exact copy
     // of B's DROPPED near-dup arrival 21 — the merge must cover every
@@ -431,9 +438,9 @@ class CurationRunSpec extends AnyFunSuite {
     * (the writer may not drift from the assignment the oracle hashes).
     */
   test("shards artifact is a training-ready permutation of the corpus") {
-    val corpusIds = spark.read.parquet(s"$outDir/corpus")
+    val corpusIds = spark.read.parquet(s"${art(outDir)}/corpus")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    val shards = spark.read.parquet(s"$outDir/shards")
+    val shards = spark.read.parquet(s"${art(outDir)}/shards")
       .select(col("doc_id"), col("shard"), col("pos")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     assert(shards.map(_._1).toSet === corpusIds, "shards != corpus doc set")
@@ -441,13 +448,13 @@ class CurationRunSpec extends AnyFunSuite {
     shards.groupBy(_._2).foreach { case (shard, rows) =>
       assert(rows.map(_._3).sorted === (1 to rows.size).toArray,
         s"shard $shard positions not contiguous") }
-    val shardDirs = new java.io.File(s"$outDir/shards").listFiles()
+    val shardDirs = new java.io.File(s"${art(outDir)}/shards").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(shardDirs.nonEmpty && shardDirs.forall(_.startsWith("shard=")),
       "shards must be Hive-partitioned by shard")
     import spark.implicits._
     val want = Pipeline.trainShards(
-        spark.read.parquet(s"$outDir/corpus").select(col("doc_id"), col("text")))
+        spark.read.parquet(s"${art(outDir)}/corpus").select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("shard"), col("pos")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(shards.toSet === want, "written shards drifted from q100's assignment")
@@ -515,7 +522,7 @@ class CurationRunSpec extends AnyFunSuite {
 
     val outA = java.nio.file.Files.createTempDirectory("cfA").toString
     CurationRun.run(spark, sf, outA).collect()
-    val corpusA = spark.read.parquet(s"$outA/corpus")
+    val corpusA = spark.read.parquet(s"${art(outA)}/corpus")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(corpusA.contains(29L) && !corpusA.contains(30L),
       "default run must keep the min-id near-dup member")
@@ -525,7 +532,7 @@ class CurationRunSpec extends AnyFunSuite {
     CurationRun.run(spark, sf, outB, CurationParams(
       stripMarkup = true, gopherGate = true, qualityKeeper = true,
       packSequences = true)).collect()
-    val corpusB = spark.read.parquet(s"$outB/corpus")
+    val corpusB = spark.read.parquet(s"${art(outB)}/corpus")
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(corpusB.contains(30L) && !corpusB.contains(29L),
@@ -533,7 +540,7 @@ class CurationRunSpec extends AnyFunSuite {
     assert(!corpusB.contains(31L), "gopher gate must drop the sub-50-word doc")
     assert(corpusB.contains(21L) && corpusB(21L) === prose(9),
       "markup strip must rescue the style-block doc to its exact prose")
-    val rp = spark.read.parquet(s"$outB/run_params").collect().head
+    val rp = spark.read.parquet(s"${art(outB)}/run_params").collect().head
     assert(rp.getAs[Boolean]("strip_markup") &&
       rp.getAs[Boolean]("gopher_gate") && rp.getAs[Boolean]("quality_keeper") &&
       rp.getAs[Boolean]("pack_sequences"),
@@ -544,9 +551,9 @@ class CurationRunSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
         r.getAs[Int]("seq_idx"), r.getAs[Long]("seq_off"),
         r.getAs[Long]("cost"), r.getAs[Boolean]("truncated"))).toSeq
-    val packed = packRows(spark.read.parquet(s"$outB/layout/sequences"))
+    val packed = packRows(spark.read.parquet(s"${art(outB)}/layout/sequences"))
     val want = packRows(Pipeline.packSequences(
-      spark.read.parquet(s"$outB/corpus").select(col("doc_id"), col("text"))))
+      spark.read.parquet(s"${art(outB)}/corpus").select(col("doc_id"), col("text"))))
     assert(packed.nonEmpty && packed === want,
       "layout/sequences drifted from q124 over the run's corpus")
     Seq(sf, outA, outB).foreach(d =>
@@ -562,38 +569,105 @@ class CurationRunSpec extends AnyFunSuite {
     * write-scores lesson).
     */
   test("token-budget gate applies q135 and fates the dropped at 'sampled'") {
-    val base = spark.read.parquet(s"$outDir/corpus")
+    val base = spark.read.parquet(s"${art(outDir)}/corpus")
     val want = Pipeline.tokenBudgetSelect(
         base.select(col("doc_id"), col("text")), 50L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val out = Files.createTempDirectory("budget_out").toString
     CurationRun.run(spark, sfDir, out,
       CurationParams(tokenBudgetPct = Some(50L))).collect()
-    val gotCorpus = spark.read.parquet(s"$out/corpus")
+    val gotCorpus = spark.read.parquet(s"${art(out)}/corpus")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(want.nonEmpty && want.size < base.count(), "budget did not cut")
     assert(gotCorpus === want)
-    val verdict = spark.read.parquet(s"$out/verdicts/token_budget")
+    val verdict = spark.read.parquet(s"${art(out)}/verdicts/token_budget")
     assert(verdict.columns.sorted ===
       Array("cum_tokens", "doc_id", "n_tokens", "score_milli"))
     assert(verdict.select("doc_id").collect().map(_.getLong(0)).toSet
       === want)
-    val fates = spark.read.parquet(s"$out/verdicts/doc_fates")
+    val fates = spark.read.parquet(s"${art(out)}/verdicts/doc_fates")
       .select("doc_id", "last_stage").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     want.foreach(id => assert(fates(id) === "token_budget"))
     val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
     (baseIds -- want).foreach(id => assert(fates(id) === "sampled"))
-    val shardIds = spark.read.parquet(s"$out/shards")
+    val shardIds = spark.read.parquet(s"${art(out)}/shards")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(shardIds === want, "shards must lay out only the selected set")
     // flag-less rerun into the SAME outDir: stale budget verdict removed,
     // corpus back to the full sampled population
     CurationRun.run(spark, sfDir, out).collect()
-    assert(!new java.io.File(s"$out/verdicts/token_budget").exists(),
+    assert(!new java.io.File(s"${art(out)}/verdicts/token_budget").exists(),
       "stale token_budget verdict survived a flag-less rerun")
-    assert(spark.read.parquet(s"$out/corpus")
+    assert(spark.read.parquet(s"${art(out)}/corpus")
       .select("doc_id").collect().map(_.getLong(0)).toSet === baseIds)
     new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+  }
+
+  /** Round-16 #3: the atomic artifact commit protocol. A writer killed
+    * between the artifact writes and the pointer swap (the injected-crash
+    * window — by then every parquet directory of the NEW version is on
+    * disk) must leave the PRIOR committed run as what every reader
+    * resolves: the chained `--incremental` still verdicts against the old
+    * snapshot, byte-identical manifest included. A later successful rerun
+    * then publishes normally and garbage-collects the crashed stage.
+    */
+  test("a crash between artifact writes and pointer swap leaves the prior run readable") {
+    import spark.implicits._
+    def prose(i: Int): String = {
+      val t = (0 until 80).map(j => s"c${i}x$j").toArray
+      t(5) = "the"; t(20) = "and"; t(35) = "is"; t(50) = "that"
+      t.mkString(" ")
+    }
+    val aDocs = Seq(1L -> prose(1), 2L -> prose(2), 3L -> prose(3))
+    def write(dir: String, docs: Seq[(Long, String)]): Unit = {
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      docs.zipWithIndex.map { case ((id, _), i) =>
+        (id, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.01f * i), 0)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val sfA = Files.createTempDirectory("crash_sfA").toString
+    val sfB = Files.createTempDirectory("crash_sfB").toString
+    write(sfA, aDocs)
+    write(sfB, aDocs ++ Seq(10L -> prose(1), 11L -> prose(9))) // dup + novel
+    val out = Files.createTempDirectory("crash_out").toString
+    CurationRun.run(spark, sfA, out).collect()
+    val v1 = art(out)
+    def manifestRows(d: String) = spark.read.parquet(s"$d/manifest")
+      .orderBy(col("stage_idx")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val committed = manifestRows(v1)
+    // the crash window: all data written, pointer swap never happens
+    graft.sources.Artifacts.crashBeforeCommit = true
+    try intercept[IllegalStateException] {
+      CurationRun.run(spark, sfB, out).collect()
+    } finally graft.sources.Artifacts.crashBeforeCommit = false
+    assert(art(out) === v1,
+      "a crashed run must not move the committed pointer")
+    assert(manifestRows(art(out)) === committed,
+      "prior committed artifacts must be untouched by the crashed run")
+    // the operational consequence: a CHAINED incremental run still reads
+    // the OLD snapshot — arrival 10 verdicts exact_corpus against doc 1,
+    // which only run A's (not the torn run B's) index can know
+    val outIncr = Files.createTempDirectory("crash_incr").toString
+    val got = CurationRun.incremental(spark, sfB, outIncr, out,
+      CurationParams()).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) === "exact_corpus" && got(11L) === "kept",
+      s"chained incremental must serve off the last COMMITTED index, got $got")
+    // recovery: a successful rerun publishes v3 and GCs the crashed stage
+    CurationRun.run(spark, sfB, out).collect()
+    assert(art(out) !== v1, "the recovered run must publish a new version")
+    val versions = new java.io.File(s"$out/_versions").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(versions.length <= 2,
+      s"GC must keep only the committed version and its predecessor, got " +
+        versions.mkString(","))
+    Seq(sfA, sfB, out, outIncr).foreach(d =>
+      new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
   }
 }
