@@ -168,7 +168,7 @@ object BpeMergeStepExpr {
 
   def compute(arr: ArrayData, lhs: UTF8String, rhs: UTF8String): ArrayData = {
     val n = arr.numElements()
-    val merged = lhs.concat(rhs)
+    val merged = UTF8String.concat(lhs, rhs)
     val out = new Array[AnyRef](n)
     var i = 0
     var k = 0

@@ -802,7 +802,189 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge-table learning (q139/q140): the one LLM-pipeline stage
+    * between text cleaning and layout the engine previously ASSUMED
+    * (q35/q115/q124/q135 all consume token counts) rather than computed.
+    * Standard byte-pair encoding (Sennrich et al. 2016,
+    * arXiv:1508.07909): start from the character sequence of each word,
+    * repeatedly take the adjacent symbol pair with the highest
+    * corpus-frequency-weighted count and merge every occurrence, greedy
+    * left-to-right within a word.
+    *
+    * Scale shape (the 100 TB story): the corpus is scanned ONCE to build
+    * the vocabulary table (word, count, symbols) — everything after runs
+    * over that table, which is bounded by DISTINCT words (~10^8 at web
+    * scale), not corpus bytes. Each learning step is one map-side-
+    * combinable pair-count aggregation plus a 1-row collect (the argmax —
+    * a model-fit boundary, same rule as the quantizer seeds) and one
+    * codegen'd merge projection ([[graft.functions.expressions
+    * .BpeMergeStepExpr]]), localCheckpointed so step k+1's aggregation
+    * re-reads materialized partitions instead of re-running k merge
+    * projections. K steps = K bounded shuffles of the vocab table; the
+    * corpus never reshuffles.
+    *
+    * Operating points: [[BpeSteps]] merges; words longer than
+    * [[BpeMaxWordLen]] chars are excluded from BOTH the pair statistics
+    * and merge application (they are overwhelmingly URLs/junk — the
+    * standard practice of capping the word length a tokenizer trains on)
+    * and count their characters as tokens in q140.
+    *
+    * Determinism: ties in the pair count break by (count DESC, lhs ASC,
+    * rhs ASC) — a total order, since (lhs, rhs) is the grouping key. The
+    * DuckDB oracle mirrors the whole computation as K unrolled CTE steps
+    * (the q117 idiom): pair counts via index-unnest over the symbol
+    * list, the argmax via the same ORDER BY ... LIMIT 1, and the merge
+    * application via `list_reduce` folding singleton lists with the
+    * engine's exact greedy rule (a merged symbol lhs||rhs can never equal
+    * lhs, so the fold never re-matches to the left — the same argument
+    * that makes the engine's one-pass scan correct).
+    */
+  val BpeSteps = 8
+  val BpeMaxWordLen = 24
+
+  /** The vocabulary table: (word, cnt, syms) over the standard tokenizer,
+    * length-capped, symbols initialized to single characters.
+    */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(text.cleanTokens(col("text"))).as("word"))
+      .filter(length(col("word")) <= BpeMaxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // split("") appends a trailing empty string on some engines; the
+      // filter pins the char-array init regardless (vocab-sized column,
+      // so the CodegenFallback lambda costs nothing that matters)
+      .withColumn("syms", filter(split(col("word"), ""), s => s =!= lit("")))
+
+  /** Learn `steps` merges; returns (step, lhs, rhs, weight) in order. */
+  def bpeLearnMerges(docs: DataFrame,
+      steps: Int = BpeSteps): Seq[(Int, String, String, Long)] = {
+    var vocab = bpeVocab(docs).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("la"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("ra"))
+        .select(col("cnt"), explode(arrays_zip(col("la"), col("ra"))).as("z"))
+        .groupBy(col("z.la").as("l"), col("z.ra").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect() // the argmax: 1 row, a model-fit boundary
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        out += ((k, l, r, c))
+        vocab = vocab.withColumn("syms",
+          graft.functions.expressions.textnative
+            .bpeMergeStep(col("syms"), l, r))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** q139: the learned merge table — (step, lhs, rhs, merged, weight). */
+  def q139BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeLearnMerges(Tables.documents(spark, dir).select(col("text")))
+      .map { case (k, l, r, c) => (k, l, r, l + r, c) }
+      .toDF("step", "lhs", "rhs", "merged", "weight")
+      .orderBy(col("step"))
+  }
+
+  /** q140: per-doc token counts under the learned vocab — merges applied
+    * to the DISTINCT word table (never per word instance), instances
+    * joined back; length-capped words count their characters.
+    */
+  def q140BpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val merges = bpeLearnMerges(docs)
+    val docWords = docs.select(col("doc_id"),
+      explode(text.cleanTokens(col("text"))).as("word"))
+    val applied = merges.foldLeft(
+        docWords.filter(length(col("word")) <= BpeMaxWordLen)
+          .select(col("word")).distinct()
+          .withColumn("syms",
+            filter(split(col("word"), ""), s => s =!= lit("")))) {
+        case (v, (_, l, r, _)) => v.withColumn("syms",
+          graft.functions.expressions.textnative
+            .bpeMergeStep(col("syms"), l, r))
+      }
+      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    docWords.join(applied, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("n_sub"), length(col("word")).cast("long")))
+        .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The unrolled-CTE oracle prelude shared by q139/q140: w0 = the capped
+    * vocabulary with char symbol lists; per step k, mK = the argmax pair,
+    * pK = its (lhs, rhs) with a never-matching sentinel when mK is empty
+    * (a scalar subquery over an empty table is NULL, and a NULL merge
+    * symbol would nuke the fold), wK = the merge applied via the
+    * list_reduce greedy fold.
+    */
+  private def bpeOracleCtes(steps: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    [ tok[i] for i in generate_series(1, len(tok)) ] AS syms
+         |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+         |      '[^a-z0-9]+'), t -> t <> '')) AS tok FROM documents)
+         |  WHERE len(tok) <= $BpeMaxWordLen
+         |  GROUP BY tok)""".stripMargin)
+    for (k <- 1 to steps) {
+      sb.append(
+        s""",
+           |m$k AS MATERIALIZED (
+           |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+           |    SELECT syms[i] AS l, syms[i + 1] AS r, cnt FROM (
+           |      SELECT cnt, syms,
+           |        unnest(generate_series(1, len(syms) - 1)) AS i
+           |      FROM w${k - 1}))
+           |  GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
+           |p$k AS (SELECT coalesce((SELECT l FROM m$k), chr(216)) AS l,
+           |               coalesce((SELECT r FROM m$k), chr(216)) AS r),
+           |w$k AS MATERIALIZED (
+           |  SELECT word, cnt, list_reduce(
+           |    [ [x] for x in syms ],
+           |    (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[-1] = p$k.l
+           |                      AND x[1] = p$k.r
+           |                THEN acc[1:len(acc) - 1] || [p$k.l || p$k.r]
+           |                ELSE acc || x END) AS syms
+           |  FROM w${k - 1}, p$k)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def bpeMergesOracle(steps: Int): String = {
+    val unions = (1 to steps).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS step, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, c AS weight FROM m$k").mkString("\nUNION ALL\n")
+    s"${bpeOracleCtes(steps)}\n$unions\nORDER BY step"
+  }
+
+  private def bpeTokensOracle(steps: Int): String =
+    s"""${bpeOracleCtes(steps)},
+       |sizes AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
+       |          FROM w$steps),
+       |dw AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+       |    lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(SUM(coalesce(n_sub, len(word))) AS BIGINT) AS n_bpe_tokens
+       |FROM dw LEFT JOIN sizes USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q139_bpe_merges", q139BpeMerges, Some(bpeMergesOracle(BpeSteps))),
+    QueryDef("q140_bpe_token_counts", q140BpeTokenCounts,
+      Some(bpeTokensOracle(BpeSteps))),
     QueryDef("q112_gopher_rules", q112,
       // every signal is an integer-ratio double rounded at 4 dp; the
       // stopword finds are generated from the SAME Scala list the engine

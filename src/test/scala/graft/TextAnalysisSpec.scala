@@ -425,4 +425,73 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(empty.length === 1 && empty.head.getString(1) === "<other>" &&
       empty.head.getDouble(6) === 0.0)
   }
+
+  /** q139/q140: the BPE merge learner on a planted corpus whose merge
+    * order is hand-computable, including BOTH tie-break arms (count ties
+    * broken by lhs ASC at steps 2 and 4) and the same-symbol greedy rule.
+    * The oracle gate re-checks the same semantics against DuckDB at
+    * sf0.01; this pins the hand-derivable ground truth.
+    */
+  test("BPE learning: planted merge order, tie-breaks, greedy application") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "banana banana banana",
+      2L -> "bandana",
+      3L -> "aaaa").toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(docs, 8)
+    // step 1: (a,n)=8; step 2: (an,a)=4 ties (b,an)=4, lhs "an" < "b";
+    // step 4: (a,a)=3 ties (ban,ana)=3, lhs "a" < "ban"
+    val expected = Seq(
+      (1, "a", "n", 8L),
+      (2, "an", "a", 4L),
+      (3, "b", "an", 4L),
+      (4, "a", "a", 3L),
+      (5, "ban", "ana", 3L),
+      (6, "aa", "aa", 1L),
+      (7, "ban", "d", 1L),
+      (8, "band", "ana", 1L))
+    assert(got === expected, s"merge order drifted: $got")
+    // greedy left-to-right on a same-symbol run: 5 a's -> [aa, aa, a],
+    // never [aa, a, aa] (the replace-all grouping a naive oracle computes)
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def merge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val arr = graft.functions.expressions.BpeMergeStepExpr.compute(
+        new GenericArrayData(syms.map(UTF8String.fromString).toArray),
+        UTF8String.fromString(l), UTF8String.fromString(r))
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    assert(merge(Seq("a", "a", "a", "a", "a"), "a", "a")
+      === Seq("aa", "aa", "a"))
+    assert(merge(Seq("l", "r", "l", "r"), "l", "r") === Seq("lr", "lr"))
+    assert(merge(Seq("x"), "a", "a") === Seq("x"))
+  }
+
+  /** q140 semantics on a planted dir: learned-vocab token counts per doc,
+    * with an over-length word (> BpeMaxWordLen) excluded from merging and
+    * counted as its characters.
+    */
+  test("BPE token counts: merged words count symbols, long words count chars") {
+    import spark.implicits._
+    val longWord = "z" * 30
+    val dir = java.nio.file.Files.createTempDirectory("bpe_docs").toString
+    Seq(
+      (1L, "banana banana banana", "en", "web", 20L),
+      (2L, "bandana", "en", "web", 7L),
+      (3L, "aaaa", "en", "web", 4L),
+      (4L, s"banana $longWord", "en", "web", 37L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.q140BpeTokenCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the extra "banana" in doc 4 leaves the planted merge chain intact
+    // (banana cnt 4 only strengthens steps 1/2/3/5); 8 merges still end
+    // with banana/bandana/aaaa single-symbol words
+    assert(got(1L) === 3L, "3 x banana -> one symbol each")
+    assert(got(2L) === 1L)
+    assert(got(3L) === 1L)
+    assert(got(4L) === 1L + 30L,
+      "long word must count its characters, merged word one symbol")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
 }
