@@ -16,9 +16,18 @@ import org.apache.spark.sql.SparkSession
   *   design (SURVEY §4.2).
   */
 object Sessions {
-  def local(appName: String): SparkSession = {
+  def local(appName: String): SparkSession = local(appName, Map.empty)
+
+  /** The same recipe with extra STATIC conf entries — for mains that must
+    * run under a conf only readable at SparkEnv creation (e.g. the spill
+    * certification's force-spill threshold). Extra entries apply only when
+    * this call actually creates the session; a getOrCreate hit on a live
+    * session cannot change static confs, so callers needing them must run
+    * in their own JVM (SpillCheck does — see SpillSpec).
+    */
+  def local(appName: String, extra: Map[String, String]): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,7 +41,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
-      .getOrCreate()
+    val spark = extra.foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
