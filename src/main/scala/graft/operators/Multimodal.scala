@@ -19,12 +19,17 @@ case class MediaFeatures(media_id: Long, width: Int, height: Int,
   * metadata, plus decode / feature-extract / resize / frame-sample
   * plumbing.
   *
-  * No image/audio codecs exist in this environment, so `decodeStub` is a
+  * No EXTERNAL codecs exist in this environment, so `decodeStub` is a
   * clearly-marked deterministic FAKE (byte histogram as "pixels") — swap it
   * for a real codec (JNI/javacv) without touching the Spark plumbing, which
   * is the part under test: binary-safe schema, mapPartitions batch shape
   * (decoder init once per partition, not per row), partitioned feature
   * extraction, and metadata queries that never deserialize the payload.
+  * Two tiers ARE fully real on the stock JDK and run as such: PNG/JPEG
+  * pixels through `javax.imageio` (q77b) and WAV/PCM audio through
+  * `javax.sound.sampled` (q141 — WAV is codec-free, so the whole
+  * synthesize → container → decode → feature loop is genuine and
+  * oracle-hashed end to end).
   *
   * The fixture derives a binary column from documents deterministically —
   * at scale this is a real bytes column read from parquet/data lake.
@@ -449,7 +454,141 @@ object Multimodal {
        |ORDER BY media_id""".stripMargin
   }
 
+  // ---- Audio modality (q141) ----------------------------------------------
+
+  /** Audio window size (samples) for the q141 feature pass. */
+  val AudioWindow = 256
+
+  /** Deterministic PCM16 sample i of clip `mediaId` — a pure-integer
+    * recurrence so the DuckDB oracle can regenerate the exact waveform:
+    * the engine DECODES the WAV bytes (a real `javax.sound.sampled` parse)
+    * and the oracle recomputes the recurrence, so a decode bug anywhere
+    * (header offsets, endianness, sign) breaks the hash.
+    */
+  @inline private[graft] def audioSample(mediaId: Long, i: Int): Int =
+    (((mediaId * 31 + i.toLong * 17) % 4096) - 2048).toInt
+
+  /** Samples per clip: 800 + (id % 5) · 400 — five distinct durations so
+    * the partial-final-window arithmetic is exercised on the fixture.
+    */
+  @inline private[graft] def audioLen(mediaId: Long): Int =
+    (800 + (mediaId % 5) * 400).toInt
+
+  /** A canonical 44-byte-header mono PCM16 little-endian WAV around the
+    * recurrence samples — REAL audio bytes (playable), not a stub: WAV is
+    * codec-free, so the full synthesize → container → decode loop runs on
+    * the stock JDK.
+    */
+  private[graft] def wavBytes(mediaId: Long): Array[Byte] = {
+    val n = audioLen(mediaId)
+    val dataSize = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(1.toShort) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2.toShort) // block align
+      .putShort(16.toShort) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { buf.putShort(audioSample(mediaId, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Fixture audio table: one WAV clip per document id. Payload synthesis
+    * rides mapPartitions (at scale this column is read from the lake, not
+    * synthesized — the synthesis stands in for the scan, everything after
+    * it is the real path).
+    */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, wavBytes(id))))
+      .toDF("media_id", "media")
+  }
+
+  /** q141: REAL audio decode + windowed feature extraction — the audio
+    * member of the multimodal tier (image q77b's discipline: a genuine
+    * JDK decode in the engine, an arithmetic mirror in the oracle). Each
+    * clip's WAV bytes parse through `javax.sound.sampled.AudioSystem`
+    * inside mapPartitions (decoder per partition, payload never shuffles);
+    * per [[AudioWindow]]-sample window the features are exact integers —
+    * energy as the sum of squared samples, zero crossings as strict sign
+    * changes between adjacent in-window samples — so the whole decode path
+    * is hash-checked, not spot-checked. Output:
+    * (media_id, window_no, n_samples, sum_sq, zero_crossings).
+    *
+    * Scale shape: one payload-bearing scan, per-row decode, output rows =
+    * clips × windows of INTEGERS (the payload leaves the plan at decode,
+    * q77's 8-bytes-leave-the-scan argument); the only exchange is the
+    * presentation sort.
+    */
+  def q141AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = audioTable(spark, dir)
+      .select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unexpected WAV shape for clip $id: $fmt")
+          val data = in.readAllBytes()
+          in.close()
+          val n = data.length / 2
+          val windows = (n + AudioWindow - 1) / AudioWindow
+          (0 until windows).map { w =>
+            val from = w * AudioWindow
+            val until = math.min(from + AudioWindow, n)
+            var sumSq = 0L
+            var zc = 0L
+            var prev = 0
+            var i = from
+            while (i < until) {
+              val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))
+              sumSq += s.toLong * s
+              if (i > from && (s < 0) != (prev < 0)) zc += 1
+              prev = s
+              i += 1
+            }
+            (id, w, until - from, sumSq, zc)
+          }
+        }
+      }
+      .toDF("media_id", "window_no", "n_samples", "sum_sq", "zero_crossings")
+    feats.select(col("media_id"), col("window_no"),
+        col("n_samples").cast("int").as("n_samples"),
+        col("sum_sq"), col("zero_crossings"))
+      .orderBy(col("media_id"), col("window_no"))
+  }
+
+  private val audioOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id AS media_id, i,
+       |    ((doc_id * 31 + i * 17) % 4096) - 2048 AS v,
+       |    i // $AudioWindow AS window_no
+       |  FROM documents,
+       |    UNNEST(generate_series(0, CAST(800 + (doc_id % 5) * 400 AS INT) - 1))
+       |      AS u(i)),
+       |l AS (
+       |  SELECT media_id, window_no, v,
+       |    lag(v) OVER (PARTITION BY media_id, window_no ORDER BY i) AS pv
+       |  FROM s)
+       |SELECT media_id, CAST(window_no AS INT) AS window_no,
+       |  CAST(COUNT(*) AS INT) AS n_samples,
+       |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       |FROM l GROUP BY media_id, window_no
+       |ORDER BY media_id, window_no""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q141_audio_features", q141AudioFeatures, Some(audioOracle)),
     // oracle added round 9: the registered stub path IS SQL-mirrorable
     // (byte-grid means + adjacent-pair bits + all-pairs Hamming); the
     // real-pixel decode stays property-checked (planted PNGs, MultimodalSpec)

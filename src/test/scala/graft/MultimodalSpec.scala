@@ -165,4 +165,41 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Array[Byte]]("frame").length <= 32)
     }
   }
+
+  /** q141's WAV path is REAL: the synthesized bytes must parse through
+    * javax.sound.sampled as the declared container (8 kHz mono PCM16 LE),
+    * the decoded samples must equal the integer recurrence the oracle
+    * regenerates, and the partial final window must carry the remainder.
+    */
+  test("audio clips parse as real WAV and decode to the exact recurrence") {
+    val id = 7L
+    val bytes = Multimodal.wavBytes(id)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate === 8000f && fmt.getChannels === 1 &&
+      fmt.getSampleSizeInBits === 16 && !fmt.isBigEndian,
+      s"WAV container drifted: $fmt")
+    val data = in.readAllBytes(); in.close()
+    val n = data.length / 2
+    assert(n === Multimodal.audioLen(id))
+    (0 until n).foreach { i =>
+      val s16 = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))
+      assert(s16 === Multimodal.audioSample(id, i), s"sample $i drifted")
+    }
+    // windowed features on the fixture: every clip's windows sum to its
+    // length, and the final window carries the exact remainder
+    val rows = Multimodal.q141AudioFeatures(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (mid, ws) =>
+      val len = Multimodal.audioLen(mid)
+      assert(ws.map(_._3).sum === len, s"clip $mid windows != length")
+      val last = ws.maxBy(_._2)
+      val rem = len % Multimodal.AudioWindow
+      assert(last._3 === (if (rem == 0) Multimodal.AudioWindow else rem))
+      // a clip is never silent under the recurrence
+      assert(ws.map(_._4).sum > 0)
+    }
+  }
 }
