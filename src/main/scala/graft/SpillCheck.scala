@@ -50,7 +50,10 @@ object SpillCheck {
     val fallbacks = metricSum(aggPlan, "numTasksFallBacked")
     val q09 = operators.Relational.q09(spark, sfDir)
     val (winRows, winSum) = checksum(q09)
-    Thread.sleep(2000) // drain the listener bus before reading the counters
+    // Drain the listener bus DETERMINISTICALLY before reading the counters:
+    // a fixed sleep is a race on a loaded box (task-end events landing
+    // after it would make the disk_spill==0 exit-2 path spuriously fire).
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
     println(s"""{"q01b_rows":$aggRows,"q01b_checksum":$aggSum,""" +
       s""""fallback_tasks":$fallbacks,""" +
       s""""q09_rows":$winRows,"q09_checksum":$winSum,""" +

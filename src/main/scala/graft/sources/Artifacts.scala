@@ -53,10 +53,45 @@ object Artifacts {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Allocate the next staging root under `outDir` and create it. */
+  /** Filesystems whose `FileContext.rename(OVERWRITE)` is a real atomic
+    * metadata operation. Object stores (s3a, gs, abfs, oss, …) either have
+    * no AbstractFileSystem binding (commit throws
+    * UnsupportedFileSystemException AFTER all the work is done) or emulate
+    * rename as copy+delete, which silently voids the torn-set protection
+    * this protocol exists for. On such stores the correct publish is a
+    * single-object PUT of the pointer (atomic on S3) — not implemented
+    * here, so stage() fails FAST, before any data is written, instead of
+    * at commit time.
+    */
+  private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs", null: String)
+
+  private def requireAtomicRenameFs(p: Path): Unit = {
+    val scheme = p.toUri.getScheme
+    require(AtomicRenameSchemes.contains(scheme),
+      s"Artifacts commit protocol requires an atomic-rename filesystem " +
+        s"(local/HDFS/viewfs); '$p' uses scheme '$scheme'. On object " +
+        "stores publish the pointer with a single-object PUT instead — " +
+        "refusing at stage() time so no work is wasted.")
+  }
+
+  /** Allocate the next staging root under `outDir` and create it. Also
+    * sweeps any `_COMMITTED.tmp.*` stragglers a writer left by dying
+    * between pointer-temp creation and the rename — commit's GC only
+    * covers `_versions/`, so without this a crash/retry loop accumulates
+    * stray pointer temps at the artifact root forever.
+    */
   def stage(spark: SparkSession, outDir: String): String = {
     val versions = new Path(outDir, VersionsDir)
+    requireAtomicRenameFs(versions) // before getFileSystem: the message
+    // must be this protocol's, not a ClassNotFound for a store connector
     val f = fs(spark, versions)
+    val root = new Path(outDir)
+    if (f.exists(root))
+      f.listStatus(root).foreach { s =>
+        if (s.getPath.getName.startsWith(s"$PointerName.tmp.")) {
+          f.delete(s.getPath, false); ()
+        }
+      }
     val next =
       if (!f.exists(versions)) 1L
       else f.listStatus(versions).iterator.flatMap(s =>
@@ -68,7 +103,16 @@ object Artifacts {
   }
 
   /** Atomically publish `stagedPath` as `outDir`'s committed version, then
-    * GC every version except the new one and its immediate predecessor.
+    * GC every version except the newest `keepVersions` (the new one plus
+    * `keepVersions - 1` predecessors, kept for readers that resolved an
+    * old pointer and are still scanning).
+    *
+    * `keepVersions` comes from `graft.artifacts.keepVersions` (default 2).
+    * The reader window is therefore `keepVersions - 1` COMMITS: a chained
+    * reader that resolved version N keeps its files until commit N+keep
+    * lands on the same outDir. Multi-hour readers under frequent commits
+    * should raise the knob on the WRITER's session — documented at the
+    * CLI flags that chain runs (`--prev-run` / `--reuse-index`).
     */
   def commit(spark: SparkSession, outDir: String, stagedPath: String): Unit = {
     if (crashBeforeCommit)
@@ -78,6 +122,9 @@ object Artifacts {
     val pointer = new Path(outDir, PointerName)
     val f = fs(spark, pointer)
     val previous = readPointer(f, pointer)
+    val keepVersions = math.max(2,
+      spark.conf.getOption("graft.artifacts.keepVersions")
+        .flatMap(_.toIntOption).getOrElse(2))
     // temp-in-same-dir + rename-with-overwrite = the atomic publish; a
     // reader of _COMMITTED sees the old content or the new, never a torn
     // write
@@ -88,24 +135,43 @@ object Artifacts {
     FileContext.getFileContext(pointer.toUri,
         spark.sparkContext.hadoopConfiguration)
       .rename(tmp, pointer, Options.Rename.OVERWRITE)
-    // GC: crashed stages and superseded versions; keep the predecessor for
-    // in-flight readers that resolved the old pointer before the swap
-    val keep = Set(version) ++ previous
+    // GC: crashed stages and superseded versions. Crashed stages are
+    // exactly the dirs numbered strictly between the previous committed
+    // version and the new one (stage() allocates max+1, so every number a
+    // retry loop burned sits in that gap) — always deleted. Among the
+    // committed survivors (numbers <= previous), keep the newest
+    // `keepVersions - 1` for in-flight readers; the new version completes
+    // the window.
+    def num(n: String): Long = n.stripPrefix("v").toLongOption.getOrElse(-1L)
+    val prevNum = previous.map(num).getOrElse(Long.MinValue)
     val versions = new Path(outDir, VersionsDir)
-    f.listStatus(versions).foreach { s =>
-      if (!keep(s.getPath.getName)) { f.delete(s.getPath, true); () }
+    val names = f.listStatus(versions).map(_.getPath.getName)
+    val keptCommitted = names.filter(n => num(n) <= prevNum)
+      .sortBy(n => -num(n)).take(keepVersions - 1).toSet
+    val keep = keptCommitted ++ Set(version) ++ previous
+    names.foreach { n =>
+      if (!keep(n)) { f.delete(new Path(versions, n), true); () }
     }
   }
 
+  /** Read the pointer file FULLY (loop to EOF): a single `read()` may
+    * legally return a short read on remote filesystems, truncating the
+    * version name — resolve() would then fail (or match a wrong shorter
+    * name) on a perfectly committed pointer.
+    */
   private def readPointer(f: FileSystem, pointer: Path): Option[String] =
     if (!f.exists(pointer)) None
     else {
       val in = f.open(pointer)
       try {
         val bytes = new Array[Byte](256)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim)
-          .filter(_.nonEmpty)
+        var total = 0
+        var n = 0
+        while (n >= 0 && total < bytes.length) {
+          n = in.read(bytes, total, bytes.length - total)
+          if (n > 0) total += n
+        }
+        Some(new String(bytes, 0, total, "UTF-8").trim).filter(_.nonEmpty)
       } finally in.close()
     }
 

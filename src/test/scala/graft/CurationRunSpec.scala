@@ -670,4 +670,71 @@ class CurationRunSpec extends AnyFunSuite {
     Seq(sfA, sfB, out, outIncr).foreach(d =>
       new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
   }
+
+  /** Round-17 #7 (crash-injection breadth): the three Artifacts windows the
+    * round-16 spec did NOT cover, exercised on the protocol directly.
+    */
+  test("artifacts: crash during pointer rename, retry loops, retention knob, scheme guard") {
+    import spark.implicits._
+    def publish(out: String, tag: Int): String = {
+      val staged = graft.sources.Artifacts.stage(spark, out)
+      Seq(tag).toDF("v").write.mode("overwrite").parquet(s"$staged/t")
+      graft.sources.Artifacts.commit(spark, out, staged)
+      staged
+    }
+    def readTag(out: String): Int =
+      spark.read.parquet(
+        s"${graft.sources.Artifacts.resolve(spark, out)}/t")
+        .collect().head.getInt(0)
+    def versionNames(out: String): Seq[String] =
+      Option(new java.io.File(s"$out/_versions").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+        .sorted.toSeq
+
+    // (a) crash DURING the pointer rename: a stray _COMMITTED.tmp.* at the
+    // artifact root (writer died between temp creation and rename) must not
+    // confuse readers, and the next stage() must sweep it
+    val outA = Files.createTempDirectory("art_rename_crash").toString
+    publish(outA, 1)
+    val stray = new java.io.File(outA, "_COMMITTED.tmp.deadbeef")
+    val w = new java.io.FileWriter(stray); w.write("v99999"); w.close()
+    assert(readTag(outA) === 1,
+      "a dangling pointer temp must not affect resolution")
+    publish(outA, 2)
+    assert(!stray.exists(), "stage() must sweep leftover pointer temps")
+    assert(readTag(outA) === 2)
+
+    // (b) double-crash/retry loop: stage -> crash -> stage -> crash ->
+    // stage -> commit. GC keeps exactly the committed version and its
+    // predecessor; every crashed staging dir is collected.
+    val outB = Files.createTempDirectory("art_retry_loop").toString
+    publish(outB, 1) // v1
+    graft.sources.Artifacts.stage(spark, outB) // v2, crashed (never committed)
+    graft.sources.Artifacts.stage(spark, outB) // v3, crashed
+    publish(outB, 4) // v4, committed
+    assert(readTag(outB) === 4)
+    assert(versionNames(outB) === Seq("v00001", "v00004"),
+      "GC after a retry loop must keep exactly {committed, prior committed}")
+
+    // (c) retention knob: keepVersions=3 retains two predecessors for
+    // long-running chained readers (the two-commit reader window widened)
+    val outC = Files.createTempDirectory("art_retention").toString
+    spark.conf.set("graft.artifacts.keepVersions", "3")
+    try {
+      (1 to 4).foreach(publish(outC, _))
+      assert(versionNames(outC) === Seq("v00002", "v00003", "v00004"))
+      assert(readTag(outC) === 4)
+    } finally spark.conf.unset("graft.artifacts.keepVersions")
+
+    // (d) scheme guard: object-store outDirs fail FAST at stage(), before
+    // any data is written, with the protocol's own message
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Artifacts.stage(spark, "s3a://bucket/run")
+    }
+    assert(e.getMessage.contains("atomic-rename"),
+      s"stage() on s3a must refuse with the protocol's message, got: $e")
+
+    Seq(outA, outB, outC).foreach(d =>
+      new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+  }
 }
