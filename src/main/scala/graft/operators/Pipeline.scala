@@ -1235,12 +1235,18 @@ object Pipeline {
     lengthBucketBatches(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  /** The q115 core over any (doc_id, text) frame — specs run it directly. */
+  /** The q115 core over any (doc_id, text) frame — specs run it directly.
+    * A frame that already carries `n_tokens` (the q115b computed-vocab
+    * twin) is used as-is; otherwise counts come from the q35 tokenizer.
+    */
   def lengthBucketBatches(docs: DataFrame): DataFrame = {
-    val keyed = docs.filter(col("doc_id").isNotNull)
-      .select(col("doc_id"),
+    val counted =
+      if (docs.columns.contains("n_tokens")) docs
+      else docs.select(col("doc_id"),
         when(col("text").isNull, lit(0L))
-          .otherwise(text.tokenCount(col("text"))).as("n_tokens"),
+          .otherwise(text.tokenCount(col("text"))).as("n_tokens"))
+    val keyed = counted.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("n_tokens"),
         md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))
           .cast("binary")).as("sk"))
       .withColumn("shard",
@@ -1264,6 +1270,125 @@ object Pipeline {
         .cast("long").as("pad_tokens"))
       .orderBy(col("shard"), col("bucket"), col("batch_idx"), col("pos"))
   }
+
+  /** q115b (VERDICT r16 #6): q115's layout under the LEARNED vocabulary —
+    * q140's computed subword counts replace the q35 whitespace-ish proxy
+    * as the budgeted quantity. Same bucketing, same shard draw, same batch
+    * arithmetic; what changes is what a "token" is, which is exactly what
+    * a dataloader that trained the tokenizer itself would budget with.
+    */
+  def q115b(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketBatches(TextAnalysis.bpeDocTokenCounts(spark, dir))
+
+  /** q124b: q124's packing under the learned vocab (see q115b). */
+  def q124b(spark: SparkSession, dir: String): DataFrame =
+    packSequences(TextAnalysis.bpeDocTokenCounts(spark, dir))
+
+  /** q135b: q135's budget selection with computed-vocab token costs; the
+    * classifier score that RANKS docs is unchanged (see tokenBudgetSelect).
+    */
+  def q135b(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelect(
+      Tables.documents(spark, dir).filter(col("doc_id").isNotNull),
+      BudgetPct, Some(TextAnalysis.bpeDocTokenCounts(spark, dir)))
+
+  /** The proxy-count `k` CTE (q100's md5 draw + q35 tokenizer counts) —
+    * the prelude the q115/q124 oracles always used, now shared with the
+    * computed-vocab twins' tails.
+    */
+  private def proxyCountKCte: String =
+    s"""WITH k AS (
+    |  SELECT doc_id,
+    |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    |                                  t -> t <> '')) AS BIGINT), 0) AS n_tokens,
+    |    md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)) AS sk
+    |  FROM documents WHERE doc_id IS NOT NULL)""".stripMargin
+
+  /** The computed-vocab `k` CTE: the q139 learn chain + per-doc counts
+    * (TextAnalysis.bpeDocCountsCtes), same md5 draw.
+    */
+  private def bpeCountKCte: String =
+    s"""${TextAnalysis.bpeDocCountsCtes(TextAnalysis.BpeSteps)},
+    |k AS (
+    |  SELECT d.doc_id, CAST(COALESCE(bc.n_tokens, 0) AS BIGINT) AS n_tokens,
+    |    md5('$ShuffleSalt' || CAST(d.doc_id AS VARCHAR)) AS sk
+    |  FROM documents d LEFT JOIN bpe_counts bc USING (doc_id)
+    |  WHERE d.doc_id IS NOT NULL)""".stripMargin
+
+  /** q115's oracle over any `k(doc_id, n_tokens, sk)` prelude. */
+  private def lengthBucketsOracleTail(prelude: String): String = {
+    val caseChain = BucketCaps.init
+      .map(c => s"WHEN n_tokens <= $c THEN $c").mkString(" ") +
+      s" ELSE ${BucketCaps.last}"
+    s"""$prelude,
+    |s AS (SELECT *,
+    |    CAST(CAST('0x' || substr(sk, 1, 8) AS BIGINT) % $ShardCount
+    |      AS INTEGER) AS shard,
+    |    CAST(CASE $caseChain END AS BIGINT) AS bucket
+    |  FROM k),
+    |r AS (SELECT *, row_number() OVER (
+    |    PARTITION BY shard, bucket ORDER BY sk, doc_id) AS rn FROM s)
+    |SELECT doc_id, n_tokens, shard, bucket,
+    |  CAST((rn - 1) // ($BatchTokenBudget // bucket) AS INTEGER)
+    |    AS batch_idx,
+    |  CAST((rn - 1) % ($BatchTokenBudget // bucket) AS INTEGER) AS pos,
+    |  CAST(bucket - least(n_tokens, bucket) AS BIGINT) AS pad_tokens
+    |FROM r ORDER BY shard, bucket, batch_idx, pos""".stripMargin
+  }
+
+  /** q135's oracle: `prelude` opens the WITH chain ("WITH" for the base,
+    * the learned-BPE CTE block + "," for the twin); `perCte` supplies
+    * per(doc_id, n_tokens, score_milli). Score CTEs are shared verbatim.
+    */
+  private def tokenBudgetOracleTail(prelude: String, perCte: String): String =
+    s"""$prelude t0 AS (
+    |  SELECT doc_id,
+    |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    |                       t -> t <> '')) AS tok
+    |  FROM documents WHERE doc_id IS NOT NULL),
+    |w AS (
+    |  SELECT doc_id,
+    |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001 - 1000 AS w
+    |  FROM t0),
+    |per0 AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM w
+    |         GROUP BY doc_id),
+    |$perCte,
+    |tot AS (SELECT CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) AS total
+    |        FROM per),
+    |r AS (
+    |  SELECT doc_id, score_milli, n_tokens,
+    |    CAST(SUM(n_tokens) OVER (ORDER BY score_milli DESC, doc_id)
+    |      AS BIGINT) AS cum_tokens
+    |  FROM per)
+    |SELECT doc_id, score_milli, n_tokens, cum_tokens
+    |FROM r CROSS JOIN tot
+    |WHERE cum_tokens <= (total * $BudgetPct) // 100
+    |ORDER BY doc_id""".stripMargin
+
+  /** q124's oracle over any `k` prelude (prelude must carry RECURSIVE). */
+  private def seqPackOracleTail(prelude: String): String =
+    s"""$prelude,
+    |o AS (SELECT doc_id, n_tokens, sk,
+    |    CAST(CAST('0x' || substr(sk, 1, 8) AS BIGINT) % $ShardCount
+    |      AS INTEGER) AS shard,
+    |    least(n_tokens, $SeqTokenBudget) AS cost
+    |  FROM k),
+    |r AS (SELECT *, row_number() OVER (
+    |    PARTITION BY shard ORDER BY sk, doc_id) AS rn FROM o),
+    |rec AS (
+    |  SELECT shard, rn, doc_id, cost, n_tokens,
+    |    0 AS seq_idx, CAST(0 AS BIGINT) AS seq_off
+    |  FROM r WHERE rn = 1
+    |  UNION ALL
+    |  SELECT r.shard, r.rn, r.doc_id, r.cost, r.n_tokens,
+    |    CASE WHEN p.seq_off + p.cost + r.cost <= $SeqTokenBudget
+    |      THEN p.seq_idx ELSE p.seq_idx + 1 END,
+    |    CASE WHEN p.seq_off + p.cost + r.cost <= $SeqTokenBudget
+    |      THEN p.seq_off + p.cost ELSE CAST(0 AS BIGINT) END
+    |  FROM rec p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+    |SELECT doc_id, shard, CAST(seq_idx AS INTEGER) AS seq_idx,
+    |  seq_off, cost, (n_tokens > $SeqTokenBudget) AS truncated
+    |FROM rec ORDER BY shard, seq_idx, seq_off, doc_id""".stripMargin
 
   /** Per-sequence token budget for q124: the training context length the
     * packer fills. Docs past it truncate to exactly one full sequence
@@ -1298,14 +1423,19 @@ object Pipeline {
     packSequences(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  /** The q124 core over any (doc_id, text) frame — specs run it directly. */
+  /** The q124 core over any (doc_id, text) frame — specs run it directly.
+    * A frame already carrying `n_tokens` (q124b) is used as-is.
+    */
   def packSequences(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val keyed = docs.filter(col("doc_id").isNotNull)
-      .select(col("doc_id"),
+    val counted =
+      if (docs.columns.contains("n_tokens")) docs
+      else docs.select(col("doc_id"),
         when(col("text").isNull, lit(0L))
-          .otherwise(text.tokenCount(col("text"))).as("n_tokens"),
+          .otherwise(text.tokenCount(col("text"))).as("n_tokens"))
+    val keyed = counted.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("n_tokens"),
         md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))
           .cast("binary")).as("sk"))
       .withColumn("shard",
@@ -1573,9 +1703,20 @@ object Pipeline {
     * bucket aggregate via the broadcast triangle — the q50 ladder, one
     * level deeper.
     */
-  def tokenBudgetSelect(docs: DataFrame, budgetPct: Long): DataFrame = {
-    val per = TextAnalysis.classifierScoresUnsorted(docs)
-      .select(col("doc_id"), col("n_tokens"), col("score_milli"))
+  def tokenBudgetSelect(docs: DataFrame, budgetPct: Long,
+      tokenCounts: Option[DataFrame] = None): DataFrame = {
+    // q135b swaps ONLY the budgeted quantity (computed-vocab counts join
+    // in by doc_id); the classifier score that ranks docs is unchanged
+    val per = tokenCounts match {
+      case None => TextAnalysis.classifierScoresUnsorted(docs)
+        .select(col("doc_id"), col("n_tokens"), col("score_milli"))
+      case Some(tc) => TextAnalysis.classifierScoresUnsorted(docs)
+        .select(col("doc_id"), col("score_milli"))
+        .join(tc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          col("score_milli"))
+    }
     // budget = (total × pct) DIV 100: exact BIGINT division (non-negative
     // operands, so truncation == floor) — matches the oracle's `//` at ANY
     // corpus magnitude, where a double quotient could cross an integer
@@ -1834,61 +1975,20 @@ object Pipeline {
       // q100's md5 CTEs + an integer CASE bucket chain generated from the
       // same BucketCaps the engine folds; // is DuckDB integer division
       // (the engine's floor-of-double is exact at these magnitudes)
-      Some {
-        val caseChain = BucketCaps.init
-          .map(c => s"WHEN n_tokens <= $c THEN $c").mkString(" ") +
-          s" ELSE ${BucketCaps.last}"
-        s"""WITH k AS (
-        |  SELECT doc_id,
-        |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |                                  t -> t <> '')) AS BIGINT), 0) AS n_tokens,
-        |    md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)) AS sk
-        |  FROM documents WHERE doc_id IS NOT NULL),
-        |s AS (SELECT *,
-        |    CAST(CAST('0x' || substr(sk, 1, 8) AS BIGINT) % $ShardCount
-        |      AS INTEGER) AS shard,
-        |    CAST(CASE $caseChain END AS BIGINT) AS bucket
-        |  FROM k),
-        |r AS (SELECT *, row_number() OVER (
-        |    PARTITION BY shard, bucket ORDER BY sk, doc_id) AS rn FROM s)
-        |SELECT doc_id, n_tokens, shard, bucket,
-        |  CAST((rn - 1) // ($BatchTokenBudget // bucket) AS INTEGER)
-        |    AS batch_idx,
-        |  CAST((rn - 1) % ($BatchTokenBudget // bucket) AS INTEGER) AS pos,
-        |  CAST(bucket - least(n_tokens, bucket) AS BIGINT) AS pad_tokens
-        |FROM r ORDER BY shard, bucket, batch_idx, pos""".stripMargin
-      }),
+      Some(lengthBucketsOracleTail(proxyCountKCte))),
+    // the computed-vocab twin: identical layout oracle, n_tokens spliced
+    // from the learned-BPE CTE chain instead of the q35 proxy
+    QueryDef("q115b_length_buckets_bpe", q115b,
+      Some(lengthBucketsOracleTail(bpeCountKCte))),
     QueryDef("q124_seq_pack", q124,
       // q100's md5 CTEs + a recursive next-fit walk: the packer's state
       // (current fill, sequence index) steps row-by-row in (sk, doc_id)
       // order per shard — depth = max rows per shard, fixture-sized
-      Some(s"""WITH RECURSIVE k AS (
-        |  SELECT doc_id,
-        |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |                                  t -> t <> '')) AS BIGINT), 0) AS n_tokens,
-        |    md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)) AS sk
-        |  FROM documents WHERE doc_id IS NOT NULL),
-        |o AS (SELECT doc_id, n_tokens, sk,
-        |    CAST(CAST('0x' || substr(sk, 1, 8) AS BIGINT) % $ShardCount
-        |      AS INTEGER) AS shard,
-        |    least(n_tokens, $SeqTokenBudget) AS cost
-        |  FROM k),
-        |r AS (SELECT *, row_number() OVER (
-        |    PARTITION BY shard ORDER BY sk, doc_id) AS rn FROM o),
-        |rec AS (
-        |  SELECT shard, rn, doc_id, cost, n_tokens,
-        |    0 AS seq_idx, CAST(0 AS BIGINT) AS seq_off
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.shard, r.rn, r.doc_id, r.cost, r.n_tokens,
-        |    CASE WHEN p.seq_off + p.cost + r.cost <= $SeqTokenBudget
-        |      THEN p.seq_idx ELSE p.seq_idx + 1 END,
-        |    CASE WHEN p.seq_off + p.cost + r.cost <= $SeqTokenBudget
-        |      THEN p.seq_off + p.cost ELSE CAST(0 AS BIGINT) END
-        |  FROM rec p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
-        |SELECT doc_id, shard, CAST(seq_idx AS INTEGER) AS seq_idx,
-        |  seq_off, cost, (n_tokens > $SeqTokenBudget) AS truncated
-        |FROM rec ORDER BY shard, seq_idx, seq_off, doc_id""".stripMargin)),
+      Some(seqPackOracleTail(
+        s"WITH RECURSIVE${proxyCountKCte.stripPrefix("WITH")}"))),
+    QueryDef("q124b_seq_pack_bpe", q124b,
+      Some(seqPackOracleTail(
+        s"WITH RECURSIVE${bpeCountKCte.stripPrefix("WITH")}"))),
     QueryDef("q100_train_shards", q100,
       Some(s"""WITH k AS (
         |  SELECT doc_id,
@@ -2289,34 +2389,25 @@ object Pipeline {
     QueryDef("q135_token_budget", q135,
       // per = q94's CTEs verbatim; the oracle states the plain global
       // window the engine's two-phase bucket cumsum equals long for long
-      Some(s"""WITH t0 AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |                       t -> t <> '')) AS tok
-        |  FROM documents WHERE doc_id IS NOT NULL),
-        |w AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001 - 1000 AS w
-        |  FROM t0),
-        |per0 AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM w
-        |         GROUP BY doc_id),
-        |per AS (
+      Some(tokenBudgetOracleTail("WITH",
+        s"""per AS (
         |  SELECT d.doc_id,
         |    CAST(coalesce(per0.n, 0) AS BIGINT) AS n_tokens,
         |    CAST(coalesce(per0.s, 0) AS BIGINT) AS score_milli
         |  FROM documents d LEFT JOIN per0 USING (doc_id)
-        |  WHERE d.doc_id IS NOT NULL),
-        |tot AS (SELECT CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) AS total
-        |        FROM per),
-        |r AS (
-        |  SELECT doc_id, score_milli, n_tokens,
-        |    CAST(SUM(n_tokens) OVER (ORDER BY score_milli DESC, doc_id)
-        |      AS BIGINT) AS cum_tokens
-        |  FROM per)
-        |SELECT doc_id, score_milli, n_tokens, cum_tokens
-        |FROM r CROSS JOIN tot
-        |WHERE cum_tokens <= (total * $BudgetPct) // 100
-        |ORDER BY doc_id""".stripMargin)),
+        |  WHERE d.doc_id IS NOT NULL)""".stripMargin))),
+    // computed-vocab twin: the ranking score CTEs are untouched; only the
+    // budgeted n_tokens joins in from the learned-BPE chain
+    QueryDef("q135b_token_budget_bpe", q135b,
+      Some(tokenBudgetOracleTail(
+        s"${TextAnalysis.bpeDocCountsCtes(TextAnalysis.BpeSteps)},",
+        s"""per AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(bc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(per0.s, 0) AS BIGINT) AS score_milli
+        |  FROM documents d LEFT JOIN per0 USING (doc_id)
+        |                   LEFT JOIN bpe_counts bc USING (doc_id)
+        |  WHERE d.doc_id IS NOT NULL)""".stripMargin))),
     QueryDef("q137_priority_sample", q137,
       // integer priorities (w·2^28 // u, u md5-derived) and integer τ/ŵ —
       // the oracle states the plain per-source window the engine's salted

@@ -922,6 +922,127 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Batched BPE merge selection (q142, VERDICT r16 #4): q139's per-merge
+    * cost is one shuffle + one 1-row collect = K SEQUENTIAL Spark jobs —
+    * at a production vocabulary (K = 10^4–10^5) that is a driver-side
+    * latency wall. The standard trick: per round, take the TOP-M
+    * NON-CONFLICTING pairs from one ranked pair count and apply them all
+    * in one projection, cutting rounds to ~K/M.
+    *
+    * This implementation batches WITHOUT changing the answer — the
+    * accepted set per round is provably the next |accepted| merges the
+    * sequential learner would pick, so q142 shares q139's DuckDB oracle
+    * verbatim. The guard:
+    *
+    *   1. walk the ranked list (count DESC, lhs, rhs — q139's total
+    *      order), accepting pairs whose symbols are DISJOINT from every
+    *      previously accepted pair's; STOP the round at the first
+    *      conflicting pair (count `cq`), the lookahead horizon, or the
+    *      per-round cap;
+    *   2. keep the first accepted pair unconditionally (it is the global
+    *      argmax — sequential's own pick) and every later accepted pair
+    *      only while its count is STRICTLY above `cq` (and above the last
+    *      collected count when the table extends past the lookahead).
+    *
+    * Why that equals sequential: disjoint merges commute and leave each
+    * other's counts untouched, so after applying accepted pairs 1..i-1
+    * the candidate set at sub-step i is (a) untouched pairs — every one
+    * ranked below p_i, since the walk accepted all disjoint pairs in rank
+    * order, and (b) pairs changed or created by earlier accepted merges.
+    * A created pair (x, ab) needs an (x, a) adjacency, so its count is
+    * bounded by the OLD count of a conflicting pair — and every
+    * conflicting pair's count is <= cq < c_i by the guard; changed pairs
+    * only lose occurrences. Hence p_i is the strict argmax at sub-step i.
+    * When counts cluster (cq ties c_2), the guard degenerates the round
+    * to one merge — exactly sequential, never approximate.
+    */
+  def bpeLearnMergesBatched(docs: DataFrame, steps: Int = BpeSteps,
+      maxPerRound: Int = 16, lookahead: Int = 64)
+      : (Seq[(Int, String, String, Long)], Int) = {
+    var vocab = bpeVocab(docs).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var exhausted = false
+    while (out.size < steps && !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("la"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("ra"))
+        .select(col("cnt"), explode(arrays_zip(col("la"), col("ra"))).as("z"))
+        .groupBy(col("z.la").as("l"), col("z.ra").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(lookahead).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        rounds += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        // cq: the count bound below which sequential picks could diverge —
+        // the first conflicting pair, or the last collected row when the
+        // ranked table extends past the lookahead window
+        var cq = -1L
+        var i = 0
+        while (cq < 0 && i < top.length &&
+            accepted.size < math.min(maxPerRound, steps - out.size)) {
+          val (l, r, c) = top(i)
+          if (used(l) || used(r)) cq = c
+          else { accepted += top(i); used += l; used += r }
+          i += 1
+        }
+        // loop may also exit at the cap or the lookahead horizon: every
+        // UNEXAMINED pair is a potential conflict, so the bound must cover
+        // the best of them (the next uncollected rank / the last collected
+        // row when the table extends past the window)
+        if (cq < 0 && i < top.length) cq = top(i)._3
+        else if (cq < 0 && top.length == lookahead) cq = top.last._3
+        val kept = accepted.head +:
+          accepted.tail.takeWhile(_._3 > cq).toSeq
+        kept.foreach { case (l, r, c) => out += ((out.size + 1, l, r, c)) }
+        vocab = kept.foldLeft(vocab) { case (v, (l, r, _)) =>
+          v.withColumn("syms",
+            graft.functions.expressions.textnative
+              .bpeMergeStep(col("syms"), l, r))
+        }.localCheckpoint()
+      }
+    }
+    (out.toSeq, rounds)
+  }
+
+  /** Diagnostic (lastCcRounds precedent): rounds the most recent q142 run
+    * needed — the batching evidence the spec and SCALE.md read.
+    */
+  @volatile var lastBpeRounds: Int = -1
+
+  /** q142: the q139 merge table learned BATCHED — same output, same
+    * oracle, ~K/M rounds instead of K.
+    */
+  def q142BpeMergesBatched(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, rounds) =
+      bpeLearnMergesBatched(Tables.documents(spark, dir).select(col("text")))
+    lastBpeRounds = rounds
+    merges.map { case (k, l, r, c) => (k, l, r, l + r, c) }
+      .toDF("step", "lhs", "rhs", "merged", "weight")
+      .orderBy(col("step"))
+  }
+
+  /** Per-doc token counts under the LEARNED vocab as a joinable
+    * (doc_id, n_tokens) frame — the q140 computation re-exposed so the
+    * layout tier (q115b/q124b/q135b) budgets with computed subword counts
+    * instead of the q35 whitespace-ish proxy (VERDICT r16 #6). Docs with
+    * no tokens count 0.
+    */
+  def bpeDocTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"))
+      .join(q140BpeTokenCounts(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tokens"))
+
   /** The unrolled-CTE oracle prelude shared by q139/q140: w0 = the capped
     * vocabulary with char symbol lists; per step k, mK = the argmax pair,
     * pK = its (lhs, rhs) with a never-matching sentinel when mK is empty
@@ -969,6 +1090,23 @@ object TextAnalysis {
     s"${bpeOracleCtes(steps)}\n$unions\nORDER BY step"
   }
 
+  /** Oracle prelude for consumers of the learned token counts: the q139
+    * CTE chain plus a `bpe_counts(doc_id, n_tokens)` CTE — q115b/q124b/
+    * q135b splice it where their base oracles compute the proxy count.
+    * CTE names are prefixed `bpe_` to stay clear of the consumers' own.
+    */
+  private[operators] def bpeDocCountsCtes(steps: Int): String =
+    s"""${bpeOracleCtes(steps)},
+       |bpe_sizes AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
+       |              FROM w$steps),
+       |bpe_dw AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+       |    lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word
+       |  FROM documents),
+       |bpe_counts AS (SELECT doc_id,
+       |    CAST(SUM(coalesce(n_sub, len(word))) AS BIGINT) AS n_tokens
+       |  FROM bpe_dw LEFT JOIN bpe_sizes USING (word)
+       |  GROUP BY doc_id)""".stripMargin
+
   private def bpeTokensOracle(steps: Int): String =
     s"""${bpeOracleCtes(steps)},
        |sizes AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
@@ -985,6 +1123,10 @@ object TextAnalysis {
     QueryDef("q139_bpe_merges", q139BpeMerges, Some(bpeMergesOracle(BpeSteps))),
     QueryDef("q140_bpe_token_counts", q140BpeTokenCounts,
       Some(bpeTokensOracle(BpeSteps))),
+    // q142 shares q139's SEQUENTIAL oracle on purpose: the batching guard
+    // is exactness-preserving, and the shared oracle is what certifies it
+    QueryDef("q142_bpe_merges_batched", q142BpeMergesBatched,
+      Some(bpeMergesOracle(BpeSteps))),
     QueryDef("q112_gopher_rules", q112,
       // every signal is an integer-ratio double rounded at 4 dp; the
       // stopword finds are generated from the SAME Scala list the engine

@@ -494,4 +494,53 @@ class TextAnalysisSpec extends AnyFunSuite {
       "long word must count its characters, merged word one symbol")
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
+
+  /** q142 (round-17 #4): batched merge selection must be EXACTLY the
+    * sequential learner's sequence — on the banana corpus (dense count
+    * ties, the worst case for batching), on the fixture at K=8, and on a
+    * corpus PLANTED so that a naive skip-conflicts-and-keep-walking
+    * batcher provably diverges at step 2.
+    */
+  test("batched BPE equals sequential on tie-dense and planted-conflict corpora") {
+    import spark.implicits._
+    val banana = Seq(
+      1L -> "banana banana banana",
+      2L -> "bandana",
+      3L -> "aaaa").toDF("doc_id", "text")
+    val seqMerges = TextAnalysis.bpeLearnMerges(banana, 8)
+    val (batched, _) = TextAnalysis.bpeLearnMergesBatched(banana, 8)
+    assert(batched === seqMerges,
+      "tie-dense corpus: the guard must degenerate rounds to sequential")
+
+    // planted conflict: one doc, word "aaab" x100 + word "cd" x90.
+    // Ranked round-1 pairs: (a,a)=200, (a,b)=100, (c,d)=90. A naive
+    // batcher accepts (a,a), skips (a,b) as conflicting, and EMITS (c,d)
+    // as merge #2 — but sequential's step 2 is (a,b) (count 100 after the
+    // (a,a) merge, tie-broken by lhs over (aa,a)). The guard must stop the
+    // round at the (a,b) conflict instead.
+    val planted = Seq(
+      1L -> (("aaab " * 100) + ("cd " * 90))).toDF("doc_id", "text")
+    val seq4 = TextAnalysis.bpeLearnMerges(planted, 4)
+    assert(seq4.map(m => (m._2, m._3)) ===
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("c", "d")),
+      s"the planted conflict lost its shape: $seq4")
+    val (batched4, rounds4) = TextAnalysis.bpeLearnMergesBatched(planted, 4)
+    assert(batched4 === seq4,
+      "planted-conflict corpus: batched must not emit (c,d) early")
+    assert(rounds4 < 4,
+      s"the final (aa,ab)+(c,d) round must batch: $rounds4 rounds")
+  }
+
+  /** q142 on the fixture: same merges as q139 at K=8, in FEWER rounds —
+    * the latency-wall evidence (K sequential jobs -> ~K/M rounds).
+    */
+  test("batched BPE matches q139 on the fixture and actually batches") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("text"))
+    val seqMerges = TextAnalysis.bpeLearnMerges(docs, 8)
+    val (batched, rounds) = TextAnalysis.bpeLearnMergesBatched(docs, 8)
+    assert(batched === seqMerges)
+    assert(rounds < 8, s"8 merges took $rounds rounds — nothing batched")
+  }
 }
