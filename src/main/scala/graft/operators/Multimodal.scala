@@ -479,8 +479,10 @@ object Multimodal {
     * codec-free, so the full synthesize → container → decode loop runs on
     * the stock JDK.
     */
-  private[graft] def wavBytes(mediaId: Long): Array[Byte] = {
-    val n = audioLen(mediaId)
+  private[graft] def wavBytes(mediaId: Long): Array[Byte] =
+    wavBytesOf(audioLen(mediaId), i => audioSample(mediaId, i))
+
+  private[graft] def wavBytesOf(n: Int, sample: Int => Int): Array[Byte] = {
     val dataSize = n * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -495,7 +497,7 @@ object Multimodal {
       .putShort(16.toShort) // bits per sample
       .put("data".getBytes("US-ASCII")).putInt(dataSize)
     var i = 0
-    while (i < n) { buf.putShort(audioSample(mediaId, i).toShort); i += 1 }
+    while (i < n) { buf.putShort(sample(i).toShort); i += 1 }
     buf.array()
   }
 
@@ -527,9 +529,23 @@ object Multimodal {
     * q77's 8-bytes-leave-the-scan argument); the only exchange is the
     * presentation sort.
     */
-  def q141AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def q141AudioFeatures(spark: SparkSession, dir: String): DataFrame =
+    audioFeaturesOf(audioTable(spark, dir), AudioWindow)
+      .select(col("media_id"), col("window_no"),
+        col("n_samples").cast("int").as("n_samples"),
+        col("sum_sq"), col("zero_crossings"))
+      .orderBy(col("media_id"), col("window_no"))
+
+  /** q141's decode + windowed-feature pass over ANY (media_id, media) WAV
+    * frame, parameterized by window size: q141 reports at [[AudioWindow]];
+    * q143 fingerprints at [[AudioFpWindow]] (finer windows — a contour
+    * needs more than the handful of 256-sample windows a short clip has).
+    */
+  private[graft] def audioFeaturesOf(clips: DataFrame,
+      window: Int): DataFrame = {
+    val spark = clips.sparkSession
     import spark.implicits._
-    val feats = audioTable(spark, dir)
+    clips
       .select(col("media_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
@@ -541,10 +557,10 @@ object Multimodal {
           val data = in.readAllBytes()
           in.close()
           val n = data.length / 2
-          val windows = (n + AudioWindow - 1) / AudioWindow
+          val windows = (n + window - 1) / window
           (0 until windows).map { w =>
-            val from = w * AudioWindow
-            val until = math.min(from + AudioWindow, n)
+            val from = w * window
+            val until = math.min(from + window, n)
             var sumSq = 0L
             var zc = 0L
             var prev = 0
@@ -561,10 +577,138 @@ object Multimodal {
         }
       }
       .toDF("media_id", "window_no", "n_samples", "sum_sq", "zero_crossings")
-    feats.select(col("media_id"), col("window_no"),
-        col("n_samples").cast("int").as("n_samples"),
-        col("sum_sq"), col("zero_crossings"))
-      .orderBy(col("media_id"), col("window_no"))
+  }
+
+  // ---- Audio near-dup (q143) ----------------------------------------------
+
+  /** Fingerprint window (samples): finer than [[AudioWindow]] so a short
+    * clip still yields a 25–75-point energy contour (4–10 points is too
+    * little entropy for a 62-bit fingerprint — measured: same-length
+    * clips collided at Hamming 0).
+    */
+  val AudioFpWindow = 32
+
+  /** Perturbed-twin planting for the near-dup fixture: every
+    * [[AudioPertStride]]-th clip gets a copy at id + [[AudioPertBase]]
+    * whose every [[AudioPertEvery]]-th sample is lifted by
+    * [[AudioPertAmp]] — a small additive hum. The contour comparisons
+    * flip only where adjacent window energies are close, so most planted
+    * pairs land within Hamming ≤ 3 with a realistic tail that does not
+    * (measured at these constants: ~40/50 within, max 5).
+    */
+  val AudioPertBase = 1000000000L
+  val AudioPertStride = 10L
+  val AudioPertEvery = 3
+  val AudioPertAmp = 100
+
+  /** q143's clip table: the q141 clips plus the planted perturbed twins. */
+  def audioNeardupTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val base = ids.mapPartitions(_.map(id => (id, wavBytes(id))))
+    val pert = ids.filter(_ % AudioPertStride == 0).mapPartitions(_.map(id =>
+      (id + AudioPertBase, wavBytesOf(audioLen(id), i =>
+        audioSample(id, i) +
+          (if (i % AudioPertEvery == 0) AudioPertAmp else 0)))))
+    base.union(pert).toDF("media_id", "media")
+  }
+
+  /** One 31-bit contour half: bit j compares the energy at contour slot
+    * (j·W) div 31 against slot ((j+step) mod 31 · W) div 31 — resampling
+    * the W-window sequence onto a fixed 31-slot ring, so clips of
+    * different lengths fingerprint into the same space. The two halves
+    * use ring strides 1 and 7: the first fingerprint cut paired the
+    * energy contour with a ZERO-CROSSING contour, but the fixture's
+    * regular waveforms make per-window crossing counts near-constant —
+    * 31 dead bits, which both voided half the distance and made two
+    * pigeonhole chunks a single mega-bucket (the q87 skew trap,
+    * self-inflicted). Two comparison strides over the same energies keep
+    * every 16-bit chunk high-entropy (measured: 124–144 distinct values
+    * per chunk over 550 fixture clips). Pure Spark SQL higher-order
+    * functions (no UDF); DuckDB mirrors the identical arithmetic.
+    */
+  private def fpHalfSql(arr: String, step: Int): String =
+    s"aggregate(sequence(0, 30), 0L, (acc, j) -> acc * 2 + " +
+      s"if(element_at($arr, cast(((j * size($arr)) div 31) + 1 as int)) >= " +
+      s"element_at($arr, cast(((pmod(j + $step, 31) * size($arr)) div 31)" +
+      s" + 1 as int)), 1L, 0L))"
+
+  /** q143: audio near-dup — the audio member of the near-dedup family
+    * (text MinHash q21/SimHash q22, embedding q24, image dHash q77/q77b).
+    * Each clip's REAL WAV decode (q141's pass at [[AudioFpWindow]])
+    * yields an energy + zero-crossing contour; the two 31-bit contour
+    * halves pack into one 62-bit fingerprint, and q77's
+    * pigeonhole-Hamming profile tail reports each clip's Hamming ≤ 3
+    * neighbor count. Zero new join machinery — the fingerprint is the
+    * only audio-specific code.
+    *
+    * Scale shape: payload leaves the plan at decode (8 B fingerprint per
+    * clip shuffles, never WAV bytes); candidate pairs come from the
+    * 4-chunk pigeonhole join, never all-pairs — the oracle's all-pairs
+    * mirror is fixture-sized only.
+    */
+  def q143AudioNeardup(spark: SparkSession, dir: String): DataFrame =
+    neardupProfile(audioFingerprints(audioNeardupTable(spark, dir)))
+      .withColumnRenamed("phash", "fp")
+
+  /** (id, fp) energy-contour fingerprints over any (media_id, media) WAV
+    * frame — q143's hash step, spec-drivable on planted clips.
+    */
+  def audioFingerprints(clips: DataFrame): DataFrame =
+    audioFeaturesOf(clips, AudioFpWindow)
+      .groupBy(col("media_id"))
+      .agg(sort_array(collect_list(struct(
+        col("window_no"), col("sum_sq")))).as("ws"))
+      .select(col("media_id").as("id"),
+        expr(s"${fpHalfSql("transform(ws, w -> w.sum_sq)", 1)}" +
+          s" * 2147483648L" +
+          s" + ${fpHalfSql("transform(ws, w -> w.sum_sq)", 7)}")
+          .as("fp"))
+
+  private def q143Oracle: String = {
+    def fpHalfDuck(arr: String, step: Int): String =
+      s"SUM(CASE WHEN $arr[((j * len($arr)) // 31) + 1] >= " +
+        s"$arr[(((j + $step) % 31 * len($arr)) // 31) + 1] " +
+        s"THEN (CAST(1 AS BIGINT) << (30 - j)) ELSE 0 END)"
+    s"""WITH ids AS (
+       |  SELECT doc_id AS media_id, doc_id AS src, FALSE AS pert
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $AudioPertBase, doc_id, TRUE
+       |  FROM documents WHERE doc_id % $AudioPertStride = 0),
+       |s AS (
+       |  SELECT media_id, i,
+       |    ((src * 31 + i * 17) % 4096) - 2048 +
+       |      CASE WHEN pert AND i % $AudioPertEvery = 0
+       |           THEN $AudioPertAmp ELSE 0 END AS v,
+       |    i // $AudioFpWindow AS w
+       |  FROM ids,
+       |    UNNEST(generate_series(0, CAST(800 + (src % 5) * 400 AS INT) - 1))
+       |      AS u(i)),
+       |f AS (
+       |  SELECT media_id, w, SUM(v * v) AS e
+       |  FROM s GROUP BY media_id, w),
+       |arr AS (SELECT media_id, list(e ORDER BY w) AS es
+       |        FROM f GROUP BY media_id),
+       |bits AS (
+       |  SELECT media_id,
+       |    ${fpHalfDuck("es", 1)} AS fpe,
+       |    ${fpHalfDuck("es", 7)} AS fpz
+       |  FROM arr, UNNEST(generate_series(0, 30)) AS g(j)
+       |  GROUP BY media_id),
+       |hs AS (SELECT media_id,
+       |         CAST(fpe * 2147483648 + fpz AS BIGINT) AS fp FROM bits),
+       |p AS (SELECT a.media_id AS a_id, b.media_id AS b_id
+       |      FROM hs a, hs b
+       |      WHERE a.media_id < b.media_id
+       |        AND bit_count(xor(a.fp, b.fp)) <= 3),
+       |deg AS (SELECT id, COUNT(*) AS nn FROM (
+       |          SELECT a_id AS id FROM p
+       |          UNION ALL SELECT b_id AS id FROM p) GROUP BY id)
+       |SELECT hs.media_id, hs.fp,
+       |  CAST(coalesce(deg.nn, 0) AS BIGINT) AS n_neighbors
+       |FROM hs LEFT JOIN deg ON deg.id = hs.media_id
+       |ORDER BY media_id""".stripMargin
   }
 
   private val audioOracle: String =
@@ -589,6 +733,7 @@ object Multimodal {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q141_audio_features", q141AudioFeatures, Some(audioOracle)),
+    QueryDef("q143_audio_neardup", q143AudioNeardup, Some(q143Oracle)),
     // oracle added round 9: the registered stub path IS SQL-mirrorable
     // (byte-grid means + adjacent-pair bits + all-pairs Hamming); the
     // real-pixel decode stays property-checked (planted PNGs, MultimodalSpec)

@@ -202,4 +202,39 @@ class MultimodalSpec extends AnyFunSuite {
       assert(ws.map(_._4).sum > 0)
     }
   }
+
+  /** q143: the energy-contour fingerprint must pull a PERTURBED clip (the
+    * planted small additive hum) within the Hamming ≤ 3 near-dup bound of
+    * its source while keeping an unrelated clip far — the audio analogue
+    * of the planted-PNG dHash test, over the REAL WAV decode path.
+    */
+  test("audio fingerprint pairs a perturbed clip with its source, not strangers") {
+    import spark.implicits._
+    val srcId = 42L
+    val clips = Seq(
+      (srcId, Multimodal.wavBytes(srcId)),
+      // the q143 planted perturbation, applied to clip 42 directly
+      (srcId + Multimodal.AudioPertBase,
+        Multimodal.wavBytesOf(Multimodal.audioLen(srcId), i =>
+          Multimodal.audioSample(srcId, i) +
+            (if (i % Multimodal.AudioPertEvery == 0) Multimodal.AudioPertAmp
+             else 0))),
+      (7L, Multimodal.wavBytes(7L)) // unrelated clip, same length class
+    ).toDF("media_id", "media")
+    val fps = Multimodal.audioFingerprints(clips).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val near = ham(fps(srcId), fps(srcId + Multimodal.AudioPertBase))
+    val far = ham(fps(srcId), fps(7L))
+    assert(near <= 3, s"perturbed twin drifted to Hamming $near")
+    assert(far > 3, s"unrelated clip landed at Hamming $far")
+    // and the registered profile reports the planted pair on the fixture:
+    // every perturbed id has >= 1 neighbor at these constants (measured)
+    val prof = Multimodal.q143AudioNeardup(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("media_id") >=
+        Multimodal.AudioPertBase)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(prof.nonEmpty && prof.forall(_._2 >= 1),
+      s"planted twins missing neighbors: ${prof.filter(_._2 < 1).mkString(",")}")
+  }
 }
