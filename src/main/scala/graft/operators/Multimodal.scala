@@ -454,6 +454,241 @@ object Multimodal {
        |ORDER BY media_id""".stripMargin
   }
 
+  // ---- Video modality (q144) ----------------------------------------------
+
+  /** Video fixture geometry: tiny uncompressed frames so a fixture of
+    * hundreds of clips stays KBs — the CONTAINER structure, not the pixel
+    * count, is what this tier exercises.
+    */
+  val VideoW = 16
+  val VideoH = 12
+  val VideoFps = 10
+  /** Every k-th frame is feature-extracted — the frame-sampling step a
+    * 100 TB video corpus cannot skip (decode cost scales with frames
+    * touched, so the sampler must run INSIDE the per-clip decode, never
+    * as a post-decode filter).
+    */
+  val VideoSampleEvery = 4
+
+  /** Deterministic 8-bit luminance of clip `mediaId`, frame f, pixel
+    * (x, y) — a pure-integer recurrence (q141's audio discipline): the
+    * engine PARSES the container bytes, the oracle recomputes the
+    * recurrence, so any parse bug (chunk walking, header offsets, row
+    * order, stride padding) breaks the hash.
+    */
+  @inline private[graft] def videoPixel(mediaId: Long, f: Int, x: Int,
+      y: Int): Int =
+    ((mediaId * 31 + f.toLong * 101 + y.toLong * 17 + x.toLong * 7) % 251).toInt
+
+  /** Frames per clip: 8 + (id % 5) · 4 — five duration classes, exercising
+    * the ceil arithmetic of every-k-th sampling.
+    */
+  @inline private[graft] def videoFrames(mediaId: Long): Int =
+    (8 + (mediaId % 5) * 4).toInt
+
+  /** A REAL RIFF/AVI container around the recurrence frames: 'hdrl' with
+    * a canonical 56-byte avih (frame count, dimensions, rate) and one
+    * 'strl' (strh 'vids'/'DIB ', strf BITMAPINFOHEADER), then 'movi' with
+    * one '00db' uncompressed-DIB chunk per frame — 24-bit BGR rows
+    * BOTTOM-UP (the DIB contract; parsing top-down is the classic bug the
+    * oracle hash would catch). Uncompressed DIB is a standard AVI codec,
+    * so the bytes are a structurally valid, codec-free video file — the
+    * q141 WAV argument one modality over. VideoW·3 is 4-byte aligned, so
+    * rows carry no pad bytes at this geometry.
+    */
+  private[graft] def aviBytes(mediaId: Long): Array[Byte] = {
+    val n = videoFrames(mediaId)
+    val frameBytes = VideoW * VideoH * 3
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(kind.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000000 / VideoFps) // microseconds per frame
+        .putInt(frameBytes * VideoFps) // max bytes per second
+        .putInt(0).putInt(0x10) // padding, flags (AVIF_HASINDEX off)
+        .putInt(n) // total frames
+        .putInt(0).putInt(1) // initial frames, streams
+        .putInt(frameBytes) // suggested buffer
+        .putInt(VideoW).putInt(VideoH)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(VideoFps) // scale, rate -> fps
+        .putInt(0).putInt(n)
+        .putInt(frameBytes).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(VideoW.toShort)
+        .putShort(VideoH.toShort)
+      b.array()
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(VideoW).putInt(VideoH)
+        .putShort(1).putShort(24) // planes, bpp
+        .putInt(0) // BI_RGB (uncompressed)
+        .putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    def frame(f: Int): Array[Byte] = {
+      val px = new Array[Byte](frameBytes)
+      var i = 0
+      var row = VideoH - 1 // DIB rows are stored bottom-up
+      while (row >= 0) {
+        var x = 0
+        while (x < VideoW) {
+          val v = videoPixel(mediaId, f, x, row).toByte
+          px(i) = v; px(i + 1) = v; px(i + 2) = v // B, G, R
+          i += 3; x += 1
+        }
+        row -= 1
+      }
+      px
+    }
+    val movi = list("movi",
+      (0 until n).map(f => chunk("00db", frame(f)))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Fixture video table: one AVI clip per document id (synthesis rides
+    * mapPartitions — the q141 stand-in-for-the-scan pattern).
+    */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, aviBytes(id))))
+      .toDF("media_id", "media")
+  }
+
+  /** Parsed clip: avih metadata + the raw '00db' frame payloads in order.
+    * A REAL RIFF walk — tags and sizes drive the cursor; nothing is
+    * assumed about chunk order beyond the AVI grammar (hdrl before movi).
+    */
+  private[graft] final case class AviClip(nFrames: Int, width: Int,
+      height: Int, usPerFrame: Int, frames: Vector[Array[Byte]])
+
+  private[graft] def parseAvi(bytes: Array[Byte]): AviClip = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF container")
+    b.getInt // riff size
+    require(tag() == "AVI ", "not an AVI")
+    var nFrames = -1; var w = -1; var h = -1; var us = -1
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(end: Int): Unit =
+      while (b.position() < end) {
+        val t = tag()
+        val size = b.getInt
+        val next = b.position() + size + (size & 1) // chunks are word-aligned
+        t match {
+          case "LIST" =>
+            tag() // list kind; descend either way — the walk is grammar-free
+            walk(next)
+          case "avih" =>
+            us = b.getInt; b.getInt; b.getInt; b.getInt
+            nFrames = b.getInt; b.getInt; b.getInt; b.getInt
+            w = b.getInt; h = b.getInt
+            b.position(next)
+          case "00db" =>
+            val px = new Array[Byte](size); b.get(px)
+            frames += px
+            b.position(next)
+          case _ => b.position(next)
+        }
+      }
+    walk(bytes.length)
+    val fs = frames.result()
+    require(nFrames == fs.length,
+      s"avih claims $nFrames frames, movi carries ${fs.length}")
+    AviClip(nFrames, w, h, us, fs)
+  }
+
+  /** q144: video-container modality — the third media column (image q77b,
+    * audio q141): REAL AVI parse + every-[[VideoSampleEvery]]-th-frame
+    * luminance features, all exact integers so the DuckDB oracle
+    * regenerates the recurrence and hash-checks the parse (chunk walk,
+    * avih offsets, bottom-up row order). Output per sampled frame:
+    * (media_id, n_frames, width, height, frame_no, sum_lum) — metadata
+    * from the header, features from the payload, the header/payload
+    * consistency require()d in the parse. Payload leaves the plan at the
+    * decode (integers out of mapPartitions); the only exchange is the
+    * presentation sort. Unsampled frames are never feature-extracted —
+    * at 100 TB the sampler IS the cost model.
+    */
+  def q144VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, dir)
+      .select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val clip = parseAvi(bytes)
+        val stride = clip.width * 3
+        (0 until clip.nFrames by VideoSampleEvery).map { f =>
+          val px = clip.frames(f)
+          var sum = 0L
+          var y = 0
+          while (y < clip.height) {
+            val rowOff = (clip.height - 1 - y) * stride // bottom-up
+            var x = 0
+            while (x < clip.width) {
+              sum += px(rowOff + x * 3) & 0xff // B plane (B=G=R here)
+              x += 1
+            }
+            y += 1
+          }
+          (id, clip.nFrames, clip.width, clip.height, f, sum)
+        }
+      })
+      .toDF("media_id", "n_frames", "width", "height", "frame_no", "sum_lum")
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  private val videoOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(8 + (doc_id % 5) * 4 AS INT) AS n_frames, fr.f AS f
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(generate_series(
+       |      0, CAST(8 + (doc_id % 5) * 4 AS INT) - 1,
+       |      $VideoSampleEvery)) AS f) fr),
+       |px AS (
+       |  SELECT media_id, n_frames, f,
+       |    SUM((media_id * 31 + f * 101 + y.y * 17 + x.x * 7) % 251)
+       |      AS sum_lum
+       |  FROM f,
+       |    unnest(generate_series(0, ${VideoH - 1})) AS y(y),
+       |    unnest(generate_series(0, ${VideoW - 1})) AS x(x)
+       |  GROUP BY media_id, n_frames, f)
+       |SELECT media_id, n_frames,
+       |  CAST($VideoW AS INT) AS width, CAST($VideoH AS INT) AS height,
+       |  CAST(f AS INT) AS frame_no, CAST(sum_lum AS BIGINT) AS sum_lum
+       |FROM px ORDER BY media_id, frame_no""".stripMargin
+
   // ---- Audio modality (q141) ----------------------------------------------
 
   /** Audio window size (samples) for the q141 feature pass. */
@@ -734,6 +969,7 @@ object Multimodal {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q141_audio_features", q141AudioFeatures, Some(audioOracle)),
     QueryDef("q143_audio_neardup", q143AudioNeardup, Some(q143Oracle)),
+    QueryDef("q144_video_frames", q144VideoFrames, Some(videoOracle)),
     // oracle added round 9: the registered stub path IS SQL-mirrorable
     // (byte-grid means + adjacent-pair bits + all-pairs Hamming); the
     // real-pixel decode stays property-checked (planted PNGs, MultimodalSpec)

@@ -203,6 +203,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** q144: the synthesized bytes must be a structurally real RIFF/AVI
+    * (magic tags at the canonical offsets), the parser must enforce
+    * header/payload consistency, recover the exact recurrence pixels
+    * through the bottom-up DIB row order, and the registered query must
+    * sample every 4th frame with the right ceil arithmetic.
+    */
+  test("video clips parse as real AVI containers; tampered headers fail loudly") {
+    val id = 13L
+    val bytes = Multimodal.aviBytes(id)
+    def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    assert(tagAt(0) === "RIFF" && tagAt(8) === "AVI " && tagAt(12) === "LIST")
+    val clip = Multimodal.parseAvi(bytes)
+    assert(clip.nFrames === Multimodal.videoFrames(id))
+    assert(clip.width === Multimodal.VideoW &&
+      clip.height === Multimodal.VideoH)
+    assert(clip.usPerFrame === 1000000 / Multimodal.VideoFps)
+    // pixel (x=3, y=2) of frame 1 through the bottom-up DIB layout
+    val stride = Multimodal.VideoW * 3
+    val off = (Multimodal.VideoH - 1 - 2) * stride + 3 * 3
+    assert((clip.frames(1)(off) & 0xff) === Multimodal.videoPixel(id, 1, 3, 2))
+    // header/payload consistency: a tampered avih frame count must not
+    // parse (the 32-bit LE count sits 24 bytes into the avih body; the
+    // avih chunk follows RIFF(12) + LIST hdr(12) + 'avih'+size(8))
+    val tampered = bytes.clone()
+    tampered(12 + 12 + 8 + 16) = (clip.nFrames + 1).toByte
+    intercept[IllegalArgumentException](Multimodal.parseAvi(tampered))
+    // sampling arithmetic on the registered query: ceil(n / 4) rows/clip
+    val rows = Multimodal.q144VideoFrames(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(4)))
+    rows.groupBy(_._1).foreach { case (mid, fs) =>
+      val n = Multimodal.videoFrames(mid)
+      assert(fs.forall(_._2 === n))
+      assert(fs.length === (n + Multimodal.VideoSampleEvery - 1) /
+        Multimodal.VideoSampleEvery, s"clip $mid sampled ${fs.length}")
+      assert(fs.map(_._3).sorted.toSeq ===
+        (0 until n by Multimodal.VideoSampleEvery).toSeq)
+    }
+  }
+
   /** q143: the energy-contour fingerprint must pull a PERTURBED clip (the
     * planted small additive hum) within the Hamming ≤ 3 near-dup bound of
     * its source while keeping an unrelated clip far — the audio analogue
