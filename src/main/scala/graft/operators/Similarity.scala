@@ -459,14 +459,37 @@ object Similarity {
     lshNearDupPairs(base, NearDupCosine)
   }
 
+  /** Bucket-size target for the near-dup self-join: planes scale as
+    * ceil(log2(n / 256)) so Σ|bucket|² ≈ NTables · n · 256 stays LINEAR
+    * in n. The round-17 sf10 sweep caught the cost of not doing this:
+    * with planes pinned at 6, 500k vectors meant 64 buckets/table of ~8k
+    * rows — Σ|bucket|² ≈ 1.6e10 cosine evaluations, hour-long tasks at
+    * the second decade (quadratic, exactly what the Planes scaladoc's
+    * "at cluster scale this grows with the corpus" had promised away).
+    * Small frames (every spec fixture, sf ≤ 0.1) stay at [[Planes]] = 6,
+    * so recall properties and fixture outputs are untouched.
+    */
+  val NearDupBucketTarget = 256L
+
+  def planesFor(n: Long): Int = {
+    val buckets = math.max(1L, n / NearDupBucketTarget)
+    val ceilLog2 =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(24, math.max(Planes, ceilLog2))
+  }
+
   /** The LSH near-dup core on any (vec_id, v: array<double>) frame —
     * factored out so SimilaritySpec can recall-check it at the production
     * threshold (cosine >= 0.95, where the banding theory gives ~0.95
     * recall) as well as the fixture threshold q24 declares.
     */
   def lshNearDupPairs(base: DataFrame, threshold: Double): DataFrame = {
+    // one count sizes the planes (the q92b captured-count idiom): the
+    // self-join's bucket fan-in must shrink as the corpus grows
+    val planes = planesFor(base.count())
     val bucketed = base.select(col("vec_id"),
-      explode(vecexprs.hyperplaneBuckets(col("v"), Planes, NTables)).as("bucket"))
+      explode(vecexprs.hyperplaneBuckets(col("v"), planes, NTables)).as("bucket"))
     // ids through the bucket join, dedupe, then fetch vectors + score once
     val pairs = bucketed.select(col("bucket"), col("vec_id").as("a_id"))
       .join(bucketed.select(col("bucket"), col("vec_id").as("b_id")), Seq("bucket"))
