@@ -191,7 +191,18 @@ object Bench {
       while (names.count(m => seg(m, k) == seg(n, k)) > 1) k += 1
       n -> seg(n, k)
     }.toMap
-    val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + fmt(v) }
+    // The final line's queries map is CAPPED: at 164 queries the full map
+    // alone is ~2300 chars, and round 17's artifact lost its head —
+    // canary_s/q00_x_canary/floor_s, the driver's gate fields — to the
+    // 2000-char stdout tail (VERDICT r17 missing #4). The gate reads the
+    // final line; the full per-query map lives on the detail line and in
+    // bench/BENCH_detail_last.json. Kept here: the headline trio (the
+    // reference-comparable workload) + the slowest entries (the rows a
+    // regression scan reads first), up to 24 total.
+    val qsKeep: Set[String] = (names.filter(headlineNames) ++
+      results.sortBy(-_._2).map(_._1)).distinct.take(24).toSet
+    val qs = results.collect { case (k, v) if qsKeep(k) =>
+        "\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rs = names.map(k => "\"" + k + "\":" + runCounts.getOrElse(k, 0))
       .mkString("{", ",", "}")
@@ -275,7 +286,7 @@ object Bench {
         fmt(allRuns(n).min) + "," + fmt(allRuns(n).max) + "]")
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline":${fmt(headline)},"median":${fmt(median)},"hl_spread":$hlSpread,"wobble":$wobble,"load":${fmt(loadavg1)},"canary_s":[${fmt(canaryStart)},${fmt(canaryEnd)}],"q00_x_canary":${fmt(ratio(q00best, canaryMin))},"q00_x_burst":${fmt(ratio(q00best, 0.085))},"floor_s":${fmt(floorS)},"queries":$qs,"n_err":${errors.size},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline":${fmt(headline)},"median":${fmt(median)},"hl_spread":$hlSpread,"wobble":$wobble,"load":${fmt(loadavg1)},"canary_s":[${fmt(canaryStart)},${fmt(canaryEnd)}],"q00_x_canary":${fmt(ratio(q00best, canaryMin))},"q00_x_burst":${fmt(ratio(q00best, 0.085))},"floor_s":${fmt(floorS)},"n_q":${names.size},"queries":$qs,"n_err":${errors.size},"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
         "nearing the driver's 2000-char stdout tail; shorten before adding queries")

@@ -53,7 +53,11 @@ object SpillCheck {
     // Drain the listener bus DETERMINISTICALLY before reading the counters:
     // a fixed sleep is a race on a loaded box (task-end events landing
     // after it would make the disk_spill==0 exit-2 path spuriously fire).
-    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+    // Bound stated explicitly (60 s): if the bus can't drain in a minute
+    // the box is unusable for certification and the loud TimeoutException
+    // abort is the correct outcome — better than certifying stale zeros.
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(
+      spark.sparkContext, timeoutMillis = 60000L)
     println(s"""{"q01b_rows":$aggRows,"q01b_checksum":$aggSum,""" +
       s""""fallback_tasks":$fallbacks,""" +
       s""""q09_rows":$winRows,"q09_checksum":$winSum,""" +

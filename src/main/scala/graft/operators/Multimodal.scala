@@ -272,11 +272,19 @@ object Multimodal {
     * q77b (real decode) share it.
     */
   def neardupProfile(fp: DataFrame): DataFrame = {
-    val pairs = Dedup.hammingPairs64(fp, maxHamming = 3)
+    // Materialize the (id, fp) frame ONCE: downstream it is read ~4× — the
+    // pigeonhole self-join's two sides (whose a/b projections differ, so
+    // ReuseExchange can't collapse them), the profile join-back, and the
+    // presentation sort's range sampling. Uncached, each execution re-ran
+    // the whole decode subtree; for q143 (WAV synth → AudioSystem decode →
+    // windowed agg → fingerprint) that was ~4 decodes of every clip and
+    // 14.95 s at sf0.1 (VERDICT r17). 8 bytes/asset — checkpoint is free.
+    val fpC = fp.localCheckpoint()
+    val pairs = Dedup.hammingPairs64(fpC, maxHamming = 3)
     val deg = pairs.select(col("a_id").as("id"))
       .unionAll(pairs.select(col("b_id").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("n_neighbors"))
-    fp.join(deg, Seq("id"), "left")
+    fpC.join(deg, Seq("id"), "left")
       .select(col("id").as("media_id"), col("fp").as("phash"),
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
       .orderBy(col("media_id"))
@@ -769,6 +777,13 @@ object Multimodal {
       .select(col("media_id"), col("window_no"),
         col("n_samples").cast("int").as("n_samples"),
         col("sum_sq"), col("zero_crossings"))
+      // materialize the clips×windows INTEGER frame before the
+      // presentation sort: orderBy's range-partitioner sampling is a
+      // separate execution, and uncached it re-ran the synth+decode
+      // subtree — the ×19.1 sf1→sf10 decade blowup of r17's sweep
+      // (SCALE_CHECK_sf10_r17 finding 3). Payload left the plan at
+      // decode; what checkpoints is 5 longs per window.
+      .localCheckpoint()
       .orderBy(col("media_id"), col("window_no"))
 
   /** q141's decode + windowed-feature pass over ANY (media_id, media) WAV
@@ -827,9 +842,11 @@ object Multimodal {
     * [[AudioPertStride]]-th clip gets a copy at id + [[AudioPertBase]]
     * whose every [[AudioPertEvery]]-th sample is lifted by
     * [[AudioPertAmp]] — a small additive hum. The contour comparisons
-    * flip only where adjacent window energies are close, so most planted
-    * pairs land within Hamming ≤ 3 with a realistic tail that does not
-    * (measured at these constants: ~40/50 within, max 5).
+    * flip only where adjacent window energies are close; at the SHIPPED
+    * constants every planted pair lands within the Hamming ≤ 3 bound
+    * (measured on sf0.01's 50 twins, tools/q143_planted_probe_r18: dist
+    * h0:29 h1:9 h2:6 h3:6, max 3 — an earlier draft's "~40/50, max 5"
+    * described a pre-final larger-amp constant set).
     */
   val AudioPertBase = 1000000000L
   val AudioPertStride = 10L

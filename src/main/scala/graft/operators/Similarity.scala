@@ -485,10 +485,17 @@ object Similarity {
     * recall) as well as the fixture threshold q24 declares.
     */
   def lshNearDupPairs(base: DataFrame, threshold: Double): DataFrame = {
+    // Materialize the (id, v) frame ONCE before anything reads it: the
+    // plane-sizing count, the bucketing explode, and the two vector-fetch
+    // joins are four consumers, and an uncached `base` would re-run its
+    // whole upstream pipeline for each (ADVICE r17 — a real extra pass at
+    // sf10). localCheckpoint also cuts the lineage, so the self-join's two
+    // sides read the same materialized blocks.
+    val b = base.localCheckpoint()
     // one count sizes the planes (the q92b captured-count idiom): the
     // self-join's bucket fan-in must shrink as the corpus grows
-    val planes = planesFor(base.count())
-    val bucketed = base.select(col("vec_id"),
+    val planes = planesFor(b.count())
+    val bucketed = b.select(col("vec_id"),
       explode(vecexprs.hyperplaneBuckets(col("v"), planes, NTables)).as("bucket"))
     // ids through the bucket join, dedupe, then fetch vectors + score once
     val pairs = bucketed.select(col("bucket"), col("vec_id").as("a_id"))
@@ -497,8 +504,8 @@ object Similarity {
       .select(col("a_id"), col("b_id"))
       .distinct()
     pairs
-      .join(base.select(col("vec_id").as("a_id"), col("v").as("av")), Seq("a_id"))
-      .join(base.select(col("vec_id").as("b_id"), col("v").as("bv")), Seq("b_id"))
+      .join(b.select(col("vec_id").as("a_id"), col("v").as("av")), Seq("a_id"))
+      .join(b.select(col("vec_id").as("b_id"), col("v").as("bv")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(vecexprs.cosineSim(col("av"), col("bv")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -74,11 +74,26 @@ object Artifacts {
         "refusing at stage() time so no work is wasted.")
   }
 
+  /** Pointer temps younger than this survive stage()'s straggler sweep.
+    * The whole protocol assumes ONE writer per outDir (scaladoc above:
+    * concurrent writers are out of scope, as under plain overwrite) — but
+    * a sweep that deletes EVERY `_COMMITTED.tmp.*` would turn a violation
+    * of that assumption into a silent failed rename in the OTHER writer's
+    * commit (ADVICE r17). The age threshold keeps the sweep's real target
+    * (temps orphaned by a long-dead writer, which a crash/retry loop
+    * otherwise accumulates forever) while a temp created seconds ago by a
+    * live commit is left alone.
+    */
+  private val TempSweepAgeMs: Long = 10 * 60 * 1000L
+
   /** Allocate the next staging root under `outDir` and create it. Also
-    * sweeps any `_COMMITTED.tmp.*` stragglers a writer left by dying
-    * between pointer-temp creation and the rename — commit's GC only
-    * covers `_versions/`, so without this a crash/retry loop accumulates
-    * stray pointer temps at the artifact root forever.
+    * sweeps `_COMMITTED.tmp.*` stragglers OLDER than [[TempSweepAgeMs]] —
+    * temps a writer left by dying between pointer-temp creation and the
+    * rename; commit's GC only covers `_versions/`, so without this a
+    * crash/retry loop accumulates stray pointer temps at the artifact
+    * root forever. Single-writer-per-outDir is the protocol's stated
+    * contract; the age threshold merely keeps an accidental violation
+    * from failing another writer's in-flight rename.
     */
   def stage(spark: SparkSession, outDir: String): String = {
     val versions = new Path(outDir, VersionsDir)
@@ -86,12 +101,15 @@ object Artifacts {
     // must be this protocol's, not a ClassNotFound for a store connector
     val f = fs(spark, versions)
     val root = new Path(outDir)
-    if (f.exists(root))
+    if (f.exists(root)) {
+      val cutoff = System.currentTimeMillis() - TempSweepAgeMs
       f.listStatus(root).foreach { s =>
-        if (s.getPath.getName.startsWith(s"$PointerName.tmp.")) {
+        if (s.getPath.getName.startsWith(s"$PointerName.tmp.") &&
+            s.getModificationTime < cutoff) {
           f.delete(s.getPath, false); ()
         }
       }
+    }
     val next =
       if (!f.exists(versions)) 1L
       else f.listStatus(versions).iterator.flatMap(s =>

@@ -97,7 +97,10 @@ object RateIngest {
     val s = static.cache()
     // drop the tick counter after deriving seq: the events table has its
     // own `value` column and the join result must not carry an ambiguous one
-    ticks.withColumn("seq", (col("value") / lit(repeats)).cast("long"))
+    // integer floor division (`div`), not double `/` + cast: the double
+    // round-trip is exact only below 2^53 ticks and leans on truncation
+    // semantics — `div` is exact over the whole long range (ADVICE r17)
+    ticks.withColumn("seq", expr(s"value div ${repeats.toLong}"))
       .drop("value")
       .withColumnRenamed("timestamp", "arrival_ts")
       .join(s, "seq")

@@ -698,10 +698,18 @@ class CurationRunSpec extends AnyFunSuite {
     publish(outA, 1)
     val stray = new java.io.File(outA, "_COMMITTED.tmp.deadbeef")
     val w = new java.io.FileWriter(stray); w.write("v99999"); w.close()
+    // aged past the sweep threshold = the orphan case (writer long dead)
+    stray.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L)
+    val fresh = new java.io.File(outA, "_COMMITTED.tmp.cafebabe")
+    val w2 = new java.io.FileWriter(fresh); w2.write("v99998"); w2.close()
     assert(readTag(outA) === 1,
       "a dangling pointer temp must not affect resolution")
     publish(outA, 2)
-    assert(!stray.exists(), "stage() must sweep leftover pointer temps")
+    assert(!stray.exists(), "stage() must sweep AGED leftover pointer temps")
+    assert(fresh.exists(),
+      "stage() must NOT sweep young temps — a live writer's in-flight " +
+        "commit would lose its rename (ADVICE r17 age threshold)")
+    fresh.delete()
     assert(readTag(outA) === 2)
 
     // (b) double-crash/retry loop: stage -> crash -> stage -> crash ->
