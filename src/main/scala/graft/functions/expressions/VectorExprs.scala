@@ -529,8 +529,11 @@ object HyperplaneBucketsExpr {
 
   /** ±1 component for (dim d, plane p): parity of Murmur3(d, p) — must stay
     * identical to `pmod(hash(d, p), 2) === 0` in the declarative form.
+    * `private[graft]` (not private): Similarity's oracle-SQL builder embeds
+    * this exact matrix as ±literals so DuckDB mirrors the bucketing without
+    * re-deriving Murmur3 in SQL — one source of truth for the signs.
     */
-  private def sign(d: Int, p: Int): Double = {
+  private[graft] def sign(d: Int, p: Int): Double = {
     // hash(d, p) folds children left-to-right from seed 42
     val h = Murmur3HashFunction.hash(p, IT,
       Murmur3HashFunction.hash(d, IT, 42L))

@@ -449,8 +449,9 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup: bucketed candidate pairs with cosine above
-    * threshold — the vector-space twin of MinHash near-dup. Rows-only;
-    * property-checked in SimilaritySpec.
+    * threshold — the vector-space twin of MinHash near-dup. Full oracle
+    * since round 18 ([[q24OracleSql]] mirrors the bucketing bit-exactly);
+    * recall vs the exact anchor remains property-checked in SimilaritySpec.
     */
   def q24(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
@@ -516,6 +517,71 @@ object Similarity {
     * no true near-dups exist); production near-dup would sit at ~0.95.
     */
   val NearDupCosine = 0.35
+
+  /** Embedding dimension of the driver's fixture tables (TESTDATA contract;
+    * asserted against the parquet at registry-build time is overkill — the
+    * oracle's own hash compare fails loudly if it ever drifts).
+    */
+  val FixtureDim = 64
+
+  /** DuckDB WITH-clause fragment computing EXACTLY q24's LSH candidate pair
+    * set — CTEs `e` (vectors), `b` (per-table buckets), `p` (deduped id
+    * pairs). This is what upgrades q24 (and q56b, which consumes the pairs)
+    * from rows-only to a full oracle row: the hyperplane ±1 signs are pure
+    * integer constants (Murmur3 of (dim, plane) — [[graft.functions
+    * .expressions.HyperplaneBucketsExpr.sign]], the SAME function the
+    * native expression evaluates), so the builder embeds the sign matrix
+    * as `+v[i]`/`-v[i]` literals and the per-plane dot product is the
+    * identical left-to-right fold — `0 + t0 + t1 + …` in both engines, so
+    * every bucket bit matches bit-for-bit (±1 multiplies and left-assoc
+    * double addition are exact in IEEE-754 in both engines; -0.0 and 0.0
+    * both pass `>= 0`).
+    *
+    * Validity bound: bakes `planes = Planes` (6), which equals
+    * [[planesFor]](n) while n ≤ [[NearDupBucketTarget]]·2^Planes = 16384
+    * vectors — both driver fixture scales (500 / 5k). Beyond that the
+    * engine widens planes and this static SQL stops mirroring it; scale
+    * sweeps check q24/q56b by property, not this oracle.
+    */
+  private[graft] def lshPairCtes: String = {
+    import graft.functions.expressions.HyperplaneBucketsExpr
+    def planeSum(p: Int): String =
+      (0 until FixtureDim).map { d =>
+        val pos = HyperplaneBucketsExpr.sign(d, p) > 0
+        if (d == 0) (if (pos) s"v[1]" else s"-v[1]")
+        else (if (pos) s" + v[${d + 1}]" else s" - v[${d + 1}]")
+      }.mkString
+    def bucketExpr(t: Int): String =
+      (0 until Planes).map { j =>
+        val weight = 1L << (Planes - 1 - j)
+        s"(CASE WHEN ${planeSum(t * Planes + j)} >= 0 THEN $weight ELSE 0 END)"
+      }.mkString(s"${t.toLong << Planes} + ", " + ", "")
+    val tables = (0 until NTables).map(t =>
+      s"  SELECT vec_id, ${bucketExpr(t)} AS bucket FROM e")
+      .mkString("\n  UNION ALL\n")
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |b AS (
+       |$tables),
+       |p AS (
+       |  SELECT DISTINCT ba.vec_id AS a_id, bb.vec_id AS b_id
+       |  FROM b ba JOIN b bb
+       |    ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id)""".stripMargin
+  }
+
+  /** q24's full oracle: the mirrored pair set scored with the same rounded
+    * cosine + threshold as the engine (q48's list_cosine_similarity
+    * bit-compat precedent).
+    */
+  private[graft] def q24OracleSql: String =
+    s"""WITH $lshPairCtes
+       |SELECT p.a_id, p.b_id,
+       |  round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+       |FROM p JOIN e ea ON ea.vec_id = p.a_id
+       |  JOIN e eb ON eb.vec_id = p.b_id
+       |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $NearDupCosine
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** q48: EXACT cosine near-dup pairs — the oracle-checkable ground truth
     * the LSH variant (q24) is recall-checked against. All-pairs via a
@@ -2798,7 +2864,7 @@ object Similarity {
         |  FROM pairs)
         |SELECT probe_id, rnk, neighbor_id, round(c, 6) AS score
         |FROM r WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
-    QueryDef("q24_embedding_neardup", q24, None),
+    QueryDef("q24_embedding_neardup", q24, Some(q24OracleSql)),
     QueryDef("q25_ann_lsh", q25, None),
     QueryDef("q39_ann_ivf", q39, None),
     // q39b pins the SAME ivfTopK code q39 runs, with an init-free codebook

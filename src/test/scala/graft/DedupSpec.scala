@@ -184,6 +184,39 @@ class DedupSpec extends AnyFunSuite {
       s"rounds ${Dedup.lastCcRounds} not O(log 32)")
   }
 
+  test("q56b: CC over the LSH pair set matches union-find and refines q56") {
+    // the production twin (VERDICT r17 #1): same component tail as q56 but
+    // fed by q24's linear LSH pair generator. Reference model: plain
+    // union-find over the collected pair set (fixture-sized; test-only
+    // collect). Additionally, because q24's pairs are a SUBSET of q48's
+    // (candidates scored with the same exact cosine + threshold), q56b's
+    // clustering must REFINE q56's: same-cluster in q56b => same-cluster
+    // in q56.
+    val dir = "/root/testdata/sf0.001"
+    val pairs = operators.Similarity.q24(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = Tables.embeddings(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.map(i => i -> find(i)).toMap
+    val got = operators.Dedup.q56b(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    val exact = operators.Dedup.q56(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_._2).values.foreach { members =>
+      val exactLabels = members.keys.map(exact).toSet
+      assert(exactLabels.size == 1,
+        s"q56b cluster ${members.keys.toSeq.sorted} spans q56 clusters $exactLabels")
+    }
+  }
+
   test("MinHash signature is deterministic across evaluations") {
     import spark.implicits._
     val docs = corpus.take(5).toDF("doc_id", "text")
