@@ -1017,6 +1017,101 @@ object TextAnalysis {
     */
   @volatile var lastBpeRounds: Int = -1
 
+  /** Deep-K operating point of the tie-ACCEPTING batcher (q145): deep
+    * enough that q142's exactness guard visibly plateaus on the fixture
+    * (its K=64 gain is only ×1.3 — tools/bpe_batch_probe_r17), small
+    * enough for the driver's verify budget. The probe measures K ∈
+    * {256, 1024} for SCALE.md.
+    */
+  val BpeDeepSteps = 64
+
+  /** Tie-accepting batched BPE learning (q145, VERDICT r17 #4) — the
+    * STANDARD deep-vocabulary approximation, deliberately separate from
+    * q142: q142's guard keeps the answer provably identical to sequential
+    * but degenerates to ~one merge per round whenever counts tie (the
+    * fixture ties constantly — K=64 gains only ×1.3), while real
+    * vocabularies need 10⁴–10⁵ merges. This variant walks the same ranked
+    * list (count DESC, lhs, rhs) and accepts EVERY symbol-disjoint pair up
+    * to `maxPerRound` — skipping conflicts and continuing, never stopping
+    * at ties — so rounds ≈ K/M regardless of the count distribution.
+    *
+    * What stays exact: symbol-disjoint merges commute and leave each
+    * other's pair counts untouched (merging (a,b)→ab can neither create
+    * nor destroy an (x,y) adjacency when {x,y} ∩ {a,b} = ∅), so every
+    * accepted pair's weight is its true corpus count at application time.
+    * What is approximate: a pair CREATED by an earlier merge of the same
+    * round (x,ab) only competes from the next round, and a tied pair may
+    * be emitted in rank order where sequential would have preferred the
+    * created pair — the answer MAY diverge from q139's sequence, which is
+    * why q145 is property-checked against a plain-Scala reference learner
+    * (same algorithm, in-memory) instead of sharing q139's oracle.
+    *
+    * Scale shape: unchanged from q139/q142 — everything runs over the
+    * distinct-word vocab table; each round is one map-side-combinable
+    * pair-count aggregation, one bounded `lookahead`-row collect (model-
+    * fit boundary) and one codegen'd merge projection, localCheckpointed.
+    */
+  def bpeLearnMergesDeep(docs: DataFrame, steps: Int = BpeDeepSteps,
+      maxPerRound: Int = 64, lookahead: Int = 256)
+      : (Seq[(Int, String, String, Long)], Int) = {
+    var vocab = bpeVocab(docs).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var exhausted = false
+    while (out.size < steps && !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("la"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("ra"))
+        .select(col("cnt"), explode(arrays_zip(col("la"), col("ra"))).as("z"))
+        .groupBy(col("z.la").as("l"), col("z.ra").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(lookahead).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        rounds += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        while (i < top.length &&
+            accepted.size < math.min(maxPerRound, steps - out.size)) {
+          val (l, r, _) = top(i)
+          if (!used(l) && !used(r)) { accepted += top(i); used += l; used += r }
+          i += 1
+        }
+        accepted.foreach { case (l, r, c) => out += ((out.size + 1, l, r, c)) }
+        // rank order application — and because accepted pairs are symbol-
+        // disjoint, the fold order is immaterial to the result
+        vocab = accepted.foldLeft(vocab) { case (v, (l, r, _)) =>
+          v.withColumn("syms",
+            graft.functions.expressions.textnative
+              .bpeMergeStep(col("syms"), l, r))
+        }.localCheckpoint()
+      }
+    }
+    (out.toSeq, rounds)
+  }
+
+  /** Rounds of the most recent q145 run — the deep-K batching evidence. */
+  @volatile var lastBpeDeepRounds: Int = -1
+
+  /** q145: the deep-K merge table — same columns as q139/q142, learned by
+    * the tie-accepting batcher at [[BpeDeepSteps]].
+    */
+  def q145BpeMergesDeep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, rounds) =
+      bpeLearnMergesDeep(Tables.documents(spark, dir).select(col("text")))
+    lastBpeDeepRounds = rounds
+    merges.map { case (k, l, r, c) => (k, l, r, l + r, c) }
+      .toDF("step", "lhs", "rhs", "merged", "weight")
+      .orderBy(col("step"))
+  }
+
   /** q142: the q139 merge table learned BATCHED — same output, same
     * oracle, ~K/M rounds instead of K.
     */
@@ -1127,6 +1222,11 @@ object TextAnalysis {
     // is exactness-preserving, and the shared oracle is what certifies it
     QueryDef("q142_bpe_merges_batched", q142BpeMergesBatched,
       Some(bpeMergesOracle(BpeSteps))),
+    // q145 deliberately has NO oracle: the tie-accepting batcher's answer
+    // may diverge from the sequential sequence (that is its point), so it
+    // is property-checked against a plain-Scala reference learner in
+    // TextAnalysisSpec instead of sharing q139's unrolled-CTE mirror
+    QueryDef("q145_bpe_merges_deepk", q145BpeMergesDeep, None),
     QueryDef("q112_gopher_rules", q112,
       // every signal is an integer-ratio double rounded at 4 dp; the
       // stopword finds are generated from the SAME Scala list the engine

@@ -531,6 +531,118 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"the final (aa,ab)+(c,d) round must batch: $rounds4 rounds")
   }
 
+  /** Plain-Scala reference for q145's tie-accepting batcher: the same
+    * algorithm in memory — per round, rank pairs (count DESC, lhs, rhs),
+    * walk the top `lookahead` accepting every symbol-disjoint pair up to
+    * `maxPerRound`, apply all accepted merges (greedy one-pass per word,
+    * BpeMergeStepExpr's exact rule), repeat. The engine is checked against
+    * THIS, not q139's oracle, because the approximation may legitimately
+    * diverge from the sequential sequence.
+    */
+  private def refMergeOnce(s: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refDeepLearn(words: Seq[(String, Long)], steps: Int,
+      maxPerRound: Int = 64, lookahead: Int = 256)
+      : (Seq[(Int, String, String, Long)], Int) = {
+    var vocab = words.map { case (w, c) =>
+      (w.split("").filter(_.nonEmpty).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var exhausted = false
+    while (out.size < steps && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (s, c) =>
+        var i = 0
+        while (i + 1 < s.length) { counts((s(i), s(i + 1))) += c; i += 1 }
+      }
+      val ranked = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.take(lookahead)
+        .map { case ((l, r), c) => (l, r, c) }
+      if (ranked.isEmpty) exhausted = true
+      else {
+        rounds += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        while (i < ranked.length &&
+            accepted.size < math.min(maxPerRound, steps - out.size)) {
+          val (l, r, _) = ranked(i)
+          if (!used(l) && !used(r)) { accepted += ranked(i); used += l; used += r }
+          i += 1
+        }
+        accepted.foreach { case (l, r, c) => out += ((out.size + 1, l, r, c)) }
+        vocab = vocab.map { case (s, c) =>
+          (accepted.foldLeft(s) { case (cur, (l, r, _)) =>
+            refMergeOnce(cur, l, r) }, c)
+        }
+      }
+    }
+    (out.toSeq, rounds)
+  }
+
+  /** q145: the tie-accepting deep-K batcher must (a) match the plain-Scala
+    * reference on a tie-dense corpus, on the planted-conflict corpus, and
+    * on the fixture at the registered K; (b) actually batch (rounds << K)
+    * where q142's exactness guard degenerates; (c) diverge from sequential
+    * EXACTLY where the approximation says it may (the planted conflict) —
+    * the divergence is the documented trade, not a bug.
+    */
+  test("deep-K BPE matches the plain-Scala reference and batches through ties") {
+    import spark.implicits._
+    def refFromDocs(docs: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      docs.select(org.apache.spark.sql.functions.explode(
+          graft.functions.text.cleanTokens(
+            org.apache.spark.sql.functions.col("text"))).as("word"))
+        .filter(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("word")) <= TextAnalysis.BpeMaxWordLen)
+        .groupBy("word").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    val banana = Seq(
+      1L -> "banana banana banana",
+      2L -> "bandana",
+      3L -> "aaaa").toDF("doc_id", "text")
+    val (deepB, roundsB) = TextAnalysis.bpeLearnMergesDeep(banana, 12)
+    assert(deepB === refDeepLearn(refFromDocs(banana), 12)._1)
+    assert(roundsB < deepB.size,
+      s"tie-dense corpus: ${deepB.size} merges took $roundsB rounds — " +
+        "the tie-accepting batcher must not degenerate like q142's guard")
+
+    // planted conflict (q142's spec corpus): sequential's step 2 is (a,b);
+    // the tie-accepting walk skips the (a,b) conflict and emits (c,d) —
+    // the documented approximation, asserted so it can't silently change
+    val planted = Seq(
+      1L -> (("aaab " * 100) + ("cd " * 90))).toDF("doc_id", "text")
+    val (deepP, _) = TextAnalysis.bpeLearnMergesDeep(planted, 4)
+    assert(deepP === refDeepLearn(refFromDocs(planted), 4)._1)
+    assert(deepP.map(m => (m._2, m._3)).take(2) === Seq(("a", "a"), ("c", "d")),
+      s"planted conflict: expected the documented divergence, got $deepP")
+    val seqP = TextAnalysis.bpeLearnMerges(planted, 4)
+    assert(deepP.map(m => (m._2, m._3)) !== seqP.map(m => (m._2, m._3)),
+      "the approximation should diverge from sequential here by design")
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("text"))
+    val (deepF, roundsF) =
+      TextAnalysis.bpeLearnMergesDeep(docs, TextAnalysis.BpeDeepSteps)
+    assert(deepF === refDeepLearn(refFromDocs(docs), TextAnalysis.BpeDeepSteps)._1)
+    assert(deepF.size === TextAnalysis.BpeDeepSteps)
+    assert(roundsF * 4 <= TextAnalysis.BpeDeepSteps,
+      s"fixture: ${TextAnalysis.BpeDeepSteps} merges in $roundsF rounds — " +
+        "expected at least 4x batching at the registered K")
+  }
+
   /** q142 on the fixture: same merges as q139 at K=8, in FEWER rounds —
     * the latency-wall evidence (K sequential jobs -> ~K/M rounds).
     */
