@@ -54,24 +54,40 @@ object Artifacts {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Filesystems whose `FileContext.rename(OVERWRITE)` is a real atomic
-    * metadata operation. Object stores (s3a, gs, abfs, oss, …) either have
-    * no AbstractFileSystem binding (commit throws
-    * UnsupportedFileSystemException AFTER all the work is done) or emulate
-    * rename as copy+delete, which silently voids the torn-set protection
-    * this protocol exists for. On such stores the correct publish is a
-    * single-object PUT of the pointer (atomic on S3) — not implemented
-    * here, so stage() fails FAST, before any data is written, instead of
-    * at commit time.
+    * metadata operation — the temp-in-same-dir + rename publish applies.
     */
   private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs", null: String)
 
-  private def requireAtomicRenameFs(p: Path): Unit = {
+  /** Object stores, where rename is emulated as copy+delete (or has no
+    * AbstractFileSystem binding at all) but a single-object write IS the
+    * atomic publish: the pointer object becomes visible as a whole at
+    * `close()` (one PUT — S3/GCS/ABFS never expose a torn object body, and
+    * S3 is read-after-write consistent since 2020). So [[commit]] publishes
+    * the pointer here by writing it DIRECTLY with overwrite, no temp, no
+    * rename — the rename-emulation hazard the old guard refused on simply
+    * never enters the path. Readers see the old pointer or the new one.
+    *
+    * Last-writer-wins on the pointer is sufficient under the protocol's
+    * stated single-writer-per-outDir contract (scaladoc above). A real
+    * deployment hardening that contract against split-brain writers would
+    * use the store's conditional PUT (S3 If-None-Match / GCS generation
+    * preconditions) via the vendor SDK — deliberately out of scope for a
+    * Hadoop-FileSystem-portable engine; documented, not emulated.
+    */
+  private val ObjectStoreSchemes =
+    Set("s3a", "s3", "gs", "abfs", "abfss", "oss", "cosn", "wasb", "wasbs",
+      "mocks3" /* test scheme: ArtifactsObjectStoreSpec's RawLocal shim */)
+
+  private[sources] def isObjectStore(p: Path): Boolean =
+    ObjectStoreSchemes.contains(p.toUri.getScheme)
+
+  private def requireSupportedFs(p: Path): Unit = {
     val scheme = p.toUri.getScheme
-    require(AtomicRenameSchemes.contains(scheme),
-      s"Artifacts commit protocol requires an atomic-rename filesystem " +
-        s"(local/HDFS/viewfs); '$p' uses scheme '$scheme'. On object " +
-        "stores publish the pointer with a single-object PUT instead — " +
-        "refusing at stage() time so no work is wasted.")
+    require(AtomicRenameSchemes.contains(scheme) || isObjectStore(p),
+      s"Artifacts commit protocol needs either an atomic-rename filesystem " +
+        s"(local/HDFS/viewfs) or a known object store (${ObjectStoreSchemes
+          .filter(_ != "mocks3").toSeq.sorted.mkString("/")}); '$p' uses " +
+        s"scheme '$scheme' — refusing at stage() time so no work is wasted.")
   }
 
   /** Pointer temps younger than this survive stage()'s straggler sweep.
@@ -97,7 +113,7 @@ object Artifacts {
     */
   def stage(spark: SparkSession, outDir: String): String = {
     val versions = new Path(outDir, VersionsDir)
-    requireAtomicRenameFs(versions) // before getFileSystem: the message
+    requireSupportedFs(versions) // before getFileSystem: the message
     // must be this protocol's, not a ClassNotFound for a store connector
     val f = fs(spark, versions)
     val root = new Path(outDir)
@@ -143,16 +159,27 @@ object Artifacts {
     val keepVersions = math.max(2,
       spark.conf.getOption("graft.artifacts.keepVersions")
         .flatMap(_.toIntOption).getOrElse(2))
-    // temp-in-same-dir + rename-with-overwrite = the atomic publish; a
-    // reader of _COMMITTED sees the old content or the new, never a torn
-    // write
-    val tmp = new Path(outDir,
-      s"$PointerName.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(pointer.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, pointer, Options.Rename.OVERWRITE)
+    if (isObjectStore(pointer)) {
+      // object store: the single-object PUT is the atomic publish — the
+      // pointer becomes visible as a whole at close(); writing a temp and
+      // renaming would REINTRODUCE the copy+delete torn window the old
+      // scheme guard refused on (see ObjectStoreSchemes)
+      val out = f.create(pointer, true)
+      try out.write(version.getBytes("UTF-8")) finally out.close()
+    } else {
+      // atomic-rename FS: temp-in-same-dir + rename-with-overwrite = the
+      // atomic publish (create+write+close is NOT atomic for HDFS readers,
+      // which can see a partial pointer body — the exact inverse of the
+      // object-store case); a reader of _COMMITTED sees the old content or
+      // the new, never a torn write
+      val tmp = new Path(outDir,
+        s"$PointerName.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      try out.write(version.getBytes("UTF-8")) finally out.close()
+      FileContext.getFileContext(pointer.toUri,
+          spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, pointer, Options.Rename.OVERWRITE)
+    }
     // GC: crashed stages and superseded versions. Crashed stages are
     // exactly the dirs numbered strictly between the previous committed
     // version and the new one (stage() allocates max+1, so every number a

@@ -734,13 +734,15 @@ class CurationRunSpec extends AnyFunSuite {
       assert(readTag(outC) === 4)
     } finally spark.conf.unset("graft.artifacts.keepVersions")
 
-    // (d) scheme guard: object-store outDirs fail FAST at stage(), before
-    // any data is written, with the protocol's own message
+    // (d) scheme guard: schemes that are neither atomic-rename nor a known
+    // object store fail FAST at stage(), before any data is written, with
+    // the protocol's own message (object-store schemes like s3a now take
+    // the single-object pointer-PUT path — ArtifactsObjectStoreSpec)
     val e = intercept[IllegalArgumentException] {
-      graft.sources.Artifacts.stage(spark, "s3a://bucket/run")
+      graft.sources.Artifacts.stage(spark, "ftp://host/run")
     }
-    assert(e.getMessage.contains("atomic-rename"),
-      s"stage() on s3a must refuse with the protocol's message, got: $e")
+    assert(e.getMessage.contains("refusing at stage() time"),
+      s"stage() on an unsupported scheme must refuse with the protocol's message, got: $e")
 
     Seq(outA, outB, outC).foreach(d =>
       new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
