@@ -267,26 +267,49 @@ object Multimodal {
     neardupProfile(perceptualHashes(mediaTable(spark, dir)))
 
   /** The q77 profile tail over any (id, fp) fingerprint frame: Hamming ≤ 3
-    * neighbor counts from the 4-chunk pigeonhole join (never all-pairs),
-    * left-joined back so isolated assets report 0. q77 (stub grid) and
-    * q77b (real decode) share it.
+    * neighbor counts, left-joined back so isolated assets report 0. q77
+    * (stub grid), q77b (real decode) and q143 (audio) share it.
+    *
+    * Two scale rules, both measured:
+    *
+    *  - the (id, fp) frame is localCheckpointed ONCE: downstream it is
+    *    read several times (class agg, join-back, presentation sort's
+    *    range sampling), and uncached each execution re-ran the whole
+    *    decode subtree — q143 was 14.95 s at sf0.1 on exactly this
+    *    (VERDICT r17);
+    *  - identical fingerprints collapse to (fp, multiplicity) CLASSES
+    *    BEFORE the pigeonhole join. Near-dup corpora are precisely the
+    *    inputs where fingerprints repeat, and an id-level self-join is
+    *    quadratic in the largest identical-fp class — the r18 sf10 sweep
+    *    died on it (550k clips but only 450 distinct contours ⇒ ~1.2k-clip
+    *    classes ⇒ ~10⁹ intermediate id-pairs, disk-full at 75 GB of
+    *    shuffle). Over classes the join is |distinct fp|-sized and the
+    *    multiplicities restore every per-id count exactly: n_neighbors of
+    *    a clip with fingerprint f = (m(f) − 1) + Σ_{g≠f, H(f,g)≤3} m(g) —
+    *    same number the id-level join produced, hash-identical output.
     */
   def neardupProfile(fp: DataFrame): DataFrame = {
-    // Materialize the (id, fp) frame ONCE: downstream it is read ~4× — the
-    // pigeonhole self-join's two sides (whose a/b projections differ, so
-    // ReuseExchange can't collapse them), the profile join-back, and the
-    // presentation sort's range sampling. Uncached, each execution re-ran
-    // the whole decode subtree; for q143 (WAV synth → AudioSystem decode →
-    // windowed agg → fingerprint) that was ~4 decodes of every clip and
-    // 14.95 s at sf0.1 (VERDICT r17). 8 bytes/asset — checkpoint is free.
     val fpC = fp.localCheckpoint()
-    val pairs = Dedup.hammingPairs64(fpC, maxHamming = 3)
-    val deg = pairs.select(col("a_id").as("id"))
-      .unionAll(pairs.select(col("b_id").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_neighbors"))
-    fpC.join(deg, Seq("id"), "left")
+    val classes = fpC.groupBy(col("fp")).agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    // classes keyed by the fp value itself (a_id = a's fp — distinct by
+    // construction, so a_id < b_id dedup works unchanged); H=0 neighbors
+    // never pair here (same id) and come from the own-class m−1 term
+    val pairs = Dedup.hammingPairs64(
+      classes.select(col("fp").as("id"), col("fp")), maxHamming = 3)
+    val cls = classes.select(col("fp").as("id"), col("m"))
+    val near = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+      .unionAll(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+      .join(cls.select(col("id").as("nb"), col("m").as("nm")), Seq("nb"))
+      .groupBy(col("id")).agg(sum(col("nm")).as("near"))
+    val perFp = cls.join(near, Seq("id"), "left")
+      .select(col("id").as("fp"),
+        (coalesce(col("near"), lit(0L)) + col("m") - 1L).as("nn"))
+    // null fps (possible for degenerate payloads) never equi-join: they
+    // fall out of perFp's key and coalesce to 0, as the id-level join did
+    fpC.join(perFp, Seq("fp"), "left")
       .select(col("id").as("media_id"), col("fp").as("phash"),
-        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+        coalesce(col("nn"), lit(0L)).as("n_neighbors"))
       .orderBy(col("media_id"))
   }
 
