@@ -487,29 +487,37 @@ object Similarity {
     */
   def lshNearDupPairs(base: DataFrame, threshold: Double): DataFrame = {
     // Materialize the (id, v) frame ONCE before anything reads it: the
-    // plane-sizing count, the bucketing explode, and the two vector-fetch
-    // joins are four consumers, and an uncached `base` would re-run its
-    // whole upstream pipeline for each (ADVICE r17 — a real extra pass at
-    // sf10). localCheckpoint also cuts the lineage, so the self-join's two
-    // sides read the same materialized blocks.
+    // plane-sizing count and the bucketing explode would otherwise re-run
+    // the whole upstream pipeline (ADVICE r17 — a real extra pass at sf10).
     val b = base.localCheckpoint()
     // one count sizes the planes (the q92b captured-count idiom): the
     // self-join's bucket fan-in must shrink as the corpus grows
     val planes = planesFor(b.count())
-    val bucketed = b.select(col("vec_id"),
+    // Vectors RIDE the bucket join and cosine evaluates inside it — the
+    // r18 sf10 decomposition (tools/q24_distinct_probe_r18) killed the
+    // previous ids-first plan at this geometry: with bucket target 256,
+    // every vector averages ~NTables·256/2 ≈ 500 candidate pairs, so the
+    // "dedupe ids, then fetch vectors per pair" tail shipped dim·pairs
+    // doubles through two wide joins (~60 GB of shuffle at 200k vectors,
+    // 298 s) and paid a 94 s distinct over 10⁸ id-pairs that eliminated
+    // only 21% duplicates. In-join scoring ships dim·n·NTables doubles
+    // (~400 MB — smaller whenever pairs/vector > 2·NTables, true at every
+    // scale of this geometry), streams the cross-bucket pairs through
+    // whole-stage codegen'd cosine, and the distinct runs AFTER the
+    // threshold filter on the tiny surviving set. Same output set: cosine
+    // is deterministic per pair, so post-filter distinct ≡ pre-score
+    // distinct (oracle unchanged).
+    val bucketed = b.select(col("vec_id"), col("v"),
       explode(vecexprs.hyperplaneBuckets(col("v"), planes, NTables)).as("bucket"))
-    // ids through the bucket join, dedupe, then fetch vectors + score once
-    val pairs = bucketed.select(col("bucket"), col("vec_id").as("a_id"))
-      .join(bucketed.select(col("bucket"), col("vec_id").as("b_id")), Seq("bucket"))
+    bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
+      .join(bucketed.select(
+        col("bucket"), col("vec_id").as("b_id"), col("v").as("bv")),
+        Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-    pairs
-      .join(b.select(col("vec_id").as("a_id"), col("v").as("av")), Seq("a_id"))
-      .join(b.select(col("vec_id").as("b_id"), col("v").as("bv")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(vecexprs.cosineSim(col("av"), col("bv")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 
