@@ -609,6 +609,13 @@ object Multimodal {
     */
   def videoTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NO ids-repartition before synthesis, and that is a MEASURED choice
+    // (r18 A/B at sf10): forcing the decode onto defaultParallelism=32
+    // reduce tasks ran 2× SLOWER than inheriting the scan's natural
+    // splits (153 s vs 70 s — 32-way concurrent decode allocation beats
+    // the heap around; the pruned scan already yields ~14 splits at sf10
+    // and the 1-split fixture scales are latency-bound regardless). At
+    // lake scale the payload scan brings its own thousands of splits.
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, aviBytes(id))))
       .toDF("media_id", "media")
@@ -774,6 +781,8 @@ object Multimodal {
     */
   def audioTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // no ids-repartition before synthesis — measured 2× slower at sf10
+    // (see videoTable)
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, wavBytes(id))))
       .toDF("media_id", "media")
@@ -879,6 +888,8 @@ object Multimodal {
   /** q143's clip table: the q141 clips plus the planted perturbed twins. */
   def audioNeardupTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // no ids-repartition before synthesis — measured 2× slower at sf10
+    // (see videoTable)
     val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
     val base = ids.mapPartitions(_.map(id => (id, wavBytes(id))))
     val pert = ids.filter(_ % AudioPertStride == 0).mapPartitions(_.map(id =>
