@@ -290,8 +290,11 @@ object Multimodal {
     */
   def neardupProfile(fp: DataFrame): DataFrame = {
     val fpC = fp.localCheckpoint()
+    // classes is NOT checkpointed: it is |distinct fp|-sized and one cheap
+    // agg over the checkpointed fp blocks — a checkpoint here would add a
+    // whole eager job to a sub-second frame (q143's sf0.1 wall is fixed
+    // job latency, not data)
     val classes = fpC.groupBy(col("fp")).agg(count(lit(1)).as("m"))
-      .localCheckpoint()
     // classes keyed by the fp value itself (a_id = a's fp — distinct by
     // construction, so a_id < b_id dedup works unchanged); H=0 neighbors
     // never pair here (same id) and come from the own-class m−1 term
