@@ -1706,8 +1706,15 @@ object Pipeline {
   def tokenBudgetSelect(docs: DataFrame, budgetPct: Long,
       tokenCounts: Option[DataFrame] = None): DataFrame = {
     // q135b swaps ONLY the budgeted quantity (computed-vocab counts join
-    // in by doc_id); the classifier score that ranks docs is unchanged
-    val per = tokenCounts match {
+    // in by doc_id); the classifier score that ranks docs is unchanged.
+    // `per` feeds FOUR independent subtrees of the final plan (budget agg,
+    // cells -> cellTotals -> bucket ladder, cellOffsets, and the final
+    // join back) — unmaterialized, each consumer re-executed the whole
+    // classifier token-explode scoring pass (r18 baseline plan: the
+    // documents scan appeared 10x in q135, 21x in q135b with the BPE
+    // chain upstream). localCheckpoint is the q88/q78 lesson applied here:
+    // one scoring pass, every consumer re-reads materialized partitions.
+    val per = (tokenCounts match {
       case None => TextAnalysis.classifierScoresUnsorted(docs)
         .select(col("doc_id"), col("n_tokens"), col("score_milli"))
       case Some(tc) => TextAnalysis.classifierScoresUnsorted(docs)
@@ -1716,7 +1723,7 @@ object Pipeline {
         .select(col("doc_id"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
           col("score_milli"))
-    }
+    }).localCheckpoint()
     // budget = (total × pct) DIV 100: exact BIGINT division (non-negative
     // operands, so truncation == floor) — matches the oracle's `//` at ANY
     // corpus magnitude, where a double quotient could cross an integer

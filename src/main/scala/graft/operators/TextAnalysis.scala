@@ -900,9 +900,27 @@ object TextAnalysis {
     * to the DISTINCT word table (never per word instance), instances
     * joined back; length-capped words count their characters.
     */
-  def q140BpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val merges = bpeLearnMerges(docs)
+  def q140BpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenCountsUnsorted(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+
+  /** The q140 computation WITHOUT the presentation sort — the form every
+    * joining consumer (bpeDocTokenCounts → q115b/q124b/q135b) wants: the
+    * r18 baseline plans showed q140's trailing orderBy feeding a join,
+    * i.e. a range exchange + full sort immediately destroyed by the
+    * join's hash exchange (guide §2.4: "an orderBy used only to make
+    * output deterministic"). Merges come from the exactness-GUARDED
+    * batched learner (bpeLearnMergesBatched): the accepted set per round
+    * is provably the next merges the sequential learner picks (see its
+    * scaladoc — q142 shares q139's oracle verbatim on that ground), so
+    * the counts are bit-identical while the learning drops from K
+    * sequential shuffle+collect rounds to ~K/M (q140's oracle re-verified
+    * after the swap). q139 keeps the per-merge sequential protocol as the
+    * labeled anchor.
+    */
+  def bpeTokenCountsUnsorted(docs: DataFrame): DataFrame = {
+    val (merges, _) = bpeLearnMergesBatched(docs)
     val docWords = docs.select(col("doc_id"),
       explode(text.cleanTokens(col("text"))).as("word"))
     val applied = merges.foldLeft(
@@ -919,7 +937,6 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("n_sub"), length(col("word")).cast("long")))
         .as("n_bpe_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   /** Batched BPE merge selection (q142, VERDICT r16 #4): q139's per-merge
@@ -1134,9 +1151,19 @@ object TextAnalysis {
   def bpeDocTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).filter(col("doc_id").isNotNull)
       .select(col("doc_id"))
-      .join(q140BpeTokenCounts(spark, dir), Seq("doc_id"), "left")
+      .join(bpeTokenCountsUnsorted(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text"))),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tokens"))
+      // every consumer (q115b's window ladder, q124b's packing, q135b's
+      // budget select) holds this frame in 2+ places of its final plan,
+      // and each one's trailing presentation sort range-samples its input
+      // — unmaterialized, the whole learn+apply chain re-executed per
+      // consumer occurrence (21 documents scans in the r18 baseline q135b
+      // plan). The frame is 2 longs/doc; materializing it is the same
+      // decision q141/q143 made for their fingerprint frames.
+      .localCheckpoint()
 
   /** The unrolled-CTE oracle prelude shared by q139/q140: w0 = the capped
     * vocabulary with char symbol lists; per step k, mK = the argmax pair,
