@@ -288,6 +288,17 @@ object Dedup {
       val next = labels.union(neigh).union(jump)
         .groupBy(col("v")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
+      val nextSum = labSum(next)
+      done = nextSum == cur
+      cur = nextSum
+      labels = next
+      // Convergence is decided BEFORE the edge rewrite below: in the
+      // fixpoint round the contracted edge set is dead weight (the loop
+      // exits without reading it), so the final round skips one full
+      // join-join-distinct-checkpoint job per connectedComponents call —
+      // measured r18, one scheduling-bound job off each of the 7 CC
+      // consumers (q56/q56b/q76/q78/q87/q88/q113) with labels untouched.
+      //
       // Edge contraction (the large-star/small-star relabeling, Kiveris et
       // al., "Connected Components in MapReduce and Beyond"): an edge
       // (u,v) with lab(u) != lab(v) is a WITNESS that those two labels
@@ -302,16 +313,12 @@ object Dedup {
       // all incident edges and its stale label never improves (measured:
       // 23k-row drift) — the rewrite to label space is what keeps the min
       // flowing between label nodes.
-      edges = edges
+      if (!done) edges = edges
         .join(next.select(col("v").as("s"), col("lab").as("ls")), Seq("s"))
         .join(next.select(col("v").as("d"), col("lab").as("ld")), Seq("d"))
         .filter(col("ls") =!= col("ld"))
         .select(col("ls").as("s"), col("ld").as("d")).distinct()
         .localCheckpoint()
-      val nextSum = labSum(next)
-      done = nextSum == cur
-      cur = nextSum
-      labels = next
       round += 1
     }
     require(done, s"connectedComponents did not converge in $maxRounds rounds")
@@ -663,10 +670,16 @@ object Dedup {
       keepers.select(col("keeper").as("v")), pairs)
     val membership = doc2keeper.join(comp, doc2keeper("keeper") === comp("v"))
       .select(col("doc_id"), col("lab").as("rep_id"))
+    // scored feeds the per-cluster argmax AND the final join-back — the r18
+    // baseline plan re-executed the q94 token-explode scoring pass (plus
+    // the membership joins) once per consumer, and the trailing
+    // presentation sort range-samples the final join a third time.
+    // 4 narrow columns/doc; materialize once (the q88 funnel's clf lesson).
     val scored = membership.join(
       TextAnalysis.classifierScoresUnsorted(docs)
         .select(col("doc_id"), col("mean_e6")),
       Seq("doc_id"))
+      .localCheckpoint()
     // keeper = argmax (mean_e6, -doc_id): a map-side-combined min(struct),
     // never a cluster-partitioned window
     val best = scored.groupBy(col("rep_id"))

@@ -139,9 +139,14 @@ object Pipeline {
         when(substring(col("g"), 1, 1).isin("0", "1"), "heldout")
           .otherwise("train").as("split"))
       .localCheckpoint()
+    // pairs feeds BOTH the CC edge set and the incident-node scan below —
+    // unmaterialized, the banded LSH pair generation (shingle + band join +
+    // Jaccard verify over rep texts) executed once per consumer (r18
+    // baseline: 25 exchanges in the q87 plan). Ids-only rows; materialize.
     val pairs = Dedup.nearDupPairsUnsorted(
       reps.select(col("rep_id").as("doc_id"), col("text")), 0.8)
       .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
     val labels = Dedup.connectedComponents(
       reps.select(col("rep_id").as("v")), pairs)
     val labeled = labels.join(
