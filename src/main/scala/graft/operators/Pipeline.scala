@@ -487,6 +487,10 @@ object Pipeline {
             regexp_replace(col("text"), UrlRe, "<URL>"),
             EmailRe, "<EMAIL>"),
           LongNumRe, "<NUM>").as("redacted"))
+      // presentation-sort range sampling re-executes this scan-level
+      // child (no shuffle below to resume from) — uncheckpointed, the
+      // per-row expression work ran twice per run (the q112/q141 lesson)
+      .localCheckpoint()
       .orderBy(col("doc_id"))
 
   /** q114: markup strip — the HTML-to-text preprocessing every web-crawl
@@ -525,6 +529,10 @@ object Pipeline {
     val clean = text.stripMarkup(col("text"))
     docs.select(col("doc_id"), clean.as("clean_text"),
       (length(t) - length(clean)).cast("long").as("n_removed"))
+      // presentation-sort range sampling re-executes this scan-level
+      // child (no shuffle below to resume from) — uncheckpointed, the
+      // per-row expression work ran twice per run (the q112/q141 lesson)
+      .localCheckpoint()
       .orderBy(col("doc_id"))
   }
 

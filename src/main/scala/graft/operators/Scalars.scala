@@ -67,6 +67,10 @@ object Scalars {
         sqrt(col("o_totalprice")).as("price_sqrt"),
         (col("o_totalprice").cast("decimal(18,2)") * lit(BigDecimal("1.1")))
           .cast("double").as("price_up"))
+      // presentation-sort range sampling re-executes this scan-level
+      // child (no shuffle below to resume from) — uncheckpointed, the
+      // per-row expression work ran twice per run (the q112/q141 lesson)
+      .localCheckpoint()
       .orderBy(col("o_orderkey"))
 
   /** Q17a: JSON scalar extraction over events.props. The path is extracted
@@ -84,6 +88,10 @@ object Scalars {
         col("k_str"),
         col("k_str").cast("int").as("k_int"),
         col("k_str").isNotNull.as("has_k"))
+      // presentation-sort range sampling re-executes this scan-level
+      // child (no shuffle below to resume from) — uncheckpointed, the
+      // per-row expression work ran twice per run (the q112/q141 lesson)
+      .localCheckpoint()
       .orderBy(col("event_id"))
 
   /** Q17b: array scalars over documents tokens. */
@@ -98,6 +106,10 @@ object Scalars {
         element_at(toks, -1).as("last_token"),
         array_contains(toks, "spark").as("has_spark"),
         concat_ws(" ", slice(sort_array(toks), 1, 3)).as("sorted_first3"))
+      // presentation-sort range sampling re-executes this scan-level
+      // child (no shuffle below to resume from) — uncheckpointed, the
+      // per-row expression work ran twice per run (the q112/q141 lesson)
+      .localCheckpoint()
       .orderBy(col("doc_id"))
   }
 
@@ -119,6 +131,10 @@ object Scalars {
         element_at(col("m"), "k").as("k_val"),
         size(map_keys(col("m"))).as("n_keys"),
         concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"))
+      // presentation-sort range sampling re-executes this scan+parse
+      // child (no shuffle below to resume from): uncheckpointed, every
+      // row paid from_json twice per run (the q112/q141 lesson)
+      .localCheckpoint()
       .orderBy(col("event_id"))
   }
 

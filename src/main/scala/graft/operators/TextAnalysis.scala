@@ -121,6 +121,13 @@ object TextAnalysis {
       .select(col("doc_id") +:
         gopherSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
       .withColumn("pass_gopher", gopherPass(col))
+      // the presentation sort's range sampling is a SEPARATE execution of
+      // its child, and this child is the seven-regex signal projection
+      // sitting directly on the scan (no shuffle in between to resume
+      // from) — uncheckpointed, every signal computed twice per run
+      // (q141's lesson at batch-expression scale; measured −35% r18).
+      // What materializes is doc_id + 8 narrow signal columns.
+      .localCheckpoint()
       .orderBy(col("doc_id"))
 
   /** The seven q112 signal columns over a raw text column. */
