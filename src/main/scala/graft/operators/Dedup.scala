@@ -514,6 +514,11 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept"))).as("n_cut"),
         array_join(col("kept"), " ").as("cleaned"))
+      // the presentation sort's range sampling re-executes the join + the
+      // per-token zip_with/exists cut chain (the expensive part of this
+      // tail) — materialize the finished rows once (q112/q141's lesson);
+      // shared by q84 and q86
+      .localCheckpoint()
       .orderBy(col("doc_id"))
 
   /** q86: benchmark decontamination SURGERY — the remove step downstream of
