@@ -493,6 +493,21 @@ object Dedup {
     * corpus shuffle.
     */
   private def cutFlagged(docs: DataFrame, flagged: DataFrame): DataFrame =
+    cutFlaggedRows(docs, flagged)
+      // the presentation sort's range sampling re-executes the join + the
+      // per-token zip_with/exists cut chain (the expensive part of this
+      // tail) — materialize the finished rows once (q112/q141's lesson);
+      // shared by q84 and q86. PlanSpec pins the pre-materialization plan
+      // through [[q86PlanProbe]] (the checkpoint truncates the visible
+      // final plan to a scan+sort, exactly like q88's staged frames).
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
+
+  /** The cut tail's frame BEFORE the materialize+sort — the plan surface
+    * the q84/q86 broadcast/shuffle-shape assertions inspect.
+    */
+  private[graft] def cutFlaggedRows(docs: DataFrame,
+      flagged: DataFrame): DataFrame =
     docs.join(flagged, Seq("doc_id"), "left")
       .select(col("doc_id"),
         // null-input parity with the oracle's coalesce-to-0/'' tail: a null
@@ -514,12 +529,6 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept"))).as("n_cut"),
         array_join(col("kept"), " ").as("cleaned"))
-      // the presentation sort's range sampling re-executes the join + the
-      // per-token zip_with/exists cut chain (the expensive part of this
-      // tail) — materialize the finished rows once (q112/q141's lesson);
-      // shared by q84 and q86
-      .localCheckpoint()
-      .orderBy(col("doc_id"))
 
   /** q86: benchmark decontamination SURGERY — the remove step downstream of
     * q57/q66's detection (window semantics shared with q84): every 8-token
@@ -545,6 +554,15 @@ object Dedup {
     * split — planted-corpus specs run it directly.
     */
   def decontaminateCut(docs: DataFrame, evalEvery: Long): DataFrame = {
+    val (train, flagged) = decontaminateFlagged(docs, evalEvery)
+    cutFlagged(train, flagged)
+  }
+
+  /** q86's (train, flagged-starts) pair — the flagging plan before the cut
+    * tail, shared by the registered query and [[q86PlanProbe]].
+    */
+  private def decontaminateFlagged(docs: DataFrame,
+      evalEvery: Long): (DataFrame, DataFrame) = {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs.filter(col("doc_id").isNotNull)
     val train = base.filter(col("doc_id") % evalEvery =!= 0)
@@ -563,7 +581,20 @@ object Dedup {
       // needs no exchange
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    cutFlagged(train, flagged)
+    (train, flagged)
+  }
+
+  /** q86's full computation WITHOUT the final materialize+sort — the plan
+    * PlanSpec's broadcast/shuffle-shape assertions read (the registered
+    * q86 checkpoints the finished rows, which truncates its own visible
+    * plan to a checkpoint scan + sort).
+    */
+  private[graft] def q86PlanProbe(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (train, flagged) = decontaminateFlagged(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      Pipeline.EvalEvery)
+    cutFlaggedRows(train, flagged).orderBy(col("doc_id"))
   }
 
   // ---- End-to-end dedup verdict (q76) -------------------------------------

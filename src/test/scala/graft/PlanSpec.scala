@@ -199,8 +199,13 @@ class PlanSpec extends AnyFunSuite {
     // the 100 TB premise: benchmark gram sets are small, so flagging must
     // be a broadcast against the one train tokenize pass, not a corpus-wide
     // gram-keyed exchange (q84 pays that shuffle because its threshold is a
-    // corpus-global count; q86's membership test has no such need)
-    val p = plan(graft.operators.Dedup.q86(spark, dir))
+    // corpus-global count; q86's membership test has no such need).
+    // Inspected through q86PlanProbe: the registered q86 materializes its
+    // finished rows before the presentation sort (r18 — the sort's range
+    // sampling re-ran the cut chain), which truncates the registered
+    // query's own visible plan to a checkpoint scan + sort; the probe is
+    // the identical computation without that materialization.
+    val p = plan(graft.operators.Dedup.q86PlanProbe(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(500))
     // exactly one gh-keyed exchange is legitimate: the EVAL side's distinct
     // (small by premise). A second one means the train gram frame regressed
