@@ -271,10 +271,23 @@ object Dedup {
     // Only edge-incident nodes iterate — at production dup rates that is a
     // few percent of the corpus; everyone else is a singleton (lab = v)
     // resolved by one post-loop join, never shuffled per round.
-    val active = edges.select(col("s").as("v")).distinct()
     def labSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lab")), lit(0L))).head().getLong(0)
-    var labels = active.select(col("v"), col("v").as("lab")).localCheckpoint()
+    // Init = the post-round-1 state computed directly (r18): with identity
+    // labels, round 1's neighbor-min is min(v, min incoming source) and
+    // its pointer jump contributes only identity rows — so labels can
+    // START there for the cost of the identity checkpoint alone (every
+    // active node appears as a source, edges being bidirectional). One
+    // full round of next-checkpoint + labSum + contraction jobs gone from
+    // every CC call; the loop's first iteration then runs over the
+    // ORIGINAL edge set (round 2 previously saw it contracted — the
+    // contraction is a per-round optimization, not a correctness input,
+    // so the fixpoint is unchanged; exactness + contraction-soundness +
+    // union-find cross-check specs in DedupSpec pin this).
+    var labels = edges.select(col("s").as("v"), col("s").as("lab"))
+      .union(edges.select(col("d").as("v"), col("s").as("lab")))
+      .groupBy(col("v")).agg(min(col("lab")).as("lab"))
+      .localCheckpoint()
     var cur = labSum(labels)
     var done = false
     var round = 0
